@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+qkey names follow SURVEY.md §2's operator inventory; each callable is
+a thin wrapper over a named, tested function in parallel_svms_spark.
 """
 
 from __future__ import annotations
@@ -13,26 +15,110 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import relational as R
+from parallel_svms_spark.operators import partitioning as X
+
+K_BUCKETS = 8  # reference runs k ∈ {2,4,8,16} (PDF slide 23); 8 is the middle
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-class histogram of the training set — the
+    reference's first dataflow step (CLASS_<l>_COUNT counters,
+    cascade_svm/Precascade1.java:27) on the MNIST-analog fixture."""
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    return R.agg_groupby_count(emb).orderBy("label")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q(table_fn):
+        return table_fn
+
+    return {
+        # §2.1 / §2.3 — scans + counter-style aggregations
+        "scan_count": lambda s, d: R.scan_count(load_table(s, d, "lineitem")),
+        "agg_count": lambda s, d: R.agg_count(load_table(s, d, "lineitem")),
+        "agg_groupby_count": lambda s, d: R.agg_groupby_count(load_table(s, d, "embeddings")),
+        "agg_error_sum": lambda s, d: R.agg_error_sum(load_table(s, d, "events")),
+        # §2.2 — projections / parsing / join-filters
+        "proj_label": lambda s, d: R.proj_label(load_table(s, d, "embeddings")),
+        "parse_project": lambda s, d: R.parse_project(load_table(s, d, "embeddings")),
+        "filter_semijoin": lambda s, d: R.filter_semijoin(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders")),
+        "dedup_anti": lambda s, d: R.dedup_anti(
+            load_table(s, d, "customer"), load_table(s, d, "orders")),
+        # §2.4 — partitioning / exchange / cascade merge
+        "repartition_balanced": lambda s, d: X.balanced_buckets(
+            load_table(s, d, "embeddings"), K_BUCKETS).select("vec_id", "bucket"),
+        "agg_bucket_count": lambda s, d: X.agg_bucket_count(
+            X.balanced_buckets(load_table(s, d, "embeddings"), K_BUCKETS)),
+        "merge_pairs": lambda s, d: X.halve_buckets_count(
+            X.balanced_buckets(load_table(s, d, "embeddings"), K_BUCKETS)),
+        # §2.5 — set operations
+        "set_union": lambda s, d: R.set_union(load_table(s, d, "orders")),
+        "set_except": lambda s, d: R.set_except(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders")),
+        # §2.6 — evaluation-shaped aggregation
+        "eval_confusion": lambda s, d: R.eval_confusion(load_table(s, d, "embeddings")),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """ANSI SQL (DuckDB) twins of queries(); same column names/aliases."""
+    k = K_BUCKETS
+    return {
+        "scan_count": "SELECT COUNT(*) AS n_rows FROM lineitem",
+        "agg_count": "SELECT COUNT(*) AS total_record_count FROM lineitem",
+        "agg_groupby_count": (
+            "SELECT label, COUNT(*) AS class_count FROM embeddings GROUP BY label"
+        ),
+        "agg_error_sum": (
+            "SELECT event_type, CAST(SUM(FLOOR(value*100)) AS BIGINT) AS errorsum "
+            "FROM events GROUP BY event_type"
+        ),
+        "proj_label": (
+            "SELECT vec_id, CAST(split_part(label::VARCHAR || ',' || vec_id::VARCHAR, ',', 1) AS INT) "
+            "AS parsed_label FROM embeddings"
+        ),
+        "parse_project": (
+            "SELECT vec_id, label AS parsed_label, "
+            "CAST(len(embedding) AS INT) AS n_features, "
+            "ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS feature_sum "
+            "FROM embeddings"
+        ),
+        "filter_semijoin": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "dedup_anti": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "repartition_balanced": (
+            f"SELECT vec_id, CAST(vec_id % {k} AS INT) AS bucket FROM embeddings"
+        ),
+        "agg_bucket_count": (
+            f"SELECT CAST(vec_id % {k} AS INT) AS bucket, COUNT(*) AS subset_count "
+            "FROM embeddings GROUP BY 1"
+        ),
+        "merge_pairs": (
+            f"SELECT CAST(FLOOR((vec_id % {k}) / 2) AS INT) AS bucket, "
+            "COUNT(*) AS merged_count FROM embeddings GROUP BY 1"
+        ),
+        "set_union": (
+            "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+            "UNION ALL "
+            "SELECT o_orderkey FROM orders WHERE o_orderpriority = '2-HIGH'"
+        ),
+        "set_except": (
+            "SELECT l_orderkey AS okey FROM lineitem "
+            "EXCEPT "
+            "SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "eval_confusion": (
+            "SELECT label, CAST(vec_id % 10 AS INT) AS pred, COUNT(*) AS n "
+            "FROM embeddings GROUP BY 1, 2"
+        ),
+    }

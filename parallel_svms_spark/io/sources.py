@@ -1,0 +1,99 @@
+"""Typed IO layer.
+
+The reference reads HDFS text directories line-at-a-time
+(``TextInputFormat``, cascade_svm/Precascade1.java:10-14) and encodes
+pipeline stage in *directory placement* (SURVEY §1.1). The rebuild is
+columnar by construction: parquet in, DataFrame lineage instead of
+stage directories, and a dense-CSV codec kept only for format parity
+with the reference's record encoding (label,f1,...,fn —
+cascade_svm/Midcascade.java:110-118).
+
+Scale notes: ``spark.read.parquet`` gives vectorized reads, predicate
+pushdown and partition pruning for free; at 100 TB the only knobs that
+matter here are file layout (handled by the writers' ``partitionBy``)
+and ``spark.sql.files.maxPartitionBytes`` (left at the 128 MB default,
+correct for ~1 GB row-group parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (S1 analog: the line-text scan of
+    cascade_svm/Precascade1.java:10-14, columnar here).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the fixture parquet; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which
+    we convert to a µs timestamp (same truncation DuckDB applies), so
+    oracle comparisons line up.
+    """
+    if name == "events":
+        # runtime-settable; needed even when the caller's session was
+        # not built by our session.py (e.g. the driver's own session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000)
+                                                    .cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+# ---------------------------------------------------------------------------
+# Reference-native dense CSV codec (format parity; FIXTURES.md §B.1)
+# ---------------------------------------------------------------------------
+
+DENSE_SCHEMA = T.StructType([
+    T.StructField("label", T.IntegerType(), False),
+    T.StructField("features", T.ArrayType(T.DoubleType()), False),
+])
+
+
+def to_dense_lines(df: DataFrame, label_col: str = "label",
+                   features_col: str = "embedding") -> DataFrame:
+    """Typed rows → reference dense-CSV lines ``label,f1,...,fn``
+    (encoding of cascade_svm/Midcascade.java:110-118)."""
+    return df.select(
+        F.concat_ws(
+            ",", F.col(label_col).cast("string"),
+            F.array_join(F.col(features_col).cast("array<double>"), ","),
+        ).alias("line")
+    )
+
+
+def parse_dense_lines(lines: DataFrame, col: str = "line") -> DataFrame:
+    """Dense-CSV lines → ``(label INT, features ARRAY<DOUBLE>)``.
+
+    Mirror of the parse repeated five times in the reference
+    (cascade_svm/Midcascade.java:110-118, Lastcascade.java:117-125,
+    Bagging_svm/Bagging1.java:111-119, Iterative_svm/Itergsv.java:53-61)
+    — here once, JVM-side, no Python in the loop.
+    """
+    parts = F.split(F.col(col), ",")
+    return lines.select(
+        parts.getItem(0).cast("int").alias("label"),
+        F.slice(parts, 2, F.size(parts) - 1).cast("array<double>").alias("features"),
+    )
+
+
+def read_dense_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: read reference-format training text from disk."""
+    return parse_dense_lines(spark.read.text(path), col="value")
+
+
+def write_dense_csv(df: DataFrame, path: str, label_col: str = "label",
+                    features_col: str = "features") -> None:
+    """S3 text sink, kept for reference format parity only."""
+    to_dense_lines(df, label_col, features_col).write.mode("overwrite").text(path)

@@ -1,0 +1,91 @@
+"""Partitioning / exchange / merge operators — the heart of all three
+reference algorithms (SURVEY §2.4: X1-X4, A3).
+
+The reference assigns each record a random subset id, re-rolling while
+the chosen subset's Counter exceeds ``ceil(total/k)``
+(cascade_svm/Precascade2.java:18-38) — nondeterministic and only
+per-mapper-approximately balanced. The rebuild is deterministic (so the
+DuckDB oracle can hash-match) and offers three strategies with
+different scale profiles; AQE-safe by construction because the bucket
+is a *column* (grouping is semantic, immune to physical partition
+coalescing — SURVEY §4.3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def balanced_buckets(df: DataFrame, k: int, key: str = "vec_id",
+                     strategy: str = "mod") -> DataFrame:
+    """X1: balanced partition into k buckets (cascade_svm/Precascade2.java:18-38;
+    identical Prebagging2.java / Preiterative2.java).
+
+    Strategies (pick by key shape × scale):
+
+    - ``mod``:    ``pmod(key, k)`` — exact balance for dense integer ids
+                  (our fixtures), zero shuffle to *compute*, SQL-oracle
+                  friendly. Default.
+    - ``hash``:   ``pmod(xxhash64(key), k)`` — arbitrary keys, 100 TB
+                  path; balance is statistical (±O(√(n/k))), same
+                  guarantee class as the reference's racy counter cap.
+    - ``rownum``: global ``row_number() % k`` — exact ±1 balance for
+                  arbitrary keys, but a global sort ⇒ single-partition
+                  window; only for driver-small data (model SV lists).
+    """
+    if strategy == "mod":
+        bucket = F.pmod(F.col(key), F.lit(k)).cast("int")
+    elif strategy == "hash":
+        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(k)).cast("int")
+    elif strategy == "rownum":
+        rn = F.row_number().over(W.orderBy(key))
+        bucket = ((rn - 1) % k).cast("int")
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+    return df.withColumn("bucket", bucket)
+
+
+def exchange_by_bucket(df: DataFrame, k: int) -> DataFrame:
+    """X2: key exchange + identity reduce — shuffle records so each
+    subset is physically co-located (cascade_svm/Precascade2.java:36,40-45,
+    one output file per subset). In Spark the *grouped training* op
+    (applyInPandas) induces its own exchange on the grouping key, so
+    this explicit repartition exists only for when a caller wants the
+    physical layout itself (e.g. writing one file per bucket).
+    """
+    return df.repartition(k, "bucket")
+
+
+def agg_bucket_count(df_with_bucket: DataFrame) -> DataFrame:
+    """A3: per-bucket running count with cap
+    (``SUBSET_<i>`` counters, cascade_svm/Precascade2.java:26,32-35).
+    Deterministic rebuild makes the cap structural, so the check is a
+    plain grouped count.
+    """
+    return df_with_bucket.groupBy("bucket").agg(F.count("*").alias("subset_count"))
+
+
+def merge_pairs(df_with_bucket: DataFrame) -> DataFrame:
+    """X3: pairwise (binary-tree) cascade merge — mapper emits SVs
+    keyed ``floor(taskId/2)`` and the reducer count halves each layer
+    (cascade_svm/Midcascade.java:6,126-127,133-138; loop at
+    cascade_svm/Driver.java:91-100). One layer = re-key + regroup; the
+    full cascade is the driver loop in ml/cascade.py.
+
+    Scale: this is exactly the ``treeAggregate`` shape — per-layer
+    shuffle volume halves, so the whole cascade moves ≤2× the SV bytes
+    of layer 1 regardless of depth.
+    """
+    return df_with_bucket.withColumn(
+        "bucket", F.floor(F.col("bucket") / 2).cast("int"))
+
+
+def halve_buckets_count(df_with_bucket: DataFrame) -> DataFrame:
+    """merge_pairs + per-merged-bucket size — the oracle-checkable
+    observable of one cascade layer."""
+    return (
+        merge_pairs(df_with_bucket)
+        .groupBy("bucket").agg(F.count("*").alias("merged_count"))
+    )
