@@ -20,6 +20,56 @@ from parallel_svms_spark.operators import relational as R
 from parallel_svms_spark.operators import partitioning as X
 
 K_BUCKETS = 8  # reference runs k ∈ {2,4,8,16} (PDF slide 23); 8 is the middle
+SVM_K = 4      # bucket count for the ML qkeys (500-row embeddings at sf0.01)
+SVM_GAMMA = 2.0  # fixture embeddings are unit-norm → γ≈2 (see ml/smo.train_svc)
+
+
+# ---------------------------------------------------------------------------
+# ML qkeys (rows-only: genuinely non-SQL-expressible — SMO training)
+# ---------------------------------------------------------------------------
+
+def _svm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2: per-bucket SVM train → per-bucket SV count (deterministic)."""
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.ml import trainer
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = trainer.fit_buckets(X.balanced_buckets(emb, SVM_K), gamma=SVM_GAMMA)
+    return (trainer.svs_only(fit).groupBy("bucket")
+            .agg(F.count("*").alias("n_sv")).orderBy("bucket"))
+
+
+def _cascade_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3 + X3 + C1: full cascade; returns final-model summary."""
+    from parallel_svms_spark.ml import evaluate, trainer
+    from parallel_svms_spark.ml.cascade import cascade_train
+    emb = load_table(spark, sf_dir, "embeddings")
+    model, svs = cascade_train(emb, k=SVM_K, gamma=SVM_GAMMA)
+    acc = evaluate.accuracy(trainer.predict_df(emb, model))
+    return spark.createDataFrame(
+        [(int(model.n_sv), round(acc, 4))], "final_n_sv int, train_acc double")
+
+
+def _bagging_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: k independent models + majority-vote inference."""
+    from parallel_svms_spark.ml import evaluate
+    from parallel_svms_spark.ml.bagging import bagging_predict, bagging_train
+    emb = load_table(spark, sf_dir, "embeddings")
+    models, _ = bagging_train(emb, k=SVM_K, gamma=SVM_GAMMA)
+    acc = evaluate.accuracy(bagging_predict(emb, models))
+    return spark.createDataFrame(
+        [(int(b), int(m.n_sv), round(acc, 4)) for b, m in sorted(models.items())],
+        "bucket int, n_sv int, vote_acc double")
+
+
+def _iterative_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 + U1/U2 + A4: convergence-controlled iteration."""
+    from parallel_svms_spark.ml.iterative import iterative_train
+    emb = load_table(spark, sf_dir, "embeddings")
+    gsv, errs = iterative_train(emb, k=SVM_K, gamma=SVM_GAMMA)
+    n_gsv = gsv.count()
+    return spark.createDataFrame(
+        [(i, int(e), int(n_gsv)) for i, e in enumerate(errs)],
+        "iteration int, errorsum bigint, final_gsv_count int")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -62,6 +112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "orders")),
         # §2.6 — evaluation-shaped aggregation
         "eval_confusion": lambda s, d: R.eval_confusion(load_table(s, d, "embeddings")),
+        # §2.6 ML operators — rows-only (no SQL oracle: SMO training)
+        "svm_train": _svm_train,
+        "cascade_svm": _cascade_svm,
+        "bagging_svm": _bagging_svm,
+        "iterative_svm": _iterative_svm,
     }
 
 

@@ -1,0 +1,64 @@
+"""Cascade SVM driver (entry point 1 — cascade_svm/Driver.main,
+Driver.java:37-102; SURVEY §3.1).
+
+Reference shape: pre-partition into k subsets (power of 2), then
+log₂(k) MapReduce jobs; each trains per subset, keeps only support
+vectors, and pair-merges subsets (key = floor(taskId/2), reducer count
+k/2^ℓ — Midcascade.java:6,126-127); the final job's single reducer
+retrains on the surviving SVs and writes the model
+(Lastcascade.java:109-144).
+
+Spark rewrite: ONE session, a driver loop over DataFrame stages; the
+stage directories become a `bucket` column; `localCheckpoint` replaces
+the per-job HDFS materialization (lineage truncation only — SURVEY
+§4.3.3).
+
+Scale: per-layer shuffle volume halves (SVs only), so total motion is
+≤ 2× layer-1 SV bytes regardless of depth; each training group stays
+subset-sized. For 100 TB pick k so that |subset| ≈ 10⁴ rows; layers
+= log₂k jobs of shrinking size, all cluster-parallel until the tip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.ml import trainer
+from parallel_svms_spark.ml.smo import SVCModel
+from parallel_svms_spark.operators.partitioning import balanced_buckets
+
+
+def _validate_k(k: int) -> None:
+    # reference intends power-of-2 but its check is buggy
+    # (`subsets % 2 != 0`, cascade_svm/Driver.java:49-52); do it right
+    if k < 2 or (k & (k - 1)) != 0:
+        raise ValueError(f"k must be a power of two ≥ 2, got {k}")
+
+
+def cascade_train(df: DataFrame, k: int, C: float = 1.0,
+                  gamma: float | None = None, kernel: str = "rbf",
+                  checkpoint: bool = True) -> tuple[SVCModel, DataFrame]:
+    """Train cascade SVM; returns (final model, final SV DataFrame).
+
+    df columns: vec_id, label, embedding.
+    """
+    _validate_k(k)
+    cur = balanced_buckets(df, k)
+    n_buckets = k
+    while n_buckets > 1:
+        svs = trainer.svs_only(
+            trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel))
+        cur = svs.withColumn("bucket",
+                             F.floor(F.col("bucket") / 2).cast("int"))
+        if checkpoint:
+            # truncate lineage between layers (the reference got this
+            # implicitly by materializing each job to HDFS)
+            cur = cur.localCheckpoint()
+        n_buckets //= 2
+    # final retrain on surviving SVs (Lastcascade.java:109-144)
+    fit = trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel,
+                              with_model=True)
+    fit = fit.localCheckpoint() if checkpoint else fit.cache()
+    model = trainer.collect_models(fit)[0]
+    return model, trainer.svs_only(fit)

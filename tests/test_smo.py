@@ -1,0 +1,64 @@
+"""Unit oracle for the numpy SMO solver (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from parallel_svms_spark.ml.smo import (
+    linear_kernel, rbf_kernel, smo_solve, train_svc,
+)
+
+
+def test_hand_computed_dual():
+    # x=0 (y=-1), x=1 (y=+1): alpha=(2,2), rho=1, margin at ±1
+    X = np.array([[0.0], [1.0]])
+    y = np.array([-1.0, 1.0])
+    a, rho = smo_solve(linear_kernel(X, X), y, C=10.0)
+    assert np.allclose(a, [2.0, 2.0], atol=1e-6)
+    assert abs(rho - 1.0) < 1e-6
+
+
+def test_kkt_and_box_constraints():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(200, 8))
+    y = np.where(X[:, 0] + 0.3 * rng.normal(size=200) > 0, 1.0, -1.0)
+    C = 1.0
+    K = rbf_kernel(X, X, gamma=1 / 8)
+    a, rho = smo_solve(K, y, C=C)
+    assert (a >= -1e-9).all() and (a <= C + 1e-9).all()
+    assert abs(np.dot(a, y)) < 1e-6          # equality constraint
+    # KKT residual within eps tolerance
+    grad = (y[:, None] * K * y[None, :]) @ a - 1.0
+    yg = -y * grad
+    up = ((y > 0) & (a < C - 1e-9)) | ((y < 0) & (a > 1e-9))
+    low = ((y < 0) & (a < C - 1e-9)) | ((y > 0) & (a > 1e-9))
+    assert yg[up].max() - yg[low].min() < 2e-3
+
+
+def test_separable_blobs_multiclass():
+    rng = np.random.default_rng(0)
+    X = np.vstack([rng.normal(loc=3 * c, scale=0.5, size=(60, 4))
+                   for c in range(3)])
+    y = np.repeat([0, 1, 2], 60)
+    m = train_svc(X, y)
+    assert (m.predict(X) == y).mean() == 1.0
+    # SVs live near boundaries: far fewer SVs than points
+    assert m.n_sv < len(y) * 0.7
+
+
+def test_nonseparable_converges():
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(300, 16))
+    y = rng.integers(0, 2, size=300)  # pure noise — must still terminate
+    m = train_svc(X, y, C=1.0)
+    assert m.n_sv <= 300
+    assert set(np.unique(m.predict(X))) <= {0, 1}
+
+
+def test_determinism():
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(150, 8))
+    y = (X[:, 0] > 0).astype(int)
+    m1, m2 = train_svc(X, y), train_svc(X, y)
+    assert np.array_equal(m1.sv_orig_idx, m2.sv_orig_idx)
+    assert np.array_equal(m1.predict(X), m2.predict(X))
