@@ -16,8 +16,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import dedup as D
+from parallel_svms_spark.operators import events as E
 from parallel_svms_spark.operators import relational as R
 from parallel_svms_spark.operators import partitioning as X
+from parallel_svms_spark.operators import text as TX
 
 K_BUCKETS = 8  # reference runs k ∈ {2,4,8,16} (PDF slide 23); 8 is the middle
 SVM_K = 4      # bucket count for the ML qkeys (500-row embeddings at sf0.01)
@@ -72,6 +75,36 @@ def _iterative_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iteration int, errorsum bigint, final_gsv_count int")
 
 
+def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: brute-force cosine top-10 against the vec_id=0 embedding."""
+    from parallel_svms_spark.operators.similarity import topk_cosine
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    return topk_cosine(emb, [float(x) for x in qvec], k=10)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path: LSH-bucketed ANN top-10 (rows-only; recall vs
+    brute force asserted in tests)."""
+    from parallel_svms_spark.operators.similarity import ann_lsh_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    return ann_lsh_topk(emb, [float(x) for x in qvec], k=10)
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → deterministic stub
+    features (rows-only; codec stubbed, see operators/multimodal.py)."""
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.operators import multimodal as MM
+    media = MM.synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = MM.extract_features(media)
+    return feats.select("media_id", "media_type", "n_bytes",
+                        F.round(F.aggregate(F.col("features").cast("array<double>"),
+                                            F.lit(0.0), lambda a, x: a + x), 4)
+                        .alias("feature_sum"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-class histogram of the training set — the
     reference's first dataflow step (CLASS_<l>_COUNT counters,
@@ -117,6 +150,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_svm": _cascade_svm,
         "bagging_svm": _bagging_svm,
         "iterative_svm": _iterative_svm,
+        # §2.8 extension ops — dedup / similarity / text / events
+        "dedup_exact": lambda s, d: D.exact_dedup_keys(load_table(s, d, "documents")),
+        "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
+            load_table(s, d, "documents"), k=3, threshold=0.5),
+        "dedup_minhash": lambda s, d: D.minhash_near_dups(
+            load_table(s, d, "documents"), threshold=0.5),
+        "dedup_simhash": lambda s, d: D.simhash_near_dups(
+            load_table(s, d, "documents"), max_hamming=3),
+        "topk_cosine": _topk_cosine,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "text_token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
+        "text_quality": lambda s, d: TX.quality_score(load_table(s, d, "documents")),
+        "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
+        "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
+        "token_count": lambda s, d: TX.token_count(load_table(s, d, "documents")),
+        "json_extract": lambda s, d: E.json_extract(load_table(s, d, "events")),
+        "window_tumbling": lambda s, d: E.window_tumbling(load_table(s, d, "events")),
+        "sessionize": lambda s, d: E.session_stats(load_table(s, d, "events")),
+        "multimodal_features": _multimodal_features,
     }
 
 
@@ -176,4 +228,134 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, CAST(vec_id % 10 AS INT) AS pred, COUNT(*) AS n "
             "FROM embeddings GROUP BY 1, 2"
         ),
+        # §2.8 extension ops
+        "dedup_exact": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "simjoin_candidates": """
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
+  )) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+""",
+        "topk_cosine": """
+SELECT vec_id,
+       ROUND(list_cosine_similarity(
+         CAST(embedding AS DOUBLE[]),
+         CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) AS DOUBLE[])
+       ), 6) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+        "text_token_stats": """
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens,
+       ROUND(AVG(len(string_split(text,' '))), 6) AS avg_tokens,
+       ROUND(AVG(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+FROM documents GROUP BY lang, source
+""",
+        "text_quality": f"""
+WITH x AS (
+  SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nc
+  FROM documents
+), y AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(nc - len(t) + 1 AS DOUBLE) / len(t) AS mtl,
+         CAST(len(list_intersect(list_distinct(t),
+              {TX.STOPWORDS!r})) AS DOUBLE) / {len(TX.STOPWORDS)} AS sr
+  FROM x
+)
+SELECT doc_id, n_tokens, ROUND(mtl, 6) AS mean_token_len,
+       ROUND(sr, 6) AS stopword_ratio,
+       ROUND(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * ROUND(sr, 6)
+             + 0.3 * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END),
+             6) AS quality
+FROM y
+""",
+        "lang_id": _LANG_ID_ORACLE,
+        "doc_fingerprint": """
+SELECT doc_id,
+       list_aggregate([md5(array_to_string(t[i:i+2], ' '))
+                       FOR i IN range(1, len(t)-1)], 'min') AS fingerprint
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+""",
+        "token_count": """
+SELECT doc_id,
+       CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,
+       CAST(greatest(len(string_split(text,' ')),
+                     CAST(ceil(CAST(length(text) AS DOUBLE)/4) AS BIGINT))
+            AS BIGINT) AS bpe_est_tokens
+FROM documents
+""",
+        "json_extract": """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS k_avg
+FROM events GROUP BY event_type
+""",
+        "window_tumbling": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS value_sum
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
+FROM per_session GROUP BY user_id
+""",
     }
+
+
+# DuckDB twin of operators/text.lang_id: same marker sets, same
+# alphabetical tie-break (CASE checks langs in sorted order), same
+# zero-evidence → 'und'
+def _lang_markers_sql(lang: str) -> str:
+    words = TX.LANG_MARKERS[lang]
+    return (f"len(list_intersect(list_distinct(string_split(text,' ')), "
+            f"{words!r}))")
+
+
+_scores = {lang: _lang_markers_sql(lang) for lang in sorted(TX.LANG_MARKERS)}
+_best = "greatest(" + ", ".join(_scores.values()) + ")"
+_case = "CASE WHEN " + _best + " = 0 THEN 'und' " + " ".join(
+    f"WHEN {expr} = {_best} THEN '{lang}'" for lang, expr in _scores.items()
+) + " ELSE 'und' END"
+_LANG_ID_ORACLE = (
+    f"SELECT doc_id, lang, {_case} AS pred_lang, "
+    f"CAST({_best} AS INT) AS evidence FROM documents"
+)

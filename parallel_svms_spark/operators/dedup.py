@@ -1,0 +1,273 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.8 E1/E2).
+
+Beyond the reference surface (mandated by BASELINE.json north star):
+exact dedup, n-gram Jaccard similarity join, MinHash+LSH near-dup,
+and SimHash fingerprinting — each designed so the shuffle story holds
+at 100 TB:
+
+- exact: one hash-partitioned aggregation on a 64-bit digest — the
+  shuffle carries (digest, doc_id), never the text.
+- n-gram Jaccard: classic explode→equi-join candidate generation with
+  a document-frequency cap on hot shingles (skew guard) before the
+  pair aggregation.
+- MinHash/LSH: signature computation is a narrow JVM-side map
+  (array expressions, no Python); only (band, bandhash, doc_id) rows
+  shuffle — k·|docs| small rows, not text.
+- SimHash: 64-bit signature via array aggregation, JVM-side.
+
+All operators keep the text column OUT of wide shuffles: they shuffle
+ids + digests and re-join text only if the caller asks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# seeded parameters for the minhash permutation family
+# h_i(x) = (a_i * x + b_i) mod MERSENNE31 — public standard construction.
+# 31-bit field keeps a·x + b within int64 (Spark runs ANSI mode: a
+# 61-bit modulus would overflow the multiply).
+MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a splitmix-style LCG (no
+    Date.now/np.random — reproducible across runs and engines)."""
+    params = []
+    state = seed
+    for _ in range(n_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE31 - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_col(text_col: str = "text", k: int = 3) -> F.Column:
+    """Word k-shingles as strings, all JVM-side array expressions."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+# ---------------------------------------------------------------------------
+# E1 — exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_keys(documents: DataFrame) -> DataFrame:
+    """Representative doc per distinct text: group by content digest,
+    keep min(doc_id). Only (digest, id) shuffles — at 100 TB the agg
+    state is 40 B/doc regardless of doc size."""
+    return (
+        documents
+        .select(F.col("doc_id"), F.sha2(F.col("text"), 256).alias("digest"))
+        .groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Full deduplicated table (semi-join back to re-attach columns,
+    so text never enters the aggregation shuffle)."""
+    return documents.join(exact_dedup_keys(documents), "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# E2a — exact n-gram Jaccard similarity join (the verifiable baseline)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
+                        threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Candidate pairs by exact shingle-set Jaccard ≥ threshold.
+
+    explode(distinct shingles) → self-equi-join on shingle → per-pair
+    shared count → Jaccard. ``max_doc_freq`` drops shingles appearing
+    in more than that many docs (stopword-shingle skew guard — the
+    hot-key salting alternative for this workload; a shingle in f docs
+    generates f² pair rows, so capping f bounds the join blowup).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = (documents
+          .select("doc_id", F.explode(F.array_distinct(
+              shingles_col("text", k))).alias("shingle")))
+    if max_doc_freq is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_doc_freq).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2b — MinHash signatures + LSH banding (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = 64,
+                       k: int = 3, seed: int = 42) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — one narrow map stage.
+
+    Each minhash = min over shingles of (a·xxhash64(shingle)+b) mod p,
+    computed with array expressions inside codegen; no shuffle, no
+    Python. 64 hashes × any doc count scales linearly.
+    """
+    params = _perm_params(n_hashes, seed)
+    sh = documents.select(
+        "doc_id", F.explode(shingles_col("text", k)).alias("shingle"))
+    # hash each shingle ONCE, then n_hashes cheap affine mins in one
+    # hash-aggregate (map-side partial agg ⇒ shuffle carries n_hashes
+    # longs per doc, not shingles)
+    hashed = sh.select(
+        "doc_id", (F.abs(F.xxhash64("shingle")) % F.lit(MERSENNE31)).alias("h"))
+    mins = hashed.groupBy("doc_id").agg(*[
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
+        .alias(f"m{i}") for i, (a, b) in enumerate(params)
+    ])
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
+                        rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidates.
+
+    Shuffle rows are (band, hash, doc_id) — constant width. Buckets
+    with a single doc produce no pairs; the within-bucket pair
+    expansion is the standard f² cost, bounded by band-hash width.
+    Returns (doc_a, doc_b) distinct, doc_a < doc_b.
+    """
+    bands = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.struct(
+            i.alias("band"),
+            F.xxhash64(F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string")), ",")).alias("bandhash"),
+        )))
+    exploded = signatures.select("doc_id", bands.alias("bh")) \
+                         .select("doc_id", "bh.band", "bh.bandhash")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bandhash") == F.col("b.bandhash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
+                      k: int = 3, threshold: float = 0.5,
+                      n_bands: int = 16, rows_per_band: int = 4,
+                      seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline: sign → band → candidates → verify with
+    exact Jaccard (join back to shingle sets only for candidates)."""
+    sigs = minhash_signatures(documents, n_hashes, k, seed)
+    cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band)
+    # verify candidates exactly (candidate count ≪ n², so this join is
+    # against a small set)
+    sh = (documents.select(
+        "doc_id", F.array_distinct(shingles_col("text", k)).alias("sh")))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E2c — SimHash (64-bit fingerprints; hamming-close ⇒ near-dup)
+# ---------------------------------------------------------------------------
+
+def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash BIGINT): per-bit majority vote over token
+    hashes — one aggregate-over-array expression per doc, no shuffle."""
+    toks = tokens_col(text_col)
+    # counts[b] = Σ_tokens bit_b(xxhash64(token)); bit positions are
+    # Python-level literals (shiftright/shiftleft take int, not Column)
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1))
+                      .cast("long") for b in range(64)]),
+            lambda x, y: x + y),
+    )
+    n = F.size(toks)
+    bits = F.transform(counts, lambda c: (c * 2 > n).cast("long"))
+    sig = None
+    for b in range(64):
+        term = F.shiftleft(F.element_at(bits, b + 1), b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return documents.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
+                      n_blocks: int = 4) -> DataFrame:
+    """Near-dups by SimHash hamming distance ≤ max_hamming, using the
+    block-permutation trick: split the 64-bit sig into n_blocks;
+    any pair within hamming d < n_blocks must agree on ≥1 block →
+    equi-join per block, then verify exact hamming. Shuffles
+    (block_val, doc_id) only."""
+    sigs = simhash(documents)
+    width = 64 // n_blocks
+    block = F.explode(F.array(*[
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("simhash"), i * width)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+        for i in range(n_blocks)]))
+    ex = sigs.select("doc_id", "simhash", block.alias("b")) \
+             .select("doc_id", "simhash", "b.blk", "b.val")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cands = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                    & (F.col("a.val") == F.col("b.val"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("b.simhash").alias("sig_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cands.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

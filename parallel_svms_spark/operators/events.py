@@ -1,0 +1,85 @@
+"""Event-stream operators: JSON extraction, tumbling windows,
+sessionization (SURVEY §2.8 E5/E6). Batch forms here; the streaming
+twin (Structured Streaming + watermark) lives in streaming/windows.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def json_extract(events: DataFrame) -> DataFrame:
+    """E5: pull a typed field out of the JSON props column and
+    aggregate — get_json_object is JVM-side (Jackson), no UDF."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("k").alias("k_sum"),
+             F.round(F.avg("k"), 6).alias("k_avg"))
+    )
+
+
+def window_tumbling(events: DataFrame) -> DataFrame:
+    """E6: 1-hour tumbling-window aggregation by event type.
+
+    Uses F.window (the same operator the streaming twin uses with a
+    watermark); at scale this is a single hash aggregation keyed on
+    (window, type) — time-locality in the data means near-sorted
+    shuffle keys, which AQE coalesces well.
+    """
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events", "value_sum")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """E6: gap-based sessionization — session breaks when a user is
+    idle > gap. lag + cumulative-sum windows, both partitioned by
+    user_id (shuffle on user, then linear scans per user — the
+    standard scalable shape; skewed mega-users would get AQE skew
+    handling or a salt+merge pass).
+
+    Returns one row per session with bounds and counts.
+    """
+    by_user = W.partitionBy("user_id").orderBy("ts")
+    gap = F.lag("ts").over(by_user)
+    # millisecond arithmetic: engine-portable (DuckDB's epoch() rounds
+    # seconds, Spark's cast floors — ms versions agree exactly)
+    is_new = (F.unix_millis(F.col("ts")) - F.unix_millis(gap)
+              > gap_minutes * 60_000).cast("int")
+    with_sess = (
+        events
+        .withColumn("new_sess", F.coalesce(is_new, F.lit(1)))
+        .withColumn("session_seq", F.sum("new_sess").over(
+            by_user.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.round(F.sum("value"), 6).alias("value_sum"))
+    )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Rollup over sessions (count / mean length) — the deterministic
+    observable for the sessionize qkey."""
+    s = sessionize(events, gap_minutes)
+    dur = (F.unix_millis(F.col("session_end"))
+           - F.unix_millis(F.col("session_start")))
+    return (
+        s.withColumn("duration_ms", dur)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_events").alias("n_events"),
+             F.sum("duration_ms").alias("total_duration_ms"))
+    )

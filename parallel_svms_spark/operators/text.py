@@ -1,0 +1,108 @@
+"""Text analysis operators for training-data pipelines (SURVEY §2.8 E4).
+
+Language-ID, quality scoring, token statistics and document
+fingerprinting — all pure JVM-side expressions (split/filter/aggregate
+on arrays) so they run inside whole-stage codegen: at 100 TB these are
+single narrow map stages plus one small aggregation, nothing leaves
+the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.operators.dedup import shingles_col, tokens_col
+
+# tiny deterministic stopword sets per language for the n-gram/stopword
+# heuristic language scorer (public-knowledge word lists)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "les"],
+    "zh": ["de", "shi", "le", "bu", "wo", "zai", "you", "he"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-(lang, source) token statistics rollup."""
+    toks = tokens_col("text")
+    per_doc = documents.select(
+        "lang", "source",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+             F.round(F.avg("n_chars_text"), 6).alias("avg_chars"))
+    )
+
+
+def token_count(documents: DataFrame, bpe_like: bool = False) -> DataFrame:
+    """Per-doc token counts: whitespace tokens and a BPE-ish proxy
+    (≈ chars/4 + wordpiece splits on non-alpha boundaries) — the
+    standard pre-tokenizer estimate for budget planning."""
+    toks = tokens_col("text")
+    ws = F.size(toks)
+    # BPE-ish: every ~4 chars is a subword token, min one per word
+    bpe = F.greatest(ws, F.ceil(F.length("text") / 4)).cast("long")
+    return documents.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_est_tokens"))
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic doc quality: length band + stopword ratio + mean
+    token length (the C4/Gopher-style filter family, deterministic).
+
+    score = 0.4·len_ok + 0.3·stopword_component + 0.3·token_len_ok
+    """
+    toks = tokens_col("text")
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, sw))  # distinct-marker hits
+    stop_ratio = F.round(n_stop / F.lit(float(len(STOPWORDS))), 6)
+    mean_tok_len = (F.length("text") - n_tok + 1) / n_tok
+    len_ok = ((n_tok >= 10) & (n_tok <= 100000)).cast("double")
+    tok_len_ok = ((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)).cast("double")
+    score = F.round(0.4 * len_ok + 0.3 * stop_ratio + 0.3 * tok_len_ok, 6)
+    return documents.select(
+        "doc_id", n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language scorer: argmax over per-language hit
+    counts; ties and zero-evidence → 'und'. Deterministic and fully
+    JVM-side (greatest over per-lang scores)."""
+    toks = F.array_distinct(tokens_col("text"))
+    scores = {
+        lang: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # iterate in reverse alpha order so earlier langs win ties via the
+    # final when() chain (deterministic)
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return documents.select("doc_id", "lang",
+                            pred.alias("pred_lang"), best.alias("evidence"))
+
+
+def doc_fingerprint(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Content fingerprint: min-of-hashed-shingles (winnowing-style,
+    one value per doc). Engine-portable digest (md5) so the DuckDB
+    oracle can reproduce it exactly."""
+    sh = shingles_col("text", k)
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return documents.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,83 @@
+"""Dedup operator family (SURVEY §2.8 E1/E2) on documents sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    # inject exact + near duplicates with known ids
+    base = docs.limit(20)
+    exact = base.select((F.col("doc_id") + 10_000).alias("doc_id"),
+                        "text", "lang", "source", "n_chars")
+    # near-dup: drop the first token
+    near = base.select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 2, 100_000))
+         .alias("text"),
+        "lang", "source", "n_chars")
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup(spark, docs, docs_with_dups):
+    n_orig = docs.count()
+    keys = D.exact_dedup_keys(docs_with_dups)
+    # every injected exact dup collapses onto its original (min doc_id)
+    assert keys.count() == n_orig + 20  # near-dups are NOT exact dups
+    assert keys.filter("doc_id >= 10000 and doc_id < 20000").count() == 0
+    full = D.exact_dedup(docs_with_dups)
+    assert full.count() == keys.count()
+    assert set(full.columns) == set(docs.columns)
+
+
+def test_ngram_jaccard_finds_injected_near_dups(docs_with_dups):
+    pairs = D.ngram_jaccard_pairs(docs_with_dups, k=3, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    # original ↔ exact copy has jaccard 1.0; original ↔ first-token-drop
+    # shares most shingles
+    for i in range(20):
+        assert any(a == i and b == i + 10_000 for a, b in got), f"exact {i}"
+
+
+def test_minhash_recall_vs_exact(docs_with_dups):
+    exact = {(r.doc_a, r.doc_b)
+             for r in D.ngram_jaccard_pairs(docs_with_dups, 3, 0.5).collect()}
+    mh = {(r.doc_a, r.doc_b)
+          for r in D.minhash_near_dups(docs_with_dups, threshold=0.5).collect()}
+    # minhash post-verifies with exact jaccard → no false positives
+    assert mh <= exact
+    # recall floor for 16 bands × 4 rows at j≥0.5
+    assert len(mh) >= 0.8 * len(exact)
+
+
+def test_minhash_deterministic(docs):
+    s1 = D.minhash_signatures(docs).orderBy("doc_id").collect()
+    s2 = D.minhash_signatures(docs).orderBy("doc_id").collect()
+    assert [r.sig for r in s1] == [r.sig for r in s2]
+
+
+def test_simhash_properties(spark, docs, docs_with_dups):
+    sigs = {r.doc_id: r.simhash for r in D.simhash(docs_with_dups).collect()}
+    # identical text → identical simhash
+    for i in range(20):
+        assert sigs[i] == sigs[i + 10_000]
+    nd = D.simhash_near_dups(docs_with_dups, max_hamming=3)
+    got = {(r.doc_a, r.doc_b) for r in nd.collect()}
+    for i in range(20):
+        assert (i, i + 10_000) in got
+
+
+def test_doc_freq_cap_prunes_hot_shingles(docs):
+    # with a tiny cap every shingle is "hot" → no candidates survive
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_doc_freq=0)
+    assert pairs.count() == 0

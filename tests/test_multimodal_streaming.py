@@ -1,0 +1,76 @@
+"""Multimodal plumbing (stubbed codec, real Spark path) + Structured
+Streaming twin of the tumbling window (SURVEY §2.8 / §7.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import events as E
+from parallel_svms_spark.operators import multimodal as MM
+from parallel_svms_spark.streaming import windows as SW
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return MM.synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+def test_media_schema_and_binary_payload(media):
+    dt = dict(media.dtypes)
+    assert dt["payload"] == "binary"
+    assert media.filter(F.length("payload") <= 0).count() == 0
+    assert {r.media_type for r in media.select("media_type").distinct().collect()} \
+        == {"image", "audio", "video"}
+
+
+def test_extract_features_deterministic_fixed_width(media):
+    f1 = MM.extract_features(media)
+    rows = f1.orderBy("media_id").limit(10).collect()
+    assert all(len(r.features) == MM.FEATURE_DIM for r in rows)
+    rows2 = MM.extract_features(media).orderBy("media_id").limit(10).collect()
+    assert [r.features for r in rows] == [r.features for r in rows2]
+    # n_bytes round-trips the payload length
+    joined = f1.join(media, "media_id") \
+               .filter(F.col("n_bytes") != F.length("payload"))
+    assert joined.count() == 0
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(media):
+    plan = MM.frame_sample_plan(media, every_ms=1000)
+    assert plan.filter("frame_no < 0").count() == 0
+    # only videos produce frames
+    joined = plan.join(media.select("media_id", "media_type"), "media_id")
+    assert joined.filter("media_type != 'video'").count() == 0
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    batch = E.window_tumbling(load_table(spark, sf_dir, "events"))
+    # stream the same parquet dir through the streaming twin.
+    # NOTE: the fixture's ts is TIMESTAMP(NANOS) read as long under
+    # nanosAsLong; readStream needs the same conversion — build a
+    # micro-batch-compatible copy first.
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        load_table(spark, sf_dir, "events").write.mode("overwrite") \
+            .parquet(f"{tmp}/events")
+        stream = SW.stream_events_from_dir(spark, f"{tmp}/events",
+                                           max_files_per_trigger=2)
+        agg = SW.windowed_counts(stream, window="1 hour", watermark="2 hours")
+        # complete mode: emit all windows regardless of watermark close
+        name = "stream_windows_test"
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.window_start, r.event_type): (r.n_events, r.value_sum)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {(r.window_start, r.event_type): (r.n_events, r.value_sum)
+            for r in batch.collect()}
+    assert got == want

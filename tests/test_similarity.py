@@ -1,0 +1,85 @@
+"""Vector similarity search (SURVEY §2.8 E3) on embeddings sf0.001."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+
+
+def test_topk_cosine_matches_numpy(emb, qvec):
+    got = S.topk_cosine(emb, qvec, k=10).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    q = np.asarray(qvec)
+    cos = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -np.round(cos, 6)))[:10]
+    assert [r.vec_id for r in got] == ids[order].tolist()
+    assert got[0].vec_id == 0 and abs(got[0].cosine - 1.0) < 1e-6
+
+
+def test_brute_topk_join_batch(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = S.brute_topk_join(emb, queries, k=5)
+    rows = res.collect()
+    assert len(rows) == 25  # 5 queries × 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        # self-match is always the top hit
+        best = max(rs, key=lambda r: (r.cosine, -r.vec_id))
+        assert best.vec_id == qid and abs(best.cosine - 1.0) < 1e-6
+
+
+def test_ann_lsh_recall(spark, emb, qvec):
+    # NOTE: fixture embeddings are near-orthogonal random unit vectors,
+    # so "top-10 neighbors" have cosine ≈ 0.3 — below any LSH locality
+    # guarantee. Assert the property LSH does provide: truly similar
+    # vectors (cosine ≈ 1) collide and are retrieved.
+    import numpy as np
+    rng = np.random.default_rng(5)
+    q = np.asarray(qvec)
+    near = []
+    for i in range(5):
+        v = q + 0.05 * rng.standard_normal(len(q))
+        near.append((int(2000 + i), (v / np.linalg.norm(v)).tolist(), 0))
+    with_near = emb.unionByName(
+        spark.createDataFrame(near, "vec_id long, embedding array<float>, label int"))
+    ann = {r.vec_id for r in S.ann_lsh_topk(with_near, qvec, k=6,
+                                            n_bits=12, n_probe_bits=2).collect()}
+    assert 0 in ann                      # the query vector itself
+    assert len(ann & {2000, 2001, 2002, 2003, 2004}) >= 4  # planted neighbors
+
+
+def test_lsh_bucketize_deterministic_and_scans_fraction(emb):
+    b1 = S.lsh_bucketize(emb, n_bits=8)
+    b2 = S.lsh_bucketize(emb, n_bits=8)
+    assert (b1.select("vec_id", "lsh_bucket").orderBy("vec_id").collect()
+            == b2.select("vec_id", "lsh_bucket").orderBy("vec_id").collect())
+    n_buckets = b1.select("lsh_bucket").distinct().count()
+    assert n_buckets > 10  # vectors spread across many buckets
+
+
+def test_cosine_near_dup_pairs_finds_duplicated_vectors(spark, emb):
+    dup = emb.limit(5).select((F.col("vec_id") + 1000).alias("vec_id"),
+                              "embedding", "label")
+    with_dups = emb.unionByName(dup)
+    pairs = S.cosine_near_dup_pairs(with_dups, threshold=0.999)
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i + 1000) in got
