@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Execution is forced with the noop sink (full pipeline, no driver
+collect cost) except for queries whose results are driver-small by
+construction. Each query runs twice: the first (cold) run includes
+JVM/codegen warmup for that plan shape, the second is recorded — the
+steady-state number a cluster would see.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from parallel_svms_spark.session import get_spark  # noqa: E402
+
+# headline set: every family, weighted toward the scale-sensitive ops
+HEADLINE = [
+    # relational core over lineitem/orders (600k rows at sf0.1)
+    "scan_count", "agg_groupby_count", "agg_error_sum",
+    "filter_semijoin", "dedup_anti", "set_union", "set_except",
+    "parse_project", "repartition_balanced", "merge_pairs",
+    # events (100k rows)
+    "json_extract", "window_tumbling", "sessionize",
+    # documents (5k rows)
+    "dedup_exact", "simjoin_candidates", "dedup_minhash",
+    "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
+    # embeddings (2k rows, 64-dim)
+    "topk_cosine", "ann_lsh_topk",
+    # the three reference dataflows (the ML payload)
+    "svm_train", "cascade_svm", "bagging_svm", "iterative_svm",
+]
+
+RUNS = 2  # cold + recorded
+
+
+def run_once(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        df.count()
+    return time.time() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t = None
+        for _ in range(RUNS):
+            t = run_once(spark, qs[name], sf_dir)
+        timings[name] = round(t, 3)
+        print(f"  {name}: {t:.3f}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

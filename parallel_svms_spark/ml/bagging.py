@@ -32,7 +32,7 @@ def bagging_train(df: DataFrame, k: int, C: float = 1.0,
     Bagging1.java:127-131)."""
     cur = balanced_buckets(df, k)
     fit = trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel,
-                              with_model=True).localCheckpoint()
+                              with_model=True, k=k).localCheckpoint()
     return trainer.collect_models(fit), trainer.svs_only(fit)
 
 

@@ -48,7 +48,8 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
     n_buckets = k
     while n_buckets > 1:
         svs = trainer.svs_only(
-            trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel))
+            trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel,
+                                k=n_buckets))
         cur = svs.withColumn("bucket",
                              F.floor(F.col("bucket") / 2).cast("int"))
         if checkpoint:
@@ -58,7 +59,7 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
         n_buckets //= 2
     # final retrain on surviving SVs (Lastcascade.java:109-144)
     fit = trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel,
-                              with_model=True)
+                              with_model=True, k=1)
     fit = fit.localCheckpoint() if checkpoint else fit.cache()
     model = trainer.collect_models(fit)[0]
     return model, trainer.svs_only(fit)

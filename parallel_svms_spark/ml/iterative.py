@@ -57,7 +57,7 @@ def iterative_train(df: DataFrame, k: int, C: float = 1.0,
                          .select("vec_id", "label", "embedding", "bucket")
             cur = base.unionByName(gsv_rep)
         fit = trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel,
-                                  eval_train=True).localCheckpoint()
+                                  eval_train=True, k=k).localCheckpoint()
         new_err = trainer.err_sum(fit)
         errorsums.append(new_err)
         svs = trainer.svs_only(fit).select("vec_id", "label", "embedding") \

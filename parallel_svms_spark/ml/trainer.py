@@ -36,13 +36,27 @@ FIT_SCHEMA = ("bucket int, kind string, vec_id long, label int, "
 
 def fit_buckets(df: DataFrame, C: float = 1.0, gamma: float | None = None,
                 kernel: str = "rbf", eps: float = 1e-3,
-                with_model: bool = False, eval_train: bool = False) -> DataFrame:
+                with_model: bool = False, eval_train: bool = False,
+                k: int | None = None) -> DataFrame:
     """M1 per-bucket C-SVC train over ``groupBy('bucket')``.
 
     df columns: vec_id, label, embedding, bucket. Returns FIT_SCHEMA
     rows. LibSVM-default params (C=1, γ=1/n_features, eps=1e-3 —
     cascade_svm/Midcascade.java:62-81).
+
+    Pass ``k`` (the bucket count) whenever known: it pins the exchange
+    to k partitions so every bucket trains in its own task. Without it,
+    AQE's byte-based coalescing can pack all buckets into one partition
+    — training cost is CPU-per-group, not bytes, so the byte heuristic
+    serializes the whole layer (observed: 32→1 partitions on the test
+    fixture; the same mis-sizing would hit a real cluster).
     """
+    if k is not None:
+        # 4k partitions, not k: hash partitioning scatters k distinct
+        # bucket values, and with exactly k slots two buckets collide
+        # with high probability (k=4: 91%), serializing those
+        # trainings; 4k slots cut max-load to ~1-2 buckets/task
+        df = df.repartition(4 * k, "bucket")
 
     def train(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])

@@ -97,9 +97,13 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     generates f² pair rows, so capping f bounds the join blowup).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # join key = xxhash64(shingle): the exchange moves 8-byte longs
+    # instead of ~25-byte strings and the join compares longs
+    # (collision odds ~n²/2⁶⁴ — negligible)
     sh = (documents
           .select("doc_id", F.explode(F.array_distinct(
-              shingles_col("text", k))).alias("shingle")))
+              shingles_col("text", k))).alias("shingle"))
+          .select("doc_id", F.xxhash64("shingle").alias("shingle")))
     if max_doc_freq is not None:
         hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_doc_freq).select("shingle"))
@@ -197,9 +201,10 @@ def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
     sigs = minhash_signatures(documents, n_hashes, k, seed)
     cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band)
     # verify candidates exactly (candidate count ≪ n², so this join is
-    # against a small set)
+    # against a small set); shingles as hashes — see ngram_jaccard_pairs
     sh = (documents.select(
-        "doc_id", F.array_distinct(shingles_col("text", k)).alias("sh")))
+        "doc_id", F.transform(F.array_distinct(shingles_col("text", k)),
+                              lambda s: F.xxhash64(s)).alias("sh")))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
