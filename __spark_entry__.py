@@ -92,6 +92,15 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, [float(x) for x in qvec], k=10)
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path (IVF): coarse-quantized ANN top-10 (rows-only;
+    recall vs brute force asserted in tests)."""
+    from parallel_svms_spark.operators.similarity import ivf_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    return ivf_topk(emb, [float(x) for x in qvec], k=10)
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → deterministic stub
     features (rows-only; codec stubbed, see operators/multimodal.py)."""
@@ -160,6 +169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), max_hamming=3),
         "topk_cosine": _topk_cosine,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "dedup_embedding": lambda s, d: __import__(
+            "parallel_svms_spark.operators.similarity",
+            fromlist=["x"]).cosine_near_dup_exact(
+                load_table(s, d, "embeddings"), threshold=0.4),
         "text_token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         "text_quality": lambda s, d: TX.quality_score(load_table(s, d, "documents")),
         "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
@@ -251,6 +265,14 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+""",
+        "dedup_embedding": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
 """,
         "topk_cosine": """
 SELECT vec_id,

@@ -159,8 +159,116 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# ANN — IVF coarse quantization
+# ---------------------------------------------------------------------------
+
+def _kmeans_lite(X: np.ndarray, n_lists: int, seed: int = 42,
+                 n_iter: int = 10) -> np.ndarray:
+    """Seeded lloyd iterations on a driver-local sample — centroids
+    only, deterministic. numpy-only (no sklearn in env)."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(0)
+    return C
+
+
+def ivf_assign(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
+               sample_rows: int = 4096,
+               features_col: str = "embedding") -> tuple[DataFrame, np.ndarray]:
+    """IVF index build: centroids from a seeded driver-side sample
+    (sample size is fixed, not data-proportional — at 100 TB the
+    sample is still 4096 rows), then every vector assigned to its
+    nearest centroid via one broadcast + Arrow-batched matmul.
+
+    Returns (embeddings + ``ivf_list`` column, centroids). At scale,
+    write the result ``partitionBy('ivf_list')`` so queries prune to
+    n_probe/n_lists of the files."""
+    spark = embeddings.sparkSession
+    sample = embeddings.select(features_col).limit(sample_rows).collect()
+    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+    C = _kmeans_lite(X, n_lists, seed)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign(it):
+        C_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[features_col].to_numpy()).astype(np.float64)
+            d = (V * V).sum(1)[:, None] - 2.0 * (V @ C_.T) \
+                + (C_ * C_).sum(1)[None, :]
+            yield pdf.assign(ivf_list=d.argmin(1).astype(np.int32))
+
+    schema = ", ".join(f"{c} {t}" for c, t in embeddings.dtypes) \
+        + ", ivf_list int"
+    return embeddings.mapInPandas(assign, schema=schema), C
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             n_lists: int = 16, n_probe: int = 4, seed: int = 42,
+             features_col: str = "embedding") -> DataFrame:
+    """IVF ANN top-k: probe the n_probe nearest inverted lists, exact
+    rerank inside them. Scans n_probe/n_lists of the data — with the
+    table partitioned by ivf_list this is partition pruning, the
+    100 TB path."""
+    assigned, C = ivf_assign(embeddings, n_lists, seed,
+                             features_col=features_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((C - q[None, :]) ** 2).sum(1)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    cand = assigned.filter(F.col("ivf_list").isin(probes))
+    return topk_cosine(cand, [float(x) for x in q], k,
+                       features_col=features_col)
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs (E2 family, on vectors)
 # ---------------------------------------------------------------------------
+
+def cosine_near_dup_exact(embeddings: DataFrame, threshold: float = 0.9,
+                          features_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, shuffle-free: broadcast the
+    (normalized) full matrix, blockwise matmul against each Arrow
+    batch, emit only qualifying pairs with vec_a < vec_b.
+
+    The broadcast side here is the whole table — fine to ~1e6×small-dim
+    vectors (a 1M × 64 float32 matrix is 256 MB). Past that, tile the
+    broadcast side into B blocks and loop (B passes over the big
+    side), or switch to the LSH-bucketed ``cosine_near_dup_pairs``.
+    """
+    spark = embeddings.sparkSession
+    rows = embeddings.select("vec_id", features_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast((ids, Mn))
+
+    def pairs(it):
+        ids_, Mn_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[features_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-30)
+            S = Xn @ Mn_.T                         # (batch, n_all)
+            a_ids = pdf["vec_id"].to_numpy()
+            ai, bi = np.nonzero(S >= threshold)
+            va, vb = a_ids[ai], ids_[bi]
+            keep = va < vb
+            yield pd.DataFrame({
+                "vec_a": va[keep], "vec_b": vb[keep],
+                "cosine": np.round(S[ai, bi][keep], 6),
+            })
+
+    return embeddings.select("vec_id", features_col).mapInPandas(
+        pairs, schema="vec_a long, vec_b long, cosine double")
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           features_col: str = "embedding") -> DataFrame:

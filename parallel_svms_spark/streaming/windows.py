@@ -46,6 +46,79 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
     )
 
 
+SESSION_OUT_SCHEMA = ("user_id long, session_start timestamp, "
+                      "session_end timestamp, n_events int, value_sum double")
+_SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n int, vsum double"
+
+
+def sessionize_stateful(stream: DataFrame,
+                        gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``operators.events.sessionize`` (lag/cumsum windows don't exist in
+    streaming; per-key mutable state does).
+
+    State per user is one open session (4 scalars), so state size is
+    O(active users), independent of event volume. A session closes
+    when a later event arrives more than ``gap_minutes`` after the
+    last one, or — for users that go quiet — when the event-time
+    watermark passes last_event + gap (EventTimeTimeout), so state
+    can't leak and every session is eventually emitted exactly once.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n, vsum = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                "n_events": [n], "value_sum": [round(vsum, 6)]})
+            return
+        events = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            start_ms, last_ms, n, vsum = state.get
+        else:
+            start_ms, last_ms, n, vsum = -1, -1, 0, 0.0
+        closed = []
+        for ts, value in zip(events["ts"], events["value"]):
+            t = ts.value // 1_000_000  # ns → ms
+            if start_ms < 0:
+                start_ms, last_ms, n, vsum = t, t, 1, float(value)
+            elif t - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n, vsum))
+                start_ms, last_ms, n, vsum = t, t, 1, float(value)
+            else:
+                last_ms, n, vsum = t, n + 1, vsum + float(value)
+        state.update((start_ms, last_ms, n, vsum))
+        # a wholly-late burst can put last_ms+gap behind the watermark,
+        # which setTimeoutTimestamp rejects — clamp to watermark+1ms
+        # (fires at the next batch)
+        state.setTimeoutTimestamp(
+            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="ms")
+                                  for s, _, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="ms")
+                                for _, e, _, _ in closed],
+                "n_events": [c for _, _, c, _ in closed],
+                "value_sum": [round(v, 6) for _, _, _, v in closed]})
+
+    return (stream.withWatermark("ts", f"{gap_minutes} minutes")
+            .groupBy("user_id").applyInPandasWithState(
+                fn, SESSION_OUT_SCHEMA, _SESSION_STATE_SCHEMA,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str = "stream_out",
                          output_mode: str = "append"):
     """Drive a bounded file-stream to completion synchronously (test

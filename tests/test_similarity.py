@@ -83,3 +83,43 @@ def test_cosine_near_dup_pairs_finds_duplicated_vectors(spark, emb):
     got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
     for i in range(5):
         assert (i, i + 1000) in got
+
+
+def test_ivf_topk_matches_brute_force_with_enough_probes(emb, qvec):
+    # probing ALL lists makes IVF exhaustive — must equal brute force
+    brute = [r.vec_id for r in S.topk_cosine(emb, qvec, k=10).collect()]
+    ivf_all = [r.vec_id for r in S.ivf_topk(emb, qvec, k=10,
+                                            n_lists=8, n_probe=8).collect()]
+    assert ivf_all == brute
+    # probing the nearest list alone must at least find the query itself
+    ivf_1 = {r.vec_id for r in S.ivf_topk(emb, qvec, k=10,
+                                          n_lists=8, n_probe=1).collect()}
+    assert 0 in ivf_1
+
+
+def test_ivf_assign_deterministic_partition_pruning(emb):
+    a1, C1 = S.ivf_assign(emb, n_lists=8)
+    a2, C2 = S.ivf_assign(emb, n_lists=8)
+    import numpy as np
+    assert np.allclose(C1, C2)
+    r1 = a1.select("vec_id", "ivf_list").orderBy("vec_id").collect()
+    assert r1 == a2.select("vec_id", "ivf_list").orderBy("vec_id").collect()
+    # every list non-degenerate: no list holds >60% of the data
+    from collections import Counter
+    c = Counter(r.ivf_list for r in r1)
+    assert max(c.values()) < 0.6 * len(r1)
+
+
+def test_cosine_near_dup_exact_matches_numpy(emb):
+    import numpy as np
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S_ = Xn @ Xn.T
+    thr = 0.35
+    want = {(int(ids[i]), int(ids[j]))
+            for i, j in zip(*np.nonzero(S_ >= thr)) if ids[i] < ids[j]}
+    got = {(r.vec_a, r.vec_b)
+           for r in S.cosine_near_dup_exact(emb, threshold=thr).collect()}
+    assert got == want

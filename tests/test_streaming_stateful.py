@@ -1,0 +1,76 @@
+"""applyInPandasWithState sessionization — custom stateful streaming
+operator (no batch/SQL equivalent in streaming mode)."""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import datetime, timedelta
+
+from parallel_svms_spark.streaming import windows as SW
+
+
+def test_stateful_sessionize_closes_on_gap(spark):
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: burst of 3 events, 40-min silence, burst of 2 (closes #1)
+    for mins in (0, 5, 10, 50, 55):
+        rows.append((eid, t0 + timedelta(minutes=mins), 1, "click", 1.0, "{}"))
+        eid += 1
+    # user 2: single burst (stays open — never emitted)
+    for mins in (0, 1):
+        rows.append((eid, t0 + timedelta(minutes=mins), 2, "view", 2.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(rows, SW.EVENTS_SCHEMA)
+    with tempfile.TemporaryDirectory() as tmp:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/ev")
+        stream = SW.stream_events_from_dir(spark, f"{tmp}/ev",
+                                           max_files_per_trigger=1)
+        sess = SW.sessionize_stateful(stream, gap_minutes=30)
+        name = "stateful_sessions_test"
+        q = (sess.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+    assert len(got) == 1
+    s = got[0]
+    assert s.user_id == 1
+    assert s.n_events == 3
+    assert s.session_start == t0
+    assert s.session_end == t0 + timedelta(minutes=10)
+    assert abs(s.value_sum - 3.0) < 1e-9
+
+
+def test_stateful_sessionize_event_time_timeout(spark):
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    f1 = [(0, t0, 7, "click", 1.0, "{}"),
+          (1, t0 + timedelta(minutes=2), 7, "click", 1.0, "{}")]
+    # second file: far-future event for another user — advances the
+    # watermark past user 7's last_ts + gap, firing its timeout
+    f2 = [(2, t0 + timedelta(hours=3), 8, "view", 2.0, "{}")]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(f1, SW.EVENTS_SCHEMA).coalesce(1) \
+            .write.parquet(f"{tmp}/ev/a")
+        spark.createDataFrame(f2, SW.EVENTS_SCHEMA).coalesce(1) \
+            .write.parquet(f"{tmp}/ev/b")
+        # flat dir of both files, one per trigger → two ordered batches
+        import shutil, glob, os
+        dst = f"{tmp}/flat"; os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/ev/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            # file source orders batches by mtime — make it explicit
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = SW.stream_events_from_dir(spark, dst,
+                                           max_files_per_trigger=1)
+        sess = SW.sessionize_stateful(stream, gap_minutes=30)
+        name = "stateful_timeout_test"
+        q = (sess.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {r.user_id: r for r in
+               spark.sql(f"SELECT * FROM {name}").collect()}
+    assert 7 in got  # closed by event-time timeout, not by a gap event
+    assert got[7].n_events == 2
+    assert got[7].session_end == t0 + timedelta(minutes=2)
