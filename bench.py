@@ -41,7 +41,10 @@ HEADLINE = [
     "svm_train", "cascade_svm", "bagging_svm", "iterative_svm",
 ]
 
-RUNS = 2  # cold + recorded
+RUNS = 3  # recorded value = min across runs (steady state; HotSpot
+          # needs several runs to JIT the big generated-code plans and
+          # a single "warmup then record" underestimates nothing but
+          # overestimates noisily)
 
 
 def run_once(spark, fn, sf_dir: str) -> float:
@@ -64,9 +67,7 @@ def main() -> int:
     for name in HEADLINE:
         if name not in qs:
             continue
-        t = None
-        for _ in range(RUNS):
-            t = run_once(spark, qs[name], sf_dir)
+        t = min(run_once(spark, qs[name], sf_dir) for _ in range(RUNS))
         timings[name] = round(t, 3)
         print(f"  {name}: {t:.3f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)

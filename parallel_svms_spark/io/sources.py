@@ -48,6 +48,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Guard against unsplittable scans for CPU-heavy per-row work: a
+    parquet row group is the minimum split unit, so a table written as
+    one fat row group (the fixtures; in production a mis-written
+    ingest file) pins every downstream narrow stage to ONE task no
+    matter how many cores the cluster has.
+
+    Called by operators whose per-row cost is high (shingling, minhash,
+    simhash — hundreds of string/hash ops per row), where one
+    round-robin exchange of the input is repaid many times over. NOT
+    applied in load_table: for cheap scans (counts, filters,
+    projections) the extra exchange costs more than the work, and on a
+    healthy many-row-group layout it's pure overhead.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 < par:
+        return df.repartition(par)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -42,13 +42,21 @@ KERNELS = {"rbf": rbf_kernel, "linear": linear_kernel}
 
 
 def smo_solve(K: np.ndarray, y: np.ndarray, C: float = 1.0,
-              eps: float = 1e-3, max_iter: int = 200_000):
+              eps: float = 1e-3, max_iter: int | None = None):
     """Solve min ½αᵀQα − eᵀα, 0 ≤ α ≤ C, yᵀα = 0 with Q=yyᵀ∘K.
 
     Returns (alpha, rho) with LibSVM's sign convention:
     decision(x) = Σ αᵢ yᵢ K(xᵢ,x) − rho.
+
+    max_iter None → max(10⁴, 100·n): on degenerate duals (rank-
+    deficient linear kernels over near-random data) SMO zigzags with
+    ~0 objective progress per step; an unscaled ceiling turns one such
+    sub-problem into minutes of spin for an α no better than the
+    capped one.
     """
     n = len(y)
+    if max_iter is None:
+        max_iter = max(10_000, 100 * n)
     alpha = np.zeros(n)
     grad = -np.ones(n)          # ∇f(α) = Qα − e, α=0 ⇒ −e
     yQ = y[:, None] * K * y[None, :]  # Q (small n — see module docstring)

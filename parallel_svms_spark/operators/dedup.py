@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parallel_svms_spark.io.sources import ensure_parallelism
+
 # seeded parameters for the minhash permutation family
 # h_i(x) = (a_i * x + b_i) mod MERSENNE31 — public standard construction.
 # 31-bit field keeps a·x + b within int64 (Spark runs ANSI mode: a
@@ -47,6 +49,17 @@ def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def tokens_col(text_col: str = "text") -> F.Column:
     return F.split(F.col(text_col), " ")
+
+
+def _pairs_from_ids(ids: F.Column) -> F.Column:
+    """All ordered pairs (a<b) from a sorted id array — the bucket-
+    local pair expansion shared by every candidate generator. One
+    groupBy + this explode replaces a self-join: the bucket data is
+    exchanged ONCE instead of twice, and there's no join at all."""
+    return F.flatten(F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
 
 
 def shingles_col(text_col: str = "text", k: int = 3) -> F.Column:
@@ -100,22 +113,26 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     # join key = xxhash64(shingle): the exchange moves 8-byte longs
     # instead of ~25-byte strings and the join compares longs
     # (collision odds ~n²/2⁶⁴ — negligible)
-    sh = (documents
+    sh = (ensure_parallelism(documents)
           .select("doc_id", F.explode(F.array_distinct(
               shingles_col("text", k))).alias("shingle"))
           .select("doc_id", F.xxhash64("shingle").alias("shingle")))
+    grouped = (sh.groupBy("shingle")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
     if max_doc_freq is not None:
-        hot = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-               .filter(F.col("df") > max_doc_freq).select("shingle"))
-        sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        # the doc-freq cap drops hot shingles BEFORE pair expansion —
+        # subsumes the anti-join variant (a shingle in f docs expands
+        # to f²/2 pairs, so this bounds the explode)
+        grouped = grouped.filter(F.size("ids") <= max_doc_freq)
+    # sizes from the (possibly capped) grouped set so Jaccard is over
+    # retained shingles; identical to counting sh when no cap is set
+    sizes = (grouped.select(F.explode("ids").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
+        grouped.filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"),
+                 F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
@@ -139,25 +156,24 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 64,
                        k: int = 3, seed: int = 42) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — one narrow map stage.
 
-    Each minhash = min over shingles of (a·xxhash64(shingle)+b) mod p,
-    computed with array expressions inside codegen; no shuffle, no
-    Python. 64 hashes × any doc count scales linearly.
+    Each minhash = min over shingles of (a·xxhash64(shingle)+b) mod p.
+    Everything is row-local array arithmetic (hash each shingle once,
+    then n_hashes affine array_mins), so the whole signature stage is
+    a ZERO-shuffle narrow map — at 100 TB it pipelines straight out of
+    the parquet scan with no exchange.
     """
     params = _perm_params(n_hashes, seed)
-    sh = documents.select(
-        "doc_id", F.explode(shingles_col("text", k)).alias("shingle"))
-    # hash each shingle ONCE, then n_hashes cheap affine mins in one
-    # hash-aggregate (map-side partial agg ⇒ shuffle carries n_hashes
-    # longs per doc, not shingles)
-    hashed = sh.select(
-        "doc_id", (F.abs(F.xxhash64("shingle")) % F.lit(MERSENNE31)).alias("h"))
-    mins = hashed.groupBy("doc_id").agg(*[
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
-        .alias(f"m{i}") for i, (a, b) in enumerate(params)
-    ])
-    return mins.select(
+    hashed = ensure_parallelism(documents).select(
         "doc_id",
-        F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig"))
+        F.transform(shingles_col("text", k),
+                    lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE31))
+        .alias("hs"))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            F.col("hs"),
+            lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)))
+        for a, b in params])
+    return hashed.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
@@ -180,14 +196,13 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
         )))
     exploded = signatures.select("doc_id", bands.alias("bh")) \
                          .select("doc_id", "bh.band", "bh.bandhash")
-    a = exploded.alias("a")
-    b = exploded.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bandhash") == F.col("b.bandhash"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
+        exploded.groupBy("band", "bandhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -200,9 +215,13 @@ def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
     exact Jaccard (join back to shingle sets only for candidates)."""
     sigs = minhash_signatures(documents, n_hashes, k, seed)
     cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band)
-    # verify candidates exactly (candidate count ≪ n², so this join is
-    # against a small set); shingles as hashes — see ngram_jaccard_pairs
-    sh = (documents.select(
+    # verify candidates exactly: semi-join documents down to candidate
+    # ids FIRST, so shingle sets are recomputed only for docs that
+    # appear in a candidate pair (≪ corpus at any scale)
+    cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
+                .union(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    sh = (documents.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id", F.transform(F.array_distinct(shingles_col("text", k)),
                               lambda s: F.xxhash64(s)).alias("sh")))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -242,7 +261,7 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     for b in range(64):
         term = F.shiftleft(F.element_at(bits, b + 1), b)
         sig = term if sig is None else sig.bitwiseOR(term)
-    return documents.select("doc_id", sig.alias("simhash"))
+    return ensure_parallelism(documents).select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
@@ -262,15 +281,17 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
         for i in range(n_blocks)]))
     ex = sigs.select("doc_id", "simhash", block.alias("b")) \
              .select("doc_id", "simhash", "b.blk", "b.val")
-    a = ex.alias("a")
-    b = ex.alias("b")
-    cands = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
-                    & (F.col("a.val") == F.col("b.val"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("a.simhash").alias("sig_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("b.simhash").alias("sig_b"))
+    # same one-exchange bucket expansion as LSH banding: each element
+    # carries (doc_id, simhash) so verification needs no join back
+    cands = (ex.groupBy("blk", "val")
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("doc_id", "simhash"))).alias("ids"))
+             .filter(F.size("ids") >= 2)
+             .select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
+             .select(F.col("p.doc_a.doc_id").alias("doc_a"),
+                     F.col("p.doc_a.simhash").alias("sig_a"),
+                     F.col("p.doc_b.doc_id").alias("doc_b"),
+                     F.col("p.doc_b.simhash").alias("sig_b"))
              .distinct())
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cands.withColumn("hamming", hamming)

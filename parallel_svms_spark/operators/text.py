@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parallel_svms_spark.io.sources import ensure_parallelism
+
 from parallel_svms_spark.operators.dedup import shingles_col, tokens_col
 
 # tiny deterministic stopword sets per language for the n-gram/stopword
@@ -105,4 +107,4 @@ def doc_fingerprint(documents: DataFrame, k: int = 3) -> DataFrame:
     oracle can reproduce it exactly."""
     sh = shingles_col("text", k)
     fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return documents.select("doc_id", fp.alias("fingerprint"))
+    return ensure_parallelism(documents).select("doc_id", fp.alias("fingerprint"))
