@@ -75,6 +75,21 @@ def _iterative_svm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iteration int, errorsum bigint, final_gsv_count int")
 
 
+def _svm_linear_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 scale variant: MLlib LinearSVC + OneVsRest over the full
+    table (rows-only: distributed hinge-loss optimization; documented
+    one-vs-rest delta vs the reference's one-vs-one)."""
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.ml.mllib_path import (predict_linear_ovr,
+                                                   train_linear_ovr)
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_linear_ovr(emb, max_iter=5)
+    pred = predict_linear_ovr(model, emb)
+    return spark.createDataFrame(
+        [(pred.count(), pred.select("pred").distinct().count())],
+        "n_scored long, n_distinct_preds long")
+
+
 def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: brute-force cosine top-10 against the vec_id=0 embedding."""
     from parallel_svms_spark.operators.similarity import topk_cosine
@@ -148,6 +163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             X.balanced_buckets(load_table(s, d, "embeddings"), K_BUCKETS)),
         "merge_pairs": lambda s, d: X.halve_buckets_count(
             X.balanced_buckets(load_table(s, d, "embeddings"), K_BUCKETS)),
+        "exchange_identity": lambda s, d: X.exchange_by_bucket(
+            X.balanced_buckets(load_table(s, d, "embeddings"), K_BUCKETS),
+            K_BUCKETS).select("vec_id", "bucket"),
         # §2.5 — set operations
         "set_union": lambda s, d: R.set_union(load_table(s, d, "orders")),
         "set_except": lambda s, d: R.set_except(
@@ -156,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_confusion": lambda s, d: R.eval_confusion(load_table(s, d, "embeddings")),
         # §2.6 ML operators — rows-only (no SQL oracle: SMO training)
         "svm_train": _svm_train,
+        "svm_linear_ovr": _svm_linear_ovr,
         "cascade_svm": _cascade_svm,
         "bagging_svm": _bagging_svm,
         "iterative_svm": _iterative_svm,
@@ -227,6 +246,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_pairs": (
             f"SELECT CAST(FLOOR((vec_id % {k}) / 2) AS INT) AS bucket, "
             "COUNT(*) AS merged_count FROM embeddings GROUP BY 1"
+        ),
+        "exchange_identity": (
+            f"SELECT vec_id, CAST(vec_id % {k} AS INT) AS bucket FROM embeddings"
         ),
         "set_union": (
             "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT' "

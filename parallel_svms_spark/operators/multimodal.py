@@ -99,6 +99,39 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                      f"features array<float>"))
 
 
+def resize_images(media: DataFrame, target_w: int = 224,
+                  target_h: int = 224) -> DataFrame:
+    """Image resize plumbing: payload → resized payload + updated dims.
+
+    The pixel work is the stubbed codec (deterministic digest-derived
+    bytes sized like an uncompressed target_w×target_h×3 thumbnail ÷
+    a JPEG-ish 20× factor, so byte volumes scale realistically); the
+    Spark path — metadata-predicate pushdown on media_type, Arrow
+    batching, schema with dims OUTSIDE the blob — is the production
+    shape."""
+    out_len = max(target_w * target_h * 3 // 20, 16)
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            payloads = [
+                bytes(np.frombuffer(
+                    (hashlib.sha256(bytes(p)).digest() * (out_len // 32 + 1))
+                    [:out_len], dtype=np.uint8))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "payload": payloads,
+                "width": target_w, "height": target_h,
+            })
+
+    return (media.filter(F.col("media_type") == "image")
+            .mapInPandas(run, schema=("media_id long, payload binary, "
+                                      "width int, height int")))
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame to extract
     (media_id, frame_no, ts_ms). The plan is pure JVM (sequence +

@@ -74,3 +74,16 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir):
     want = {(r.window_start, r.event_type): (r.n_events, r.value_sum)
             for r in batch.collect()}
     assert got == want
+
+
+def test_resize_images_only_images_fixed_dims(media):
+    out = MM.resize_images(media, target_w=64, target_h=48)
+    n_images = media.filter("media_type = 'image'").count()
+    assert out.count() == n_images
+    rows = out.limit(5).collect()
+    assert all(r.width == 64 and r.height == 48 for r in rows)
+    assert all(len(r.payload) == 64 * 48 * 3 // 20 for r in rows)
+    # deterministic
+    again = MM.resize_images(media, 64, 48).orderBy("media_id").limit(5).collect()
+    assert [bytes(r.payload) for r in out.orderBy("media_id").limit(5).collect()] \
+        == [bytes(r.payload) for r in again]
