@@ -57,8 +57,24 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
             # implicitly by materializing each job to HDFS)
             cur = cur.localCheckpoint()
         n_buckets //= 2
-    # final retrain on surviving SVs (Lastcascade.java:109-144)
-    fit = trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel,
+    # final retrain on surviving SVs (Lastcascade.java:109-144). The
+    # reference runs this in ONE reducer — the serial tail of Cascade
+    # SVM. Past ~5k surviving SVs the N(N−1)/2 one-vs-one duals are
+    # worth distributing as parallel tasks (fit_global_distributed);
+    # below that, the per-job scheduling overhead exceeds the solve
+    # and one task is faster.
+    n_final = cur.count()
+    if n_final > 5000:
+        model = trainer.fit_global_distributed(cur, C=C, gamma=gamma,
+                                               kernel=kernel)
+        spark = df.sparkSession
+        svs = spark.createDataFrame(
+            [(0, int(v), int(l), [float(x) for x in e]) for v, l, e in zip(
+                model.sv_orig_idx, model.sv_labels, model.X_sv)],
+            "bucket int, vec_id long, label int, embedding array<float>")
+        return model, svs
+    fit = trainer.fit_buckets(cur.withColumn("bucket", F.lit(0)),
+                              C=C, gamma=gamma, kernel=kernel,
                               with_model=True, k=1)
     fit = fit.localCheckpoint() if checkpoint else fit.cache()
     model = trainer.collect_models(fit)[0]

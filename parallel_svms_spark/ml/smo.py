@@ -60,26 +60,32 @@ def smo_solve(K: np.ndarray, y: np.ndarray, C: float = 1.0,
     alpha = np.zeros(n)
     grad = -np.ones(n)          # ∇f(α) = Qα − e, α=0 ⇒ −e
     yQ = y[:, None] * K * y[None, :]  # Q (small n — see module docstring)
+    y_pos = y > 0
+    Kdiag = np.ascontiguousarray(np.diag(K))
+    NEG_INF, POS_INF = -np.inf, np.inf
 
     for _ in range(max_iter):
         yg = -y * grad
-        up = ((y > 0) & (alpha < C)) | ((y < 0) & (alpha > 0))
-        low = ((y < 0) & (alpha < C)) | ((y > 0) & (alpha > 0))
-        if not up.any() or not low.any():
+        # feasible-direction masks as single fused selects
+        up = np.where(y_pos, alpha < C, alpha > 0.0)
+        low = np.where(y_pos, alpha > 0.0, alpha < C)
+        yg_up = np.where(up, yg, NEG_INF)
+        i = int(np.argmax(yg_up))
+        m = yg_up[i]
+        if m == NEG_INF:
             break
-        i = np.flatnonzero(up)[np.argmax(yg[up])]
-        m = yg[i]
-        M = yg[low].min()
-        if m - M < eps:
+        yg_low = np.where(low, yg, POS_INF)
+        M = yg_low.min()
+        if M == POS_INF or m - M < eps:
             break
-        # second-order j selection among violators
-        cand = np.flatnonzero(low & (yg < m - TAU))
-        if cand.size == 0:
+        # second-order j selection among violators, full-row vectorized
+        b = m - yg
+        a = Kdiag[i] + Kdiag - (2.0 * y[i]) * (y * K[i])
+        np.maximum(a, TAU, out=a)
+        obj = np.where(low & (b > TAU), -(b * b) / a, POS_INF)
+        j = int(np.argmin(obj))
+        if obj[j] == POS_INF:
             break
-        b = m - yg[cand]
-        a = K[i, i] + K[cand, cand] - 2.0 * y[i] * y[cand] * K[i, cand]
-        a = np.where(a <= 0, TAU, a)
-        j = cand[np.argmin(-(b * b) / a)]
 
         # two-variable analytic update (keep yᵀα constant, box-clip)
         quad = max(K[i, i] + K[j, j] - 2.0 * y[i] * y[j] * K[i, j], TAU)

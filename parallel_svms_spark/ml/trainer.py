@@ -95,6 +95,103 @@ def fit_buckets(df: DataFrame, C: float = 1.0, gamma: float | None = None,
     return df.groupBy("bucket").applyInPandas(train, schema=FIT_SCHEMA)
 
 
+def fit_global_distributed(df: DataFrame, C: float = 1.0,
+                           gamma: float | None = None, kernel: str = "rbf",
+                           eps: float = 1e-3) -> smo.SVCModel:
+    """M3 final/global train, parallelized across one-vs-one pairs.
+
+    The reference's last cascade layer trains the merged SV set inside
+    a SINGLE reducer (Lastcascade.java:109-144) — the serial tail of
+    Cascade SVM. But the N(N−1)/2 binary sub-problems of one-vs-one
+    are independent, so here each becomes its own Spark task: rows are
+    replicated to the (N−1) pairs their class participates in via a
+    broadcast pair-table join, and ``groupBy(pair_id).applyInPandas``
+    solves each dual separately. 10 classes ⇒ 45-way parallelism for
+    the stage that is otherwise single-threaded.
+
+    Returns the assembled SVCModel — numerically equivalent to
+    ``smo.train_svc`` on the same rows (same solver, row order and
+    class order; the per-pair kernel is evaluated directly instead of
+    sliced from the full Gram matrix, so duals can differ in float
+    noise), which the tests assert.
+    """
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    classes = sorted(r[0] for r in df.select("label").distinct().collect())
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    pairs = [(a, b) for i, a in enumerate(classes) for b in classes[i + 1:]]
+    pair_df = spark.createDataFrame(
+        [(i, int(a), int(b)) for i, (a, b) in enumerate(pairs)],
+        "pair_id int, ca int, cb int")
+    rep = df.select("vec_id", "label", "embedding").join(
+        F.broadcast(pair_df),
+        (F.col("label") == F.col("ca")) | (F.col("label") == F.col("cb")))
+    n_features = len(df.select("embedding").first()[0])
+    g = gamma if gamma is not None else 1.0 / n_features
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pair_id"].iloc[0])
+        ca = int(pdf["ca"].iloc[0])
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ys = np.where(pdf["label"].to_numpy() == ca, 1.0, -1.0)
+        K = smo.KERNELS[kernel](X, X, g)
+        alpha, rho = smo.smo_solve(K, ys, C=C, eps=eps)
+        nz = alpha > smo.TAU
+        out = pd.DataFrame({
+            "pair_id": pid,
+            "vec_id": pdf["vec_id"].to_numpy()[nz],
+            "label": pdf["label"].to_numpy()[nz],
+            "coef": (alpha * ys)[nz],
+            "rho": rho,
+        })
+        if not len(out):           # degenerate pair: carry rho anyway
+            out = pd.DataFrame({"pair_id": [pid], "vec_id": [-1],
+                                "label": [-1], "coef": [0.0], "rho": [rho]})
+        return out
+
+    solved = rep.groupBy("pair_id").applyInPandas(
+        solve, schema="pair_id int, vec_id long, label int, "
+                      "coef double, rho double").collect()
+
+    rhos = {}
+    by_pair: dict[int, list] = {}
+    sv_ids = set()
+    for r in solved:
+        a, b = pairs[r.pair_id]
+        rhos[(cls_idx[a], cls_idx[b])] = float(r.rho)
+        if r.vec_id >= 0:
+            by_pair.setdefault(r.pair_id, []).append((r.vec_id, r.coef))
+            sv_ids.add(r.vec_id)
+    # fetch SV feature rows once (final SV set is driver-small by the
+    # cascade premise; same scale as the reference's saved model file).
+    # Semi-join against a broadcast id frame — NOT isin(): thousands of
+    # literals make Catalyst chew seconds of plan-compile time
+    ids_df = spark.createDataFrame([(int(i),) for i in sorted(sv_ids)],
+                                   "vec_id long")
+    sv_rows = (df.join(F.broadcast(ids_df), "vec_id", "left_semi")
+               .select("vec_id", "label", "embedding").collect())
+    sv_rows.sort(key=lambda r: r.vec_id)
+    pos_of = {r.vec_id: p for p, r in enumerate(sv_rows)}
+    X_sv = np.asarray([list(r.embedding) for r in sv_rows], dtype=np.float64)
+    sv_labels = np.asarray([r.label for r in sv_rows])
+    pair_coefs = {}
+    for pid, items in by_pair.items():
+        items.sort(key=lambda t: t[0])
+        a, b = pairs[pid]
+        pair_coefs[(cls_idx[a], cls_idx[b])] = (
+            np.asarray([pos_of[v] for v, _ in items], dtype=np.int64),
+            np.asarray([c for _, c in items], dtype=np.float64))
+    for key in rhos:
+        pair_coefs.setdefault(key, (np.empty(0, dtype=np.int64),
+                                    np.empty(0, dtype=np.float64)))
+    # sv_orig_idx carries the SVs' vec_ids (global frame ⇒ the stable
+    # id IS the origin reference, unlike the per-bucket positional case)
+    return smo.SVCModel(np.asarray(classes), X_sv, sv_labels, pair_coefs,
+                        rhos, kernel=kernel, gamma=g, C=C,
+                        sv_orig_idx=np.asarray([r.vec_id for r in sv_rows]))
+
+
 def svs_only(fit_result: DataFrame) -> DataFrame:
     return (fit_result.filter(fit_result.kind == "sv")
             .select("bucket", "vec_id", "label", "embedding"))

@@ -62,3 +62,30 @@ def test_determinism():
     m1, m2 = train_svc(X, y), train_svc(X, y)
     assert np.array_equal(m1.sv_orig_idx, m2.sv_orig_idx)
     assert np.array_equal(m1.predict(X), m2.predict(X))
+
+
+def test_fit_global_distributed_matches_serial(spark, sf_dir):
+    """The pair-parallel global trainer matches smo.train_svc up to
+    kernel-evaluation float noise (per-pair RBF vs sliced full Gram
+    differ in the last ulp, so duals can differ at ~1e-6)."""
+    import numpy as np
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.ml import smo, trainer
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200).localCheckpoint()
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    y = np.asarray([r.label for r in rows])
+    serial = smo.train_svc(X, y, gamma=2.0)
+    dist = trainer.fit_global_distributed(emb, gamma=2.0)
+    assert list(dist.classes) == list(serial.classes)
+    assert dist.n_sv == serial.n_sv
+    assert set(dist.rhos) == set(serial.rhos)
+    for pair in serial.rhos:
+        assert abs(dist.rhos[pair] - serial.rhos[pair]) < 1e-3
+        si, sc = serial.pair_coefs[pair]
+        di, dc = dist.pair_coefs[pair]
+        assert len(dc) == len(sc)
+    # near-identical predictions (boundary-tie flips only)
+    agree = float((dist.predict(X) == serial.predict(X)).mean())
+    assert agree >= 0.97
