@@ -117,6 +117,11 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
           .select("doc_id", F.explode(F.array_distinct(
               shingles_col("text", k))).alias("shingle"))
           .select("doc_id", F.xxhash64("shingle").alias("shingle")))
+    # persist: `grouped` feeds both the pair expansion and (twice) the
+    # per-doc retained-shingle counts — without it Catalyst re-derives
+    # the scan→explode→collect_list pipeline as THREE independent
+    # subtrees (no cross-join CSE), tripling the dominant cost
+    from pyspark.storagelevel import StorageLevel
     grouped = (sh.groupBy("shingle")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
     if max_doc_freq is not None:
@@ -124,6 +129,7 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
         # subsumes the anti-join variant (a shingle in f docs expands
         # to f²/2 pairs, so this bounds the explode)
         grouped = grouped.filter(F.size("ids") <= max_doc_freq)
+    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
     # sizes from the (possibly capped) grouped set so Jaccard is over
     # retained shingles; identical to counting sh when no cap is set
     sizes = (grouped.select(F.explode("ids").alias("doc_id"))
@@ -139,8 +145,16 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
                       F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_sh").alias("n_b"))
+    # shuffle_hash, NOT broadcast: post-explode size estimates are
+    # garbage, so Catalyst happily broadcasts the PAIRS side — whose
+    # serialized rows can be GBs (observed: 50k docs with 10-way dup
+    # clusters → broadcast collect aborts on driver.maxResultSize).
+    # An 8-byte-key exchange of `pairs` + per-partition hash build of
+    # the doc-count side never touches the driver and holds at any
+    # corpus size.
     return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn("jaccard", F.round(
             F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6))
         .filter(F.col("jaccard") >= threshold)
@@ -226,8 +240,11 @@ def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
                               lambda s: F.xxhash64(s)).alias("sh")))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # shuffle_hash: neither side is safely broadcastable at scale —
+    # sh rows carry whole shingle arrays, cands grows with dup density
     return (
-        cands.join(a, "doc_a").join(b, "doc_b")
+        cands.join(a.hint("shuffle_hash"), "doc_a")
+        .join(b.hint("shuffle_hash"), "doc_b")
         .withColumn("jaccard", F.round(
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")), 6))

@@ -290,8 +290,12 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                             F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(eb, lambda x: x * x),
                             F.lit(0.0), lambda acc, x: acc + x))
+    # shuffle_hash: both sides carry embedding arrays and Catalyst's
+    # post-UDF size estimates are garbage — a broadcast pick here would
+    # collect a corpus-sized side to the driver. The bucket-key
+    # exchange keeps pair formation executor-local.
     return (
-        a_.join(b_, ["lsh_bucket"])
+        a_.join(b_.hint("shuffle_hash"), ["lsh_bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.round(dot / (na * nb), 6))
         .filter(F.col("cosine") >= threshold)
