@@ -33,12 +33,14 @@ HEADLINE = [
     # events (100k rows)
     "json_extract", "window_tumbling", "sessionize",
     # documents (5k rows)
-    "dedup_exact", "simjoin_candidates", "dedup_minhash",
+    "dedup_exact", "simjoin_candidates", "dedup_minhash", "dedup_simhash",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
+    "token_count", "multimodal_features",
     # embeddings (2k rows, 64-dim)
-    "topk_cosine", "ann_lsh_topk",
-    # the three reference dataflows (the ML payload)
-    "svm_train", "cascade_svm", "bagging_svm", "iterative_svm",
+    "topk_cosine", "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding",
+    # the three reference dataflows (the ML payload) + linear path
+    "svm_train", "eval_confusion", "cascade_svm", "bagging_svm",
+    "iterative_svm", "svm_linear_ovr",
 ]
 
 RUNS = 3  # recorded value = min across runs (steady state; HotSpot

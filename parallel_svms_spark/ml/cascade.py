@@ -45,17 +45,32 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
     """
     _validate_k(k)
     cur = balanced_buckets(df, k)
+    # materialize each layer (checkpoint truncates lineage; plain
+    # cache otherwise) — the layer row-count drives strategy choice
+    # and must not recompute the training lineage
+    cur = cur.localCheckpoint() if checkpoint else cur.cache()
+    n_rows = cur.count()
     n_buckets = k
     while n_buckets > 1:
-        svs = trainer.svs_only(
-            trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel,
-                                k=n_buckets))
+        # strategy per layer: bucket-granular tasks while the layer is
+        # wide (one exchange of each row, plenty of tasks); switch to
+        # (bucket × ovo-pair) tasks once buckets are few AND large —
+        # the narrow tip otherwise serializes 45 duals inside each of
+        # a handful of tasks while the rest of the cluster idles
+        per_bucket = n_rows / n_buckets
+        if per_bucket > 3000:
+            svs = trainer.svs_pairwise(cur, C=C, gamma=gamma,
+                                       kernel=kernel)
+        else:
+            svs = trainer.svs_only(
+                trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel,
+                                    k=n_buckets))
         cur = svs.withColumn("bucket",
                              F.floor(F.col("bucket") / 2).cast("int"))
-        if checkpoint:
-            # truncate lineage between layers (the reference got this
-            # implicitly by materializing each job to HDFS)
-            cur = cur.localCheckpoint()
+        # truncate lineage between layers (the reference got this
+        # implicitly by materializing each job to HDFS)
+        cur = cur.localCheckpoint() if checkpoint else cur.cache()
+        n_rows = cur.count()
         n_buckets //= 2
     # final retrain on surviving SVs (Lastcascade.java:109-144). The
     # reference runs this in ONE reducer — the serial tail of Cascade
@@ -63,8 +78,7 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
     # worth distributing as parallel tasks (fit_global_distributed);
     # below that, the per-job scheduling overhead exceeds the solve
     # and one task is faster.
-    n_final = cur.count()
-    if n_final > 5000:
+    if n_rows > 5000:
         model = trainer.fit_global_distributed(cur, C=C, gamma=gamma,
                                                kernel=kernel)
         spark = df.sparkSession

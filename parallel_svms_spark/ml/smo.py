@@ -48,15 +48,19 @@ def smo_solve(K: np.ndarray, y: np.ndarray, C: float = 1.0,
     Returns (alpha, rho) with LibSVM's sign convention:
     decision(x) = Σ αᵢ yᵢ K(xᵢ,x) − rho.
 
-    max_iter None → max(10⁴, 100·n): on degenerate duals (rank-
-    deficient linear kernels over near-random data) SMO zigzags with
+    max_iter None → clamp(100·n, 10⁴, 250·10³): on degenerate duals
+    (rank-deficient kernels over near-random data) SMO zigzags with
     ~0 objective progress per step; an unscaled ceiling turns one such
     sub-problem into minutes of spin for an α no better than the
-    capped one.
+    capped one. The absolute ceiling only binds for single problems
+    past ~2.5k rows, which under the engine's bucket-sizing contract
+    occur only in the no-SV-reduction degenerate regime (where more
+    iterations don't help either); convergent problems stop on the
+    eps gap long before any cap.
     """
     n = len(y)
     if max_iter is None:
-        max_iter = max(10_000, 100 * n)
+        max_iter = max(10_000, min(100 * n, 250_000))
     alpha = np.zeros(n)
     grad = -np.ones(n)          # ∇f(α) = Qα − e, α=0 ⇒ −e
     yQ = y[:, None] * K * y[None, :]  # Q (small n — see module docstring)

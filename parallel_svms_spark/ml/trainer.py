@@ -192,6 +192,66 @@ def fit_global_distributed(df: DataFrame, C: float = 1.0,
                         sv_orig_idx=np.asarray([r.vec_id for r in sv_rows]))
 
 
+def svs_pairwise(df: DataFrame, C: float = 1.0,
+                 gamma: float | None = None, kernel: str = "rbf",
+                 eps: float = 1e-3, classes: list[int] | None = None,
+                 ) -> DataFrame:
+    """SV extraction with (bucket × one-vs-one pair) task granularity.
+
+    ``fit_buckets`` solves a bucket's N(N−1)/2 one-vs-one duals
+    SERIALLY inside one task — the right shape for wide cascade layers
+    (many buckets = many tasks, and the exchange moves each row once).
+    At the cascade TIP the tree narrows: few buckets, each large, so
+    bucket-granular tasks leave the cluster idle while each task
+    grinds 45 duals in sequence. Here every (bucket, pair) becomes its
+    own task: B buckets → 45·B-way parallelism, and each task's kernel
+    matrix shrinks ~(2/N_classes)² since only the pair's two classes
+    ship to it. Cost: rows replicate to the (N−1) pairs their class
+    participates in — 9× exchange at 10 classes — which is why this is
+    the TIP strategy, not the everywhere strategy.
+
+    A bucket's SV set is the union over pairs of rows with nonzero
+    dual (smo.train_svc's sv_mask) — so dropDuplicates over the
+    per-pair nonzero rows reproduces fit_buckets' SV output exactly
+    (modulo per-pair-kernel float noise, as fit_global_distributed).
+    """
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    if classes is None:
+        classes = sorted(r[0] for r in df.select("label").distinct().collect())
+    pairs = [(a, b) for i, a in enumerate(classes) for b in classes[i + 1:]]
+    pair_df = spark.createDataFrame(
+        [(i, int(a), int(b)) for i, (a, b) in enumerate(pairs)],
+        "pair_id int, ca int, cb int")
+    n_features = len(df.select("embedding").first()[0])
+    g = gamma if gamma is not None else 1.0 / n_features
+    rep = df.select("bucket", "vec_id", "label", "embedding").join(
+        F.broadcast(pair_df),
+        (F.col("label") == F.col("ca")) | (F.col("label") == F.col("cb")))
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        ca = int(pdf["ca"].iloc[0])
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ys = np.where(pdf["label"].to_numpy() == ca, 1.0, -1.0)
+        K = smo.KERNELS[kernel](X, X, g)
+        alpha, _ = smo.smo_solve(K, ys, C=C, eps=eps)
+        nz = alpha > smo.TAU
+        return pd.DataFrame({
+            "bucket": pdf["bucket"].to_numpy()[nz],
+            "vec_id": pdf["vec_id"].to_numpy()[nz],
+            "label": pdf["label"].to_numpy()[nz],
+            "embedding": pdf["embedding"].to_numpy()[nz],
+        })
+
+    n_groups = df.select("bucket").distinct().count() * max(len(pairs), 1)
+    rep = rep.repartition(min(4 * n_groups, 1024), "bucket", "pair_id")
+    out = rep.groupBy("bucket", "pair_id").applyInPandas(
+        solve, schema="bucket int, vec_id long, label int, "
+                      "embedding array<float>")
+    return out.dropDuplicates(["bucket", "vec_id"])
+
+
 def svs_only(fit_result: DataFrame) -> DataFrame:
     return (fit_result.filter(fit_result.kind == "sv")
             .select("bucket", "vec_id", "label", "embedding"))

@@ -68,16 +68,21 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
 
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
-                     batch_rows: int = 64) -> DataFrame:
+                     batch_rows: int | None = None) -> DataFrame:
     """payload → fixed-width feature vector, Arrow-batched.
 
-    ``batch_rows`` caps rows per Arrow batch via repartitioning hint —
-    for MB-scale payloads set spark.sql.execution.arrow.maxRecordsPerBatch
-    accordingly (the real knob; documented here, applied in tests).
+    ``batch_rows``, when given, caps rows per Arrow batch by setting
+    spark.sql.execution.arrow.maxRecordsPerBatch — REQUIRED for
+    MB-scale payloads (batches must stay under Arrow's 2 GB limit).
+    It is a SESSION-level conf, so it intentionally stays unset by
+    default: setting it here unconditionally was observed to throttle
+    every later Pandas-UDF stage in the session (64-row Arrow batches
+    for the SVM trainers — ~15% on the bench) long after this operator
+    finished.
     """
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                   str(batch_rows))
+    if batch_rows is not None:
+        media.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
 
     def run(it):
         for pdf in it:
