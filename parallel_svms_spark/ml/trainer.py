@@ -252,6 +252,109 @@ def svs_pairwise(df: DataFrame, C: float = 1.0,
     return out.dropDuplicates(["bucket", "vec_id"])
 
 
+def fit_buckets_pairwise(df: DataFrame, C: float = 1.0,
+                         gamma: float | None = None, kernel: str = "rbf",
+                         eps: float = 1e-3,
+                         classes: list[int] | None = None) -> DataFrame:
+    """``fit_buckets(eval_train=True)`` at (bucket × ovo-pair) task
+    granularity — the parallelism-starved regime of the iterative
+    driver (Itergsv.java:51-110 trains + evaluates per partition).
+
+    With k buckets on a machine/cluster with ≫k slots, bucket-granular
+    tasks serialize each bucket's N(N−1)/2 duals AND its OvO-vote
+    evaluation inside one task. Here every (bucket, pair) group gets
+    ALL the bucket's rows (vote needs every pair model to score every
+    row), trains on the pair's two classes, and emits (a) its nonzero-
+    dual rows as kind='sv' and (b) one kind='err' VOTE row per scored
+    row with the voted class in ``err``. The per-class errorsum rows
+    are then assembled relationally: vote-count → argmax with LibSVM's
+    lowest-class tie-break (SVCModel.predict) → per-class error rate.
+
+    Cost vs fit_buckets: the exchange replicates each row 45× (all
+    pairs must score it) — the price of 45·k-way parallelism. Use only
+    when k ≪ cluster slots; wide layers keep bucket granularity.
+
+    Output is FIT_SCHEMA-compatible: kind='sv' rows identical to
+    fit_buckets modulo per-pair-kernel float noise (as
+    fit_global_distributed), kind='err' rows exactly err_sum's input.
+    """
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    if classes is None:
+        classes = sorted(r[0] for r in df.select("label").distinct().collect())
+    pairs = [(a, b) for i, a in enumerate(classes) for b in classes[i + 1:]]
+    pair_df = spark.createDataFrame(
+        [(i, int(a), int(b)) for i, (a, b) in enumerate(pairs)],
+        "pair_id int, ca int, cb int")
+    n_features = len(df.select("embedding").first()[0])
+    g = gamma if gamma is not None else 1.0 / n_features
+    rep = df.select("bucket", "vec_id", "label", "embedding") \
+            .crossJoin(F.broadcast(pair_df))
+
+    def solve_and_vote(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        ca, cb = int(pdf["ca"].iloc[0]), int(pdf["cb"].iloc[0])
+        labels = pdf["label"].to_numpy()
+        sub = pdf[(labels == ca) | (labels == cb)].reset_index(drop=True)
+        # a pair with either class absent from the bucket does not
+        # exist in the bucket-local model (train_svc derives classes
+        # from the bucket's own labels) — emit nothing so the vote
+        # tally sees exactly the bucket-local pair set
+        if len(sub) == 0 or sub["label"].nunique() < 2:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "kind": [], "vec_id": [], "label": [],
+                                 "embedding": [], "err": [],
+                                 "model_json": []})
+        Xs = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+        ys = np.where(sub["label"].to_numpy() == ca, 1.0, -1.0)
+        K = smo.KERNELS[kernel](Xs, Xs, g)
+        alpha, rho = smo.smo_solve(K, ys, C=C, eps=eps)
+        nz = alpha > smo.TAU
+        X_all = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        d = smo.KERNELS[kernel](X_all, Xs[nz], g) @ (alpha * ys)[nz] - rho
+        vote = np.where(d > 0, ca, cb)          # SVCModel.predict:171-173
+        sv = pd.DataFrame({
+            "bucket": bucket, "kind": "sv",
+            "vec_id": sub["vec_id"].to_numpy()[nz],
+            "label": sub["label"].to_numpy()[nz],
+            "embedding": sub["embedding"].to_numpy()[nz],
+            "err": np.int64(0), "model_json": None,
+        })
+        votes = pd.DataFrame({
+            "bucket": bucket, "kind": "vote",
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "label": labels, "embedding": None,
+            "err": vote.astype(np.int64), "model_json": None,
+        })
+        return pd.concat([sv, votes], ignore_index=True)
+
+    n_groups = df.select("bucket").distinct().count() * max(len(pairs), 1)
+    rep = rep.repartition(min(4 * n_groups, 1024), "bucket", "pair_id")
+    # materialize ONCE: the sv and err branches below both scan `out`,
+    # and an uncached union would re-run every solve twice
+    out = rep.groupBy("bucket", "pair_id") \
+             .applyInPandas(solve_and_vote, schema=FIT_SCHEMA).cache()
+    svs = out.filter(out.kind == "sv").dropDuplicates(["bucket", "vec_id"])
+    # votes → prediction: max count, ties to the LOWEST class (argmax
+    # takes the first maximum; classes are tallied in ascending order)
+    pred = (out.filter(out.kind == "vote")
+            .groupBy("bucket", "vec_id", "label", F.col("err").alias("vote"))
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("bucket", "vec_id", "label")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("vote")).alias("ng")))
+                 .alias("m")))
+    errs = (pred.groupBy("bucket", "label")
+            .agg(F.floor(F.avg((-F.col("m.ng") != F.col("label"))
+                               .cast("double")) * 100).alias("err"))
+            .select("bucket", F.lit("err").alias("kind"),
+                    F.lit(-1).cast("long").alias("vec_id"), "label",
+                    F.lit(None).cast("array<float>").alias("embedding"),
+                    F.col("err").cast("long"),
+                    F.lit(None).cast("string").alias("model_json")))
+    return svs.unionByName(errs)
+
+
 def svs_only(fit_result: DataFrame) -> DataFrame:
     return (fit_result.filter(fit_result.kind == "sv")
             .select("bucket", "vec_id", "label", "embedding"))

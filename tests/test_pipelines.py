@@ -68,6 +68,26 @@ def test_iterative_grows_gsv_and_stops(spark, emb):
     assert gsv.select("vec_id").distinct().count() == gsv.count()
 
 
+def test_fit_buckets_pairwise_matches_bucket_granular(spark, emb):
+    # the parallelism-starved path must reproduce fit_buckets exactly:
+    # same SV sets, same per-class error rows, same errorsum
+    from parallel_svms_spark.operators.partitioning import balanced_buckets
+    base = balanced_buckets(emb, 2).localCheckpoint()
+    fit_a = trainer.fit_buckets(base, eval_train=True, k=2)
+    fit_b = trainer.fit_buckets_pairwise(base)
+    sv_a = sorted((r.bucket, r.vec_id)
+                  for r in fit_a.filter("kind='sv'").collect())
+    sv_b = sorted((r.bucket, r.vec_id)
+                  for r in fit_b.filter("kind='sv'").collect())
+    assert sv_a == sv_b
+    err_a = sorted((r.bucket, r.label, r.err)
+                   for r in fit_a.filter("kind='err'").collect())
+    err_b = sorted((r.bucket, r.label, r.err)
+                   for r in fit_b.filter("kind='err'").collect())
+    assert err_a == err_b
+    assert trainer.err_sum(fit_a) == trainer.err_sum(fit_b)
+
+
 def test_trainer_err_rows(spark, emb):
     from parallel_svms_spark.operators.partitioning import balanced_buckets
     fit = trainer.fit_buckets(balanced_buckets(emb, 2), eval_train=True)
