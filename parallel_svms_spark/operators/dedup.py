@@ -227,17 +227,27 @@ def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
                       seed: int = 42) -> DataFrame:
     """Full near-dup pipeline: sign → band → candidates → verify with
     exact Jaccard (join back to shingle sets only for candidates)."""
+    from pyspark.storagelevel import StorageLevel
     sigs = minhash_signatures(documents, n_hashes, k, seed)
-    cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band)
+    # persist: downstream consumes cands THREE times (both arms of the
+    # cand_ids union + the final verify join) and each arm would
+    # otherwise re-run the whole sign→band→pair pipeline over the full
+    # corpus; the candidate list itself is two ids per row — the
+    # cheapest thing in the pipeline to keep
+    cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     # verify candidates exactly: semi-join documents down to candidate
     # ids FIRST, so shingle sets are recomputed only for docs that
     # appear in a candidate pair (≪ corpus at any scale)
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .union(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
+    # persist sh too: the a/b join aliases below each scan it, and a
+    # recompute re-runs the corpus-wide semi-join + shingling
     sh = (documents.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id", F.transform(F.array_distinct(shingles_col("text", k)),
-                              lambda s: F.xxhash64(s)).alias("sh")))
+                              lambda s: F.xxhash64(s)).alias("sh"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     # shuffle_hash: neither side is safely broadcastable at scale —
