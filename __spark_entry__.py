@@ -191,7 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "dedup_embedding": lambda s, d: __import__(
             "parallel_svms_spark.operators.similarity",
-            fromlist=["x"]).cosine_near_dup_exact(
+            fromlist=["x"]).cosine_near_dup_blocked(
                 load_table(s, d, "embeddings"), threshold=0.4),
         "text_token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         "text_quality": lambda s, d: TX.quality_score(load_table(s, d, "documents")),

@@ -237,10 +237,12 @@ def cosine_near_dup_exact(embeddings: DataFrame, threshold: float = 0.9,
     (normalized) full matrix, blockwise matmul against each Arrow
     batch, emit only qualifying pairs with vec_a < vec_b.
 
-    The broadcast side here is the whole table — fine to ~1e6×small-dim
-    vectors (a 1M × 64 float32 matrix is 256 MB). Past that, tile the
-    broadcast side into B blocks and loop (B passes over the big
-    side), or switch to the LSH-bucketed ``cosine_near_dup_pairs``.
+    SMALL-DATA fast path only — it collects the table to the driver to
+    build the broadcast matrix, which caps it at ~1e6 small-dim vectors
+    and makes it categorically wrong at cluster scale. The engine
+    default is ``cosine_near_dup_blocked`` (exact, distributed, no
+    driver collect); this variant is kept for one-shot interactive use
+    where a single broadcast beats two shuffles.
     """
     spark = embeddings.sparkSession
     rows = embeddings.select("vec_id", features_col).collect()
@@ -269,6 +271,85 @@ def cosine_near_dup_exact(embeddings: DataFrame, threshold: float = 0.9,
 
     return embeddings.select("vec_id", features_col).mapInPandas(
         pairs, schema="vec_a long, vec_b long, cosine double")
+
+def cosine_near_dup_blocked(embeddings: DataFrame, threshold: float = 0.9,
+                            n_blocks: int = 8,
+                            features_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, fully distributed — the
+    default scale path (replaces the driver-collect variant as the
+    engine's exact near-dup join).
+
+    2-D block decomposition: every vector hashes to one of ``n_blocks``
+    blocks; each of the B(B+1)/2 unordered block pairs becomes one
+    independent task that receives exactly two blocks and emits that
+    tile of the similarity matrix via one numpy matmul. No row ever
+    touches the driver; replication factor is B (each block ships to B
+    tasks), so shuffled volume is B·n rows against the n² pair
+    computations — the classic distributed all-pairs trade.
+
+    At 100 TB: exact all-pairs is inherently O(n²) compute (same as the
+    oracle); this layout distributes it with bounded task memory
+    (2·n/B rows per task — raise ``n_blocks`` until a block fits an
+    executor). When approximate recall is acceptable, use the
+    LSH-bucketed ``cosine_near_dup_pairs`` instead, which prunes the
+    pair space and scales sub-quadratically.
+    """
+    B = int(n_blocks)
+    spark = embeddings.sparkSession
+    src = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(features_col).alias("emb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"))
+    tasks = spark.createDataFrame(
+        [(ta, tb) for ta in range(B) for tb in range(ta, B)], "ta int, tb int")
+    # side 0 = the "row block" (blk == ta); side 1 = the "column block"
+    # (blk == tb, off-diagonal tasks only — the diagonal task computes
+    # its within-block upper triangle from side 0 alone)
+    side_a = src.join(F.broadcast(tasks), src["blk"] == tasks["ta"]) \
+                .select("ta", "tb", F.lit(0).alias("side"), "vec_id", "emb")
+    side_b = src.join(F.broadcast(tasks.filter("ta < tb")),
+                      src["blk"] == tasks["tb"]) \
+                .select("ta", "tb", F.lit(1).alias("side"), "vec_id", "emb")
+    both = side_a.unionByName(side_b)
+
+    def tile(pdf):
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if len(a) == 0:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        X = np.stack(a["emb"].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        ids_a = a["vec_id"].to_numpy()
+        if len(b) == 0:  # diagonal task: within-block upper triangle
+            S = Xn @ Xn.T
+            ai, bi = np.nonzero(S >= threshold)
+            ids_b = ids_a
+        else:
+            Y = np.stack(b["emb"].to_numpy()).astype(np.float64)
+            Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True),
+                                1e-30)
+            S = Xn @ Yn.T
+            ai, bi = np.nonzero(S >= threshold)
+            ids_b = b["vec_id"].to_numpy()
+        va, vb = ids_a[ai], ids_b[bi]
+        keep = va != vb  # drops self-pairs; off-diag blocks are disjoint
+        va, vb, cos = va[keep], vb[keep], S[ai, bi][keep]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        if len(b) == 0:
+            # each unordered within-block pair appears twice (S is
+            # symmetric) — keep the va<vb instance only
+            keep2 = va < vb
+            lo, hi, cos = lo[keep2], hi[keep2], cos[keep2]
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi,
+                             "cosine": np.round(cos, 6)})
+
+    return both.groupBy("ta", "tb").applyInPandas(
+        tile, schema="vec_a long, vec_b long, cosine double")
+
 
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           features_col: str = "embedding") -> DataFrame:

@@ -110,6 +110,20 @@ def test_ivf_assign_deterministic_partition_pruning(emb):
     assert max(c.values()) < 0.6 * len(r1)
 
 
+def test_cosine_near_dup_blocked_matches_exact(emb):
+    # the distributed 2-D blocked path must emit the identical pair set
+    # (and cosines) as the broadcast small-data path, at any n_blocks
+    thr = 0.35
+    want = {(r.vec_a, r.vec_b, r.cosine)
+            for r in S.cosine_near_dup_exact(emb, threshold=thr).collect()}
+    for n_blocks in (1, 3, 8):
+        got_rows = S.cosine_near_dup_blocked(
+            emb, threshold=thr, n_blocks=n_blocks).collect()
+        got = {(r.vec_a, r.vec_b, r.cosine) for r in got_rows}
+        assert len(got_rows) == len(got)  # no duplicate pairs
+        assert got == want
+
+
 def test_cosine_near_dup_exact_matches_numpy(emb):
     import numpy as np
     rows = emb.select("vec_id", "embedding").collect()

@@ -108,6 +108,9 @@ def main() -> None:
     queries = emb.limit(8)
     timed("topk_cosine_batch", n_emb,
           lambda: similarity.brute_topk_join(emb, queries, 10).count())
+    timed("dedup_embedding_blocked", n_emb,
+          lambda: similarity.cosine_near_dup_blocked(
+              emb, threshold=0.9, n_blocks=16).count())
     timed("cascade_k16", n_emb,
           lambda: cascade.cascade_train(emb, k=16)[1].count())
     timed("bagging_k16", n_emb,
