@@ -100,15 +100,22 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
                         threshold: float = 0.5,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = 1000,
+                        log_dropped: bool = False) -> DataFrame:
     """Candidate pairs by exact shingle-set Jaccard ≥ threshold.
 
     explode(distinct shingles) → self-equi-join on shingle → per-pair
     shared count → Jaccard. ``max_doc_freq`` drops shingles appearing
     in more than that many docs (stopword-shingle skew guard — the
     hot-key salting alternative for this workload; a shingle in f docs
-    generates f² pair rows, so capping f bounds the join blowup).
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    generates f²/2 pair rows, so capping f bounds the join blowup).
+    ON by default: an uncapped run on a real corpus with one
+    million-doc stopword shingle would expand ~10¹² pair rows from a
+    single group — pass ``max_doc_freq=None`` only when the corpus is
+    known skew-free and exact Jaccard over ALL shingles is required.
+    ``log_dropped=True`` counts and logs the capped shingles (one
+    extra action over the persisted grouped frame — cheap, but an
+    action, so opt-in). Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     # join key = xxhash64(shingle): the exchange moves 8-byte longs
     # instead of ~25-byte strings and the join compares longs
@@ -125,6 +132,15 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     grouped = (sh.groupBy("shingle")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
     if max_doc_freq is not None:
+        if log_dropped:
+            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+            n_hot = grouped.filter(F.size("ids") > max_doc_freq).count()
+            if n_hot:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "ngram_jaccard_pairs: dropped %d shingles with "
+                    "doc_freq > %d (hot-shingle skew guard)",
+                    n_hot, max_doc_freq)
         # the doc-freq cap drops hot shingles BEFORE pair expansion —
         # subsumes the anti-join variant (a shingle in f docs expands
         # to f²/2 pairs, so this bounds the explode)

@@ -188,9 +188,20 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
 
     Returns (embeddings + ``ivf_list`` column, centroids). At scale,
     write the result ``partitionBy('ivf_list')`` so queries prune to
-    n_probe/n_lists of the files."""
+    n_probe/n_lists of the files.
+
+    The sample is the ``sample_rows`` smallest xxhash64 values of the
+    feature vector — a deterministic uniform draw over the WHOLE table
+    (TakeOrdered: per-partition heaps, no full sort). A plain
+    ``limit()`` here would take the first partition's rows, which on
+    sorted/clustered data puts every centroid in one region and
+    collapses recall."""
     spark = embeddings.sparkSession
-    sample = embeddings.select(features_col).limit(sample_rows).collect()
+    sample = (embeddings
+              .select(F.col(features_col),
+                      F.xxhash64(F.col(features_col)).alias("_h"))
+              .orderBy("_h").limit(sample_rows)
+              .select(features_col).collect())
     X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
     C = _kmeans_lite(X, n_lists, seed)
     bc = spark.sparkContext.broadcast(C)

@@ -81,3 +81,19 @@ def test_doc_freq_cap_prunes_hot_shingles(docs):
     # with a tiny cap every shingle is "hot" → no candidates survive
     pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_doc_freq=0)
     assert pairs.count() == 0
+
+
+def test_doc_freq_cap_bounds_planted_stopword_blowup(spark):
+    # 60 docs all opening with the same 3-token shingle but otherwise
+    # disjoint: uncapped, the hot shingle alone expands 60·59/2 = 1770
+    # pair rows; with the cap (default 1000 ≫ fixture freqs, here 10)
+    # the group is dropped before the explode and zero pairs form.
+    rows = [(i, f"the quick fox unique{i}a unique{i}b unique{i}c")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.ngram_jaccard_pairs(docs, k=3, threshold=0.0,
+                                     max_doc_freq=None)
+    assert uncapped.count() == 60 * 59 // 2
+    capped = D.ngram_jaccard_pairs(docs, k=3, threshold=0.0,
+                                   max_doc_freq=10, log_dropped=True)
+    assert capped.count() == 0

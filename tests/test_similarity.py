@@ -110,6 +110,23 @@ def test_ivf_assign_deterministic_partition_pruning(emb):
     assert max(c.values()) < 0.6 * len(r1)
 
 
+def test_ivf_centroid_sample_unbiased_on_sorted_data(emb, qvec):
+    # label-sorted single-partition layout: a head-biased limit() sample
+    # would draw every centroid from the first class and degenerate the
+    # assignment; the hash-ordered sample must stay spread out.
+    sorted_emb = emb.orderBy("label").coalesce(1)
+    assigned, _ = S.ivf_assign(sorted_emb, n_lists=8, sample_rows=256)
+    from collections import Counter
+    c = Counter(r.ivf_list for r in assigned.select("ivf_list").collect())
+    assert len(c) >= 4  # several non-empty lists
+    assert max(c.values()) < 0.6 * sum(c.values())
+    # exhaustive probing on the sorted layout still equals brute force
+    brute = [r.vec_id for r in S.topk_cosine(emb, qvec, k=10).collect()]
+    ivf_all = [r.vec_id for r in S.ivf_topk(sorted_emb, qvec, k=10,
+                                            n_lists=8, n_probe=8).collect()]
+    assert ivf_all == brute
+
+
 def test_cosine_near_dup_blocked_matches_exact(emb):
     # the distributed 2-D blocked path must emit the identical pair set
     # (and cosines) as the broadcast small-data path, at any n_blocks
