@@ -268,26 +268,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
-        "simjoin_candidates": """
-WITH sh AS (
-  SELECT doc_id, UNNEST(list_distinct(
-    [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]
-  )) AS shingle
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
-FROM pairs
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
-""",
+        "simjoin_candidates": _JACCARD_PAIRS_ORACLE,
+        # The minhash pipeline post-verifies its LSH candidates with
+        # EXACT Jaccard, so its output is the exact pair set wherever
+        # banding recall is 1. On this fixture the minimum qualifying
+        # jaccard is 0.9 → per-pair miss probability (1-0.9⁴)¹⁶ ≈ 4e-8
+        # with 16 bands × 4 rows, so the oracle IS the exact join: the
+        # check verifies the full sign→band→verify pipeline end-to-end
+        # (any dropped candidate or jaccard drift hash-mismatches).
+        "dedup_minhash": _JACCARD_PAIRS_ORACLE,
+        "dedup_simhash": _SIMHASH_ORACLE,
         "dedup_embedding": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -336,10 +326,13 @@ FROM y
         "lang_id": _LANG_ID_ORACLE,
         "doc_fingerprint": """
 SELECT doc_id,
-       list_aggregate([md5(array_to_string(t[i:i+2], ' '))
-                       FOR i IN range(1, len(t)-1)], 'min') AS fingerprint
+       CASE WHEN len(t) >= 3 THEN
+         list_aggregate([md5(array_to_string(t[i:i+2], ' '))
+                         FOR i IN range(1, len(t)-1)], 'min')
+       ELSE md5(array_to_string(t, ' ')) END AS fingerprint
 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 """,
+        "multimodal_features": _MULTIMODAL_ORACLE,
         "token_count": """
 SELECT doc_id,
        CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,
@@ -383,6 +376,98 @@ SELECT user_id, COUNT(*) AS n_sessions,
 FROM per_session GROUP BY user_id
 """,
     }
+
+
+# Exact n-gram Jaccard pairs (k=3, threshold 0.5) — oracle for BOTH
+# simjoin_candidates and dedup_minhash (see the comment at the qkey).
+# The sh CTE mirrors operators/dedup.shingles_col exactly, including
+# the <k-token fallback (docs with fewer than 3 tokens contribute one
+# whole-text shingle, not zero shingles).
+_JACCARD_PAIRS_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3 THEN list_distinct(
+      [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+"""
+
+# Full independent recomputation of the simhash near-dup pipeline
+# (operators/dedup.simhash + simhash_near_dups, hasher='md5'):
+# token hash = signed int64 of the low 16 md5 hex chars (bit i = bit
+# (i mod 4) of hex digit 32 - i//4 — cross-checked bit-for-bit against
+# Spark's conv(substring(md5,17,16),16,-10) in tests/test_dedup.py),
+# per-bit majority vote, 4×16-bit block candidate join, exact hamming.
+_SIMHASH_ORACLE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bits AS (
+  SELECT doc_id,
+    [CASE WHEN 2*list_sum(
+        [(strpos('0123456789abcdef', substr(md5(tk), 32 - i//4, 1)) - 1)
+         >> (i % 4) & 1 FOR tk IN t]) > len(t)
+      THEN 1 ELSE 0 END FOR i IN range(0, 64)] AS b
+  FROM tok
+),
+keyed AS (
+  SELECT doc_id, b, g.blkno,
+         array_to_string(b[g.blkno*16+1 : g.blkno*16+16], '') AS key
+  FROM bits, range(0, 4) g(blkno)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM keyed a JOIN keyed c
+    ON a.blkno = c.blkno AND a.key = c.key AND a.doc_id < c.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(list_sum([CASE WHEN ba.b[i] <> bb.b[i] THEN 1 ELSE 0 END
+                        FOR i IN range(1, 65)]) AS INT) AS hamming
+  FROM cand
+  JOIN bits ba ON ba.doc_id = doc_a
+  JOIN bits bb ON bb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= 3
+"""
+
+# Independent recomputation of the multimodal digest features
+# (operators/multimodal._fake_decode_features): payload = utf8 text,
+# features = sha256 digest repeated to 64 bytes read as 16 uint32-LE,
+# scaled to [0,1] as float32; feature_sum = ROUND(sum, 4).
+_MULTIMODAL_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         sha256(text) AS hx
+  FROM documents
+), b AS (
+  SELECT media_id, media_type, n_bytes,
+    [16*(strpos('0123456789abcdef', substr(hx, 2*j+1, 1))-1)
+     + (strpos('0123456789abcdef', substr(hx, 2*j+2, 1))-1)
+     FOR j IN range(0, 32)] AS by
+  FROM m
+)
+SELECT media_id, media_type, n_bytes,
+  ROUND(list_sum([CAST(CAST(
+      (by[4*(i%8)+1] + 256*by[4*(i%8)+2] + 65536*by[4*(i%8)+3]
+       + 16777216*by[4*(i%8)+4]) / 4294967295.0 AS REAL) AS DOUBLE)
+    FOR i IN range(0, 16)]), 4) AS feature_sum
+FROM b
+"""
 
 
 # DuckDB twin of operators/text.lang_id: same marker sets, same

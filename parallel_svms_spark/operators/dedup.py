@@ -305,19 +305,36 @@ def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
 # E2c — SimHash (64-bit fingerprints; hamming-close ⇒ near-dup)
 # ---------------------------------------------------------------------------
 
-def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def _token_hash(col: F.Column, hasher: str) -> F.Column:
+    """64-bit token hash, JVM-side. ``md5``: signed int64 from the low
+    16 hex chars of md5 — reproducible in ANY engine with an md5()
+    (the DuckDB oracle recomputes it from hex chars), cross-checked
+    bit-for-bit in tests. ``xxhash64``: fastest JVM hash, Spark-only
+    semantics (use when no cross-engine verification is needed)."""
+    if hasher == "md5":
+        return F.conv(F.substring(F.md5(col), 17, 16), 16, -10).cast("long")
+    if hasher == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown hasher: {hasher!r}")
+
+
+def simhash(documents: DataFrame, text_col: str = "text",
+            hasher: str = "md5") -> DataFrame:
     """(doc_id, simhash BIGINT): per-bit majority vote over token
     hashes — still a zero-shuffle narrow map.
 
-    Split JVM/Python at the right seam: tokenize + xxhash64 stay
-    JVM-side (codegen'd, and the hash must match the rest of the
-    engine), while the 64-bit tally — 64 ops per token — goes through
-    one Arrow-vectorized pandas_udf. Spark's higher-order array
-    lambdas are interpreted per element, so the pure-JVM formulation
-    (64 `aggregate` passes) costs ~10× this one at identical output
-    (measured 1.5 s vs 0.17 s over 5k docs); the numpy version does
-    the same arithmetic as one (tokens × 64) bit matrix + reduceat.
-    Arithmetic >> on int64 matches Spark's shiftright sign-extension.
+    Split JVM/Python at the right seam: tokenize + token hash stay
+    JVM-side (codegen'd), while the 64-bit tally — 64 ops per token —
+    goes through one Arrow-vectorized pandas_udf. Spark's higher-order
+    array lambdas are interpreted per element, so the pure-JVM
+    formulation (64 `aggregate` passes) costs ~10× this one at
+    identical output (measured 1.5 s vs 0.17 s over 5k docs); the
+    numpy version does the same arithmetic as one (tokens × 64) bit
+    matrix + reduceat. Arithmetic >> on int64 matches Spark's
+    shiftright sign-extension. Default ``hasher='md5'`` makes the
+    whole pipeline independently recomputable by the DuckDB oracle
+    (see __spark_entry__._SIMHASH_ORACLE); pass 'xxhash64' for the
+    cheapest hash when cross-engine parity doesn't matter.
     """
     import numpy as np
     import pandas as pd
@@ -351,17 +368,18 @@ def simhash(documents: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(text_col)
     return ensure_parallelism(documents).select(
         "doc_id",
-        sig_udf(F.transform(toks, lambda t: F.xxhash64(t))).alias("simhash"))
+        sig_udf(F.transform(toks, lambda t: _token_hash(t, hasher)))
+        .alias("simhash"))
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
-                      n_blocks: int = 4) -> DataFrame:
+                      n_blocks: int = 4, hasher: str = "md5") -> DataFrame:
     """Near-dups by SimHash hamming distance ≤ max_hamming, using the
     block-permutation trick: split the 64-bit sig into n_blocks;
     any pair within hamming d < n_blocks must agree on ≥1 block →
     equi-join per block, then verify exact hamming. Shuffles
     (block_val, doc_id) only."""
-    sigs = simhash(documents)
+    sigs = simhash(documents, hasher=hasher)
     width = 64 // n_blocks
     block = F.explode(F.array(*[
         F.struct(

@@ -82,8 +82,9 @@ def quality_score(documents: DataFrame) -> DataFrame:
 
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-word language scorer: argmax over per-language hit
-    counts; ties and zero-evidence → 'und'. Deterministic and fully
-    JVM-side (greatest over per-lang scores)."""
+    counts; ties resolve to the alphabetically first language,
+    zero evidence → 'und'. Deterministic and fully JVM-side
+    (greatest over per-lang scores)."""
     toks = F.array_distinct(tokens_col("text"))
     scores = {
         lang: F.size(F.array_intersect(

@@ -77,6 +77,33 @@ def test_simhash_properties(spark, docs, docs_with_dups):
         assert (i, i + 10_000) in got
 
 
+def test_md5_token_hash_matches_python_ground_truth(spark):
+    # the cross-engine contract behind the dedup_simhash oracle: the
+    # JVM-side signed-int64-of-low-md5-bits must equal the reference
+    # computation bit for bit (DuckDB's oracle derives the same bits
+    # from hex chars — see __spark_entry__._SIMHASH_ORACLE)
+    import hashlib
+    toks = ["hello", "the", "fox42", "ünïcode", ""]
+    df = spark.createDataFrame([(t,) for t in toks], "t string")
+    got = {r.t: r.h for r in df.select(
+        "t", D._token_hash(F.col("t"), "md5").alias("h")).collect()}
+    for t in toks:
+        v = int(hashlib.md5(t.encode()).hexdigest()[16:], 16)
+        signed = v - (1 << 64) if v >= (1 << 63) else v
+        assert got[t] == signed, t
+
+
+def test_simhash_hasher_variants_both_work(docs):
+    md5_sigs = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    xx_sigs = {r.doc_id: r.simhash
+               for r in D.simhash(docs, hasher="xxhash64").collect()}
+    assert set(md5_sigs) == set(xx_sigs)
+    # different hash families ⇒ different signatures, same determinism
+    assert md5_sigs != xx_sigs
+    again = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert md5_sigs == again
+
+
 def test_doc_freq_cap_prunes_hot_shingles(docs):
     # with a tiny cap every shingle is "hot" → no candidates survive
     pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.0, max_doc_freq=0)
