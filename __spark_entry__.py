@@ -129,6 +129,24 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("feature_sum"))
 
 
+def _parse_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: reference sparse-line codec round trip — encode embeddings
+    as ``label,i1,v1,...`` lines (|v| ≥ 0.05 kept), parse back with
+    the formSvmProblem-twin parser, summarize per record."""
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.io.sources import (parse_sparse_lines,
+                                                to_sparse_lines)
+    emb = load_table(spark, sf_dir, "embeddings")
+    parsed = parse_sparse_lines(to_sparse_lines(emb, min_abs=0.05))
+    return parsed.select(
+        "label",
+        F.size("features").alias("n_features"),
+        F.coalesce(F.array_max(F.map_keys("features")), F.lit(0))
+         .alias("max_index"),
+        F.round(F.aggregate(F.map_values("features"), F.lit(0.0),
+                            lambda a, x: a + x), 6).alias("feature_sum"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-class histogram of the training set — the
     reference's first dataflow step (CLASS_<l>_COUNT counters,
@@ -152,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.2 — projections / parsing / join-filters
         "proj_label": lambda s, d: R.proj_label(load_table(s, d, "embeddings")),
         "parse_project": lambda s, d: R.parse_project(load_table(s, d, "embeddings")),
+        "parse_sparse": _parse_sparse,
         "filter_semijoin": lambda s, d: R.filter_semijoin(
             load_table(s, d, "lineitem"), load_table(s, d, "orders")),
         "dedup_anti": lambda s, d: R.dedup_anti(
@@ -228,6 +247,20 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS feature_sum "
             "FROM embeddings"
         ),
+        "parse_sparse": """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+k AS (
+  SELECT label,
+         [i FOR i IN range(1, len(v)+1) IF abs(v[i]) >= 0.05] AS idx,
+         [v[i] FOR i IN range(1, len(v)+1) IF abs(v[i]) >= 0.05] AS vals
+  FROM e
+)
+SELECT CAST(label AS DOUBLE) AS label,
+       CAST(len(idx) AS INT) AS n_features,
+       CAST(COALESCE(list_max(idx), 0) AS INT) AS max_index,
+       ROUND(COALESCE(list_sum(vals), 0.0), 6) AS feature_sum
+FROM k
+""",
         "filter_semijoin": (
             "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey IN "
             "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')"

@@ -109,6 +109,77 @@ def parse_dense_lines(lines: DataFrame, col: str = "line") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Reference-native sparse codec (P3: label,idx1,val1,idx2,val2,...)
+# ---------------------------------------------------------------------------
+
+def to_sparse_lines(df: DataFrame, label_col: str = "label",
+                    features_col: str = "embedding",
+                    min_abs: float = 0.0) -> DataFrame:
+    """Typed rows → reference sparse lines ``label,i1,v1,i2,v2,...``
+    (the comma-alternating index/value encoding consumed by
+    SvmTrainer.formSvmProblem, cascade_svm/Midcascade.java:31-49).
+    Indices are 1-based ascending; features with |value| < ``min_abs``
+    are dropped (that's what makes the encoding sparse)."""
+    e = F.col(features_col).cast("array<double>")
+    kept = F.filter(
+        F.transform(e, lambda x, i: F.struct((i + 1).alias("i"),
+                                             x.alias("v"))),
+        lambda s: F.abs(s["v"]) >= F.lit(float(min_abs)))
+    pairs = F.transform(
+        kept, lambda s: F.concat_ws(",", s["i"].cast("string"),
+                                    s["v"].cast("string")))
+    return df.select(
+        F.concat_ws(",", F.col(label_col).cast("string"),
+                    F.array_join(pairs, ",")).alias("line"))
+
+
+def parse_sparse_lines(lines: DataFrame, col: str = "line") -> DataFrame:
+    """Sparse lines → ``(label DOUBLE, features MAP<INT,DOUBLE>)``.
+
+    PySpark twin of the reference's formSvmProblem parse
+    (cascade_svm/Midcascade.java:31-49): first comma token is the
+    label, the remainder alternates index,value; featureCount =
+    remaining_tokens / 2 (a trailing unpaired token is ignored, as
+    StringTokenizer's countTokens()/2 does). Pure JVM expressions —
+    at scale this is a narrow map pipelined out of the text scan."""
+    parts = F.split(F.col(col), ",")
+    n = ((F.size(parts) - 1) / 2).cast("int")
+    idx = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: F.element_at(parts, 2 * j + 2).cast("int"))) \
+        .otherwise(F.array().cast("array<int>"))
+    val = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda j: F.element_at(parts, 2 * j + 3).cast("double"))) \
+        .otherwise(F.array().cast("array<double>"))
+    return lines.select(
+        F.element_at(parts, 1).cast("double").alias("label"),
+        F.map_from_arrays(idx, val).alias("features"))
+
+
+def sparse_to_vectors(parsed: DataFrame, dim: int,
+                      features_col: str = "features") -> DataFrame:
+    """(label, MAP<INT,DOUBLE>) → (label, MLlib vector) for the
+    linear-model path (ml/mllib_path). Indices arrive 1-based from the
+    reference encoding and shift to 0-based here.
+
+    Pure JVM: densify the map over 1..dim (element_at returns NULL for
+    absent keys → 0.0) then ``array_to_vector``. MLlib treats dense
+    and sparse vectors uniformly downstream; a true SparseVector
+    constructor would require a row-at-a-time Python UDF (VectorUDT is
+    not Arrow-batchable), which is the engine's one banned pattern —
+    for very high-dim genuinely sparse data, keep the MAP column and
+    aggregate on it directly instead of vectorizing."""
+    from pyspark.ml.functions import array_to_vector
+
+    dense = F.transform(
+        F.sequence(F.lit(1), F.lit(int(dim))),
+        lambda i: F.coalesce(F.element_at(F.col(features_col), i),
+                             F.lit(0.0)))
+    return parsed.select("label", array_to_vector(dense).alias("features"))
+
+
 def read_dense_csv(spark: SparkSession, path: str) -> DataFrame:
     """S1: read reference-format training text from disk."""
     return parse_dense_lines(spark.read.text(path), col="value")

@@ -50,3 +50,41 @@ def test_binary_model_roundtrip():
     m = train_svc(X, y)
     m2 = from_libsvm_text(to_libsvm_text(m))
     assert np.array_equal(m.predict(X), m2.predict(X))
+
+
+# ---------------------------------------------------------------------------
+# P3 sparse-line codec (cascade_svm/Midcascade.java:31-49 parity)
+# ---------------------------------------------------------------------------
+
+def test_sparse_line_roundtrip(spark):
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.io.sources import (parse_sparse_lines,
+                                                to_sparse_lines)
+    rows = [(1, [0.5, 0.0, -0.25, 0.004]), (0, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    parsed = parse_sparse_lines(
+        to_sparse_lines(df, min_abs=0.01)).orderBy(F.desc("label")).collect()
+    assert parsed[0].label == 1.0
+    assert parsed[0].features == {1: 0.5, 3: -0.25}  # 1-based, 0.004 dropped
+    assert parsed[1].label == 0.0
+    assert parsed[1].features == {}
+
+
+def test_parse_sparse_ignores_trailing_unpaired_token(spark):
+    # StringTokenizer semantics: countTokens()/2 pairs — a dangling
+    # index with no value is silently dropped by the reference parse
+    df = spark.createDataFrame([("1,3,0.5,7",)], "line string")
+    from parallel_svms_spark.io.sources import parse_sparse_lines
+    r = parse_sparse_lines(df).first()
+    assert r.label == 1.0 and r.features == {3: 0.5}
+
+
+def test_sparse_to_vectors(spark):
+    from parallel_svms_spark.io.sources import (parse_sparse_lines,
+                                                sparse_to_vectors,
+                                                to_sparse_lines)
+    rows = [(1, [0.5, 0.0, -0.25])]
+    df = spark.createDataFrame(rows, "label int, embedding array<double>")
+    vec = sparse_to_vectors(
+        parse_sparse_lines(to_sparse_lines(df, min_abs=0.01)), dim=3).first()
+    assert list(vec.features.toArray()) == [0.5, 0.0, -0.25]
