@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2.4 — partitioning / exchange / cascade merge
         "repartition_balanced": lambda s, d: X.balanced_buckets(
             load_table(s, d, "embeddings"), K_BUCKETS).select("vec_id", "bucket"),
+        "repartition_stratified": lambda s, d: X.balanced_buckets(
+            load_table(s, d, "embeddings"), K_BUCKETS,
+            strategy="stratified").select("vec_id", "label", "bucket"),
         "agg_bucket_count": lambda s, d: X.agg_bucket_count(
             X.balanced_buckets(load_table(s, d, "embeddings"), K_BUCKETS)),
         "merge_pairs": lambda s, d: X.halve_buckets_count(
@@ -271,6 +274,11 @@ FROM k
         ),
         "repartition_balanced": (
             f"SELECT vec_id, CAST(vec_id % {k} AS INT) AS bucket FROM embeddings"
+        ),
+        "repartition_stratified": (
+            "SELECT vec_id, label, "
+            f"CAST((ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1) % {k} AS INT) "
+            "AS bucket FROM embeddings"
         ),
         "agg_bucket_count": (
             f"SELECT CAST(vec_id % {k} AS INT) AS bucket, COUNT(*) AS subset_count "

@@ -19,7 +19,8 @@ from pyspark.sql import Window as W
 
 
 def balanced_buckets(df: DataFrame, k: int, key: str = "vec_id",
-                     strategy: str = "mod") -> DataFrame:
+                     strategy: str = "mod",
+                     label_col: str = "label") -> DataFrame:
     """X1: balanced partition into k buckets (cascade_svm/Precascade2.java:18-38;
     identical Prebagging2.java / Preiterative2.java).
 
@@ -34,6 +35,17 @@ def balanced_buckets(df: DataFrame, k: int, key: str = "vec_id",
     - ``rownum``: global ``row_number() % k`` — exact ±1 balance for
                   arbitrary keys, but a global sort ⇒ single-partition
                   window; only for driver-small data (model SV lists).
+    - ``stratified``: per-class round-robin — every bucket receives an
+                  equal ±1 share of EACH label, completing the design
+                  the reference sketched then commented out
+                  (cascade_svm/Precascade2.java:23-28; the A2
+                  ``CLASS_<l>_COUNT`` counters of Precascade1.java:27
+                  exist precisely to feed it). One window per class
+                  (shuffle keyed by label) — with C classes that is C
+                  window partitions, so at 100 TB prefer the
+                  statistical equivalent ``pmod(xxhash64(key), k)``
+                  unless exact per-class balance is required (small
+                  training subsets, which is the reference's use).
     """
     if strategy == "mod":
         bucket = F.pmod(F.col(key), F.lit(k)).cast("int")
@@ -41,6 +53,9 @@ def balanced_buckets(df: DataFrame, k: int, key: str = "vec_id",
         bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(k)).cast("int")
     elif strategy == "rownum":
         rn = F.row_number().over(W.orderBy(key))
+        bucket = ((rn - 1) % k).cast("int")
+    elif strategy == "stratified":
+        rn = F.row_number().over(W.partitionBy(label_col).orderBy(key))
         bucket = ((rn - 1) % k).cast("int")
     else:
         raise ValueError(f"unknown strategy: {strategy}")

@@ -110,3 +110,16 @@ def test_eval_confusion_total(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     conf = R.eval_confusion(emb)
     assert conf.agg(F.sum("n")).collect()[0][0] == 500
+
+
+def test_balanced_buckets_stratified_per_class_balance(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = X.balanced_buckets(emb, 8, strategy="stratified")
+    hist = (b.groupBy("label", "bucket").count()
+            .groupBy("label")
+            .agg(F.max("count").alias("mx"), F.min("count").alias("mn"))
+            .collect())
+    assert len(hist) == emb.select("label").distinct().count()
+    for r in hist:
+        assert r.mx - r.mn <= 1, f"label {r.label}: {r.mn}..{r.mx}"
