@@ -72,6 +72,11 @@ def main() -> int:
         t = min(run_once(spark, qs[name], sf_dir) for _ in range(RUNS))
         timings[name] = round(t, 3)
         print(f"  {name}: {t:.3f}s", file=sys.stderr)
+        # operators that persist() intermediates (jaccard/minhash) leave
+        # CacheManager entries behind; drop them BETWEEN queries so 33
+        # queries don't accumulate blocks (within a query's RUNS the
+        # cache stays, matching the recorded warm-session methodology)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_headline_sec",

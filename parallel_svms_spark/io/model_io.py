@@ -133,7 +133,11 @@ def load_model(path: str) -> SVCModel:
 
 def model_to_parquet(model: SVCModel, spark, path: str) -> None:
     """Engine-native persistence: params JSON header + SV table parquet
-    (SURVEY §1.3 'LibSVM model text file' row)."""
+    (SURVEY §1.3 'LibSVM model text file' row).
+
+    Every component — header included — goes through Spark writers, so
+    the whole artifact lands on whatever filesystem ``path`` names
+    (local, hdfs://, s3a://); no driver-local file I/O."""
     d = model.to_dict()
     header = {k: d[k] for k in ("classes", "kernel", "gamma", "C", "rhos")}
     sv_rows = [
@@ -148,5 +152,27 @@ def model_to_parquet(model: SVCModel, spark, path: str) -> None:
         .write.mode("overwrite").parquet(f"{path}/svs")
     spark.createDataFrame(coef_rows, "pair string, idx array<int>, coef array<double>") \
         .write.mode("overwrite").parquet(f"{path}/coefs")
-    with open(f"{path.removeprefix('file:')}/header.json", "w") as f:
-        json.dump(header, f)
+    spark.createDataFrame([(json.dumps(header),)], "value string") \
+        .coalesce(1).write.mode("overwrite").text(f"{path}/header")
+
+
+def model_from_parquet(spark, path: str) -> SVCModel:
+    """Read back a ``model_to_parquet`` artifact (any Spark-readable
+    filesystem). Model sides are contractually driver-small (k model
+    JSONs / SV sets), so the collects here are bounded."""
+    header = json.loads(
+        spark.read.text(f"{path}/header").first()["value"])
+    svs = spark.read.parquet(f"{path}/svs").orderBy("sv_pos").collect()
+    coefs = spark.read.parquet(f"{path}/coefs").collect()
+    X_sv = np.asarray([r.embedding for r in svs], dtype=np.float64)
+    sv_labels = np.asarray([r.label for r in svs])
+    pair_coefs = {
+        tuple(int(x) for x in r.pair.split(",")):
+        (np.asarray(r.idx, dtype=int), np.asarray(r.coef, dtype=np.float64))
+        for r in coefs
+    }
+    rhos = {tuple(int(x) for x in pk.split(",")): float(v)
+            for pk, v in header["rhos"].items()}
+    return SVCModel(header["classes"], X_sv, sv_labels, pair_coefs, rhos,
+                    kernel=header["kernel"], gamma=header["gamma"],
+                    C=header["C"])

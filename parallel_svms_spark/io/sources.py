@@ -63,7 +63,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     healthy many-row-group layout it's pure overhead.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 4 < par:
+    try:
+        # physical scan partition count without df.rdd: df.rdd appends
+        # an InternalRow→Row deserializer to the plan it compiles;
+        # queryExecution().toRdd() is the same RDD pre-deserializer
+        n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:  # non-JVM backends (Connect) — fall back
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts * 4 < par:
         return df.repartition(par)
     return df
 

@@ -33,14 +33,22 @@ def _to_mllib(df: DataFrame, features_col: str = "embedding",
 
 def train_linear_ovr(df: DataFrame, features_col: str = "embedding",
                      label_col: str = "label", max_iter: int = 20,
-                     reg_param: float = 0.0) -> OneVsRestModel:
+                     reg_param: float = 0.0,
+                     parallelism: int | None = None) -> OneVsRestModel:
     """Fit N binary LinearSVCs, one per class, each a distributed
     optimization over the full DataFrame — no bucketing needed; this
     is the path where the *solver* parallelizes instead of the data
-    being partitioned into independent problems."""
+    being partitioned into independent problems.
+
+    ``parallelism`` defaults to the class count so all N binary fits
+    launch concurrently — each fit is itself a sequence of small
+    treeAggregate jobs, so on an underutilized cluster the N jobs
+    interleave and the OvR wall-clock approaches one binary fit."""
+    data = _to_mllib(df, features_col, label_col)
+    if parallelism is None:
+        parallelism = max(data.select("label").distinct().count(), 1)
     svc = LinearSVC(maxIter=max_iter, regParam=reg_param)
-    return OneVsRest(classifier=svc, parallelism=4).fit(
-        _to_mllib(df, features_col, label_col))
+    return OneVsRest(classifier=svc, parallelism=parallelism).fit(data)
 
 
 def predict_linear_ovr(model: OneVsRestModel, df: DataFrame,

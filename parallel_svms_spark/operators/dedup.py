@@ -116,6 +116,15 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     ``log_dropped=True`` counts and logs the capped shingles (one
     extra action over the persisted grouped frame — cheap, but an
     action, so opt-in). Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Caching contract: intermediates are persist()ed because multiple
+    branches of the returned plan consume them; the entries live until
+    the CALLER drops them (``spark.catalog.clearCache()`` or session
+    end) — Spark offers no after-action hook, and unpersisting before
+    the caller's action would force triple recomputation. Long-lived
+    sessions running many queries should clearCache between them (as
+    bench.py does); under memory pressure the blocks are LRU-evictable
+    so the leak is bounded either way.
     """
     # join key = xxhash64(shingle): the exchange moves 8-byte longs
     # instead of ~25-byte strings and the join compares longs

@@ -88,3 +88,17 @@ def test_sparse_to_vectors(spark):
     vec = sparse_to_vectors(
         parse_sparse_lines(to_sparse_lines(df, min_abs=0.01)), dim=3).first()
     assert list(vec.features.toArray()) == [0.5, 0.0, -0.25]
+
+
+def test_model_parquet_roundtrip(spark, tmp_path):
+    import numpy as np
+    from parallel_svms_spark.io.model_io import (model_from_parquet,
+                                                 model_to_parquet)
+    m, X, y = _toy_model()
+    path = str(tmp_path / "model")
+    model_to_parquet(m, spark, path)
+    m2 = model_from_parquet(spark, path)
+    assert list(m2.classes) == list(m.classes)
+    assert m2.kernel == m.kernel and m2.gamma == m.gamma and m2.C == m.C
+    np.testing.assert_allclose(m2.X_sv, m.X_sv)
+    assert (m2.predict(X) == m.predict(X)).all()
