@@ -27,7 +27,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HAVE_CODECS = False  # no PIL/ffmpeg in this container — see module doc
+try:  # guarded codec import: activates the real decode path when the
+    # image library exists; this container ships without it, so the
+    # deterministic digest stand-in stays the default either way
+    from PIL import Image as _PILImage  # type: ignore
+    _HAVE_CODECS = True
+except ImportError:  # pragma: no cover - exercised in this container
+    _PILImage = None
+    _HAVE_CODECS = False
 
 MEDIA_SCHEMA = ("media_id long, media_type string, payload binary, "
                 "width int, height int, duration_ms int")
@@ -60,16 +67,42 @@ def _fake_decode_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (raw / np.iinfo(np.uint32).max).astype(np.float32)
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real codec hook. NotImplemented by design in this environment."""
-    raise NotImplementedError(
-        "image codecs not available in this container; "
-        "install PIL/opencv and wire here — plumbing above is complete")
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real codec hook: bytes → HxWxC uint8 pixel array via PIL when
+    the library is installed (``_HAVE_CODECS``); raises otherwise.
+    The Spark plumbing around it (mapInPandas batching, schema,
+    metadata-predicate pushdown) is identical on both paths."""
+    if not _HAVE_CODECS:
+        raise NotImplementedError(
+            "image codecs not available in this container; "
+            "install PIL and this hook activates — plumbing is complete")
+    import io as _io
+    return np.asarray(_PILImage.open(_io.BytesIO(payload)).convert("RGB"))
+
+
+def _image_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Codec-backed feature extractor: per-channel mean/std + a gray
+    histogram, padded to ``dim``. Deterministic for a given image."""
+    px = decode_image(payload).astype(np.float64)
+    chan = px.reshape(-1, px.shape[-1])
+    stats = np.concatenate([chan.mean(0) / 255.0, chan.std(0) / 255.0])
+    hist, _ = np.histogram(chan.mean(-1), bins=max(dim - len(stats), 1),
+                           range=(0.0, 255.0))
+    hist = hist / max(hist.sum(), 1)
+    return np.concatenate([stats, hist])[:dim].astype(np.float32)
 
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
-                     batch_rows: int | None = None) -> DataFrame:
+                     batch_rows: int | None = None,
+                     codec: str = "digest") -> DataFrame:
     """payload → fixed-width feature vector, Arrow-batched.
+
+    ``codec='digest'`` (default): the deterministic sha256 stand-in —
+    engine-independent, which is what lets the DuckDB oracle recompute
+    it; stays the default even when PIL is installed so results never
+    depend on the container. ``codec='image'``: the real decode path
+    (requires ``_HAVE_CODECS``) — same batching, schema and plan, only
+    the per-payload function changes.
 
     ``batch_rows``, when given, caps rows per Arrow batch by setting
     spark.sql.execution.arrow.maxRecordsPerBatch — REQUIRED for
@@ -80,6 +113,15 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
     for the SVM trainers — ~15% on the bench) long after this operator
     finished.
     """
+    if codec == "digest":
+        feat_fn = _fake_decode_features
+    elif codec == "image":
+        if not _HAVE_CODECS:
+            raise NotImplementedError(
+                "codec='image' needs PIL — not present in this container")
+        feat_fn = _image_features
+    else:
+        raise ValueError(f"unknown codec: {codec!r}")
     if batch_rows is not None:
         media.sparkSession.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
@@ -89,7 +131,7 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
             if len(pdf) == 0:
                 continue
             feats = [
-                _fake_decode_features(bytes(p), dim)
+                feat_fn(bytes(p), dim)
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({

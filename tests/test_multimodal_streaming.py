@@ -37,9 +37,35 @@ def test_extract_features_deterministic_fixed_width(media):
     assert joined.count() == 0
 
 
+@pytest.mark.skipif(MM._HAVE_CODECS, reason="PIL installed: stub inactive")
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        MM.extract_features(None, codec="image")
+
+
+@pytest.mark.skipif(not MM._HAVE_CODECS, reason="PIL not installed")
+def test_extract_features_image_codec(spark):  # pragma: no cover - env
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), (255, 0, 0)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), 4, 4, 0)],
+        MM.MEDIA_SCHEMA)
+    row = MM.extract_features(media, codec="image").first()
+    assert len(row.features) == MM.FEATURE_DIM
+    assert abs(row.features[0] - 1.0) < 1e-6  # red channel mean
+
+
+def test_extract_features_codec_digest_is_default(media):
+    # default stays the digest stand-in regardless of PIL presence —
+    # the multimodal_features oracle depends on it
+    a = MM.extract_features(media).orderBy("media_id").first()
+    b = MM.extract_features(media, codec="digest") \
+          .orderBy("media_id").first()
+    assert a.features == b.features
 
 
 def test_frame_sample_plan(media):
