@@ -35,6 +35,30 @@ def test_kkt_and_box_constraints():
     assert yg[up].max() - yg[low].min() < 2e-3
 
 
+def test_shrinking_reaches_same_kkt_optimum():
+    # shrinking may take a different iteration path but must land on an
+    # eps-KKT point of the FULL problem with the same decision geometry
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(400, 8))
+    y = np.where(X[:, 0] + 0.3 * rng.normal(size=400) > 0, 1.0, -1.0)
+    C = 1.0
+    K = rbf_kernel(X, X, gamma=1 / 8)
+    a_ns, rho_ns = smo_solve(K, y, C=C, shrinking=False)
+    a_s, rho_s = smo_solve(K, y, C=C, shrinking=True)
+    for a in (a_ns, a_s):
+        assert (a >= -1e-9).all() and (a <= C + 1e-9).all()
+        assert abs(np.dot(a, y)) < 1e-6
+        grad = (y[:, None] * K * y[None, :]) @ a - 1.0
+        yg = -y * grad
+        up = ((y > 0) & (a < C - 1e-9)) | ((y < 0) & (a > 1e-9))
+        low = ((y < 0) & (a < C - 1e-9)) | ((y > 0) & (a > 1e-9))
+        assert yg[up].max() - yg[low].min() < 2e-3
+    # same decision values up to solver tolerance
+    d_ns = K @ (a_ns * y) - rho_ns
+    d_s = K @ (a_s * y) - rho_s
+    assert (np.sign(d_ns) == np.sign(d_s)).mean() > 0.99
+
+
 def test_separable_blobs_multiclass():
     rng = np.random.default_rng(0)
     X = np.vstack([rng.normal(loc=3 * c, scale=0.5, size=(60, 4))
