@@ -29,7 +29,8 @@ HEADLINE = [
     # relational core over lineitem/orders (600k rows at sf0.1)
     "scan_count", "agg_groupby_count", "agg_error_sum",
     "filter_semijoin", "dedup_anti", "set_union", "set_except",
-    "parse_project", "repartition_balanced", "merge_pairs",
+    "parse_project", "parse_sparse", "repartition_balanced",
+    "repartition_stratified", "merge_pairs",
     # events (100k rows)
     "json_extract", "window_tumbling", "sessionize",
     # documents (5k rows)
