@@ -116,6 +116,38 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, [float(x) for x in qvec], k=10)
 
 
+def _topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 batch variant: top-10 per query for 5 query vectors in ONE
+    pass (broadcast queries, per-partition numpy top-k, window cut)."""
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.operators.similarity import brute_topk_join
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_topk_join(emb, queries, k=10)
+
+
+def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal planning op: one row per frame to extract from each
+    video (pure JVM sequence+explode — the skew-balancing plan step)."""
+    from parallel_svms_spark.operators import multimodal as MM
+    media = MM.synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return MM.frame_sample_plan(media, every_ms=1000)
+
+
+def _resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: metadata-predicate pushdown +
+    Arrow-batched payload rewrite; observable = new dims + payload
+    head digest (deterministic stand-in codec)."""
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.operators import multimodal as MM
+    media = MM.synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+    out = MM.resize_images(media, target_w=224, target_h=224)
+    return out.select(
+        "media_id", "width", "height",
+        F.length("payload").alias("n_bytes"),
+        F.lower(F.hex(F.substring("payload", 1, 8))).alias("head_hex"))
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → deterministic stub
     features (rows-only; codec stubbed, see operators/multimodal.py)."""
@@ -209,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": lambda s, d: D.simhash_near_dups(
             load_table(s, d, "documents"), max_hamming=3),
         "topk_cosine": _topk_cosine,
+        "topk_batch": _topk_batch,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "dedup_embedding": lambda s, d: __import__(
@@ -224,6 +257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": lambda s, d: E.window_tumbling(load_table(s, d, "events")),
         "sessionize": lambda s, d: E.session_stats(load_table(s, d, "events")),
         "multimodal_features": _multimodal_features,
+        "frame_sample": _frame_sample,
+        "resize_images": _resize_images,
     }
 
 
@@ -336,6 +371,36 @@ SELECT vec_id,
 FROM embeddings
 ORDER BY cosine DESC, vec_id
 LIMIT 10
+""",
+        "topk_batch": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qe AS DOUBLE[])), 6) AS cosine
+  FROM embeddings e, q
+)
+SELECT query_id, vec_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM s
+) WHERE rn <= 10
+""",
+        "frame_sample": """
+SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+       CAST(frame_no * 1000 AS INT) AS ts_ms
+FROM (
+  SELECT doc_id AS media_id,
+         UNNEST(range(0, greatest(CAST(floor((n_chars * 7) / 1000.0) AS INT) - 1,
+                                  0) + 1)) AS frame_no
+  FROM documents WHERE doc_id % 3 = 2
+)
+""",
+        "resize_images": """
+SELECT doc_id AS media_id, 224 AS width, 224 AS height, 7526 AS n_bytes,
+       substr(sha256(text), 1, 16) AS head_hex
+FROM documents WHERE doc_id % 3 = 0
 """,
         "text_token_stats": """
 SELECT lang, source, COUNT(*) AS n_docs,

@@ -36,9 +36,10 @@ HEADLINE = [
     # documents (5k rows)
     "dedup_exact", "simjoin_candidates", "dedup_minhash", "dedup_simhash",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
-    "token_count", "multimodal_features",
+    "token_count", "multimodal_features", "frame_sample", "resize_images",
     # embeddings (2k rows, 64-dim)
-    "topk_cosine", "ann_lsh_topk", "ann_ivf_topk", "dedup_embedding",
+    "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_embedding",
     # the three reference dataflows (the ML payload) + linear path
     "svm_train", "eval_confusion", "cascade_svm", "bagging_svm",
     "iterative_svm", "svm_linear_ovr",
