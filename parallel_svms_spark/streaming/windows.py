@@ -119,6 +119,35 @@ def sessionize_stateful(stream: DataFrame,
                 "append", GroupStateTimeout.EventTimeTimeout))
 
 
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def streaming_exact_dedup(stream: DataFrame,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``operators.dedup.exact_dedup``: drop rows
+    whose content digest was already seen, with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the digest column
+    and expires entries once the watermark passes their event time —
+    the production shape for continuous ingest dedup (an unbounded
+    ``dropDuplicates`` would grow state forever at 100 TB/day). Exact
+    within the watermark horizon; duplicates farther apart than the
+    horizon re-emit, which is the documented streaming trade: pair it
+    with a periodic batch ``exact_dedup`` compaction of the sink.
+    Digest, not text, enters state — 32 B/doc regardless of doc size,
+    same invariant as the batch operator's shuffle.
+    """
+    return (stream
+            .withColumn("digest", F.sha2(F.col("text"), 256))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["digest"])
+            .drop("digest"))
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str = "stream_out",
                          output_mode: str = "append"):
     """Drive a bounded file-stream to completion synchronously (test

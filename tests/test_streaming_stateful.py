@@ -74,3 +74,37 @@ def test_stateful_sessionize_event_time_timeout(spark):
     assert 7 in got  # closed by event-time timeout, not by a gap event
     assert got[7].n_events == 2
     assert got[7].session_end == t0 + timedelta(minutes=2)
+
+
+def test_streaming_exact_dedup_bounded_state(spark):
+    import glob
+    import os
+    import shutil
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    # batch 1: two distinct docs; batch 2: an exact dup of doc 0 within
+    # the watermark horizon (dropped) + one new doc
+    f1 = [(0, t0, "alpha beta gamma"),
+          (1, t0 + timedelta(minutes=1), "delta epsilon zeta")]
+    f2 = [(2, t0 + timedelta(minutes=5), "alpha beta gamma"),
+          (3, t0 + timedelta(minutes=6), "eta theta iota")]
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, rows in enumerate((f1, f2)):
+            spark.createDataFrame(rows, SW.DOCS_SCHEMA).coalesce(1) \
+                .write.parquet(f"{tmp}/d/{i}")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/d/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = (spark.readStream.schema(SW.DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(dst))
+        dedup = SW.streaming_exact_dedup(stream, watermark="2 hours")
+        name = "stream_dedup_test"
+        q = (dedup.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(r.doc_id for r in
+                     spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == [0, 1, 3]  # doc 2 (cross-batch exact dup) dropped
