@@ -372,6 +372,7 @@ FROM embeddings
 ORDER BY cosine DESC, vec_id
 LIMIT 10
 """,
+        "ann_lsh_topk": _ann_lsh_oracle(),
         "topk_batch": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
@@ -573,6 +574,36 @@ SELECT media_id, media_type, n_bytes,
        + 16777216*by[4*(i%8)+4]) / 4294967295.0 AS REAL) AS DOUBLE)
     FOR i IN range(0, 16)]), 4) AS feature_sum
 FROM b
+"""
+
+
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of the FULL ann_lsh_topk pipeline: the seeded
+    hyperplanes are deterministic, so they inline as SQL literals
+    (repr() round-trips float64 exactly); bucketize = sign of
+    list_dot_product per plane, probe set = hamming ≤ 2 of the query
+    bucket (identical to the engine's 1-bit + 2-bit flip enumeration),
+    then exact rerank. Sign agreement across engines holds because a
+    flip needs |projection| ≲ 1e-14 (measured spreads are O(1))."""
+    from parallel_svms_spark.operators.similarity import _hyperplanes
+    H = _hyperplanes(dim=64, n_bits=12, seed=42)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {[repr(float(x)) for x in H[b]]}"
+        f"::DOUBLE[]) > 0 THEN {1 << b} ELSE 0 END)".replace("'", "")
+        for b in range(len(H)))
+    return f"""
+WITH b AS (
+  SELECT vec_id, v, {bucket_terms} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+), qb AS (
+  SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(v, (SELECT qv FROM qb)), 6) AS cosine
+FROM b
+WHERE bit_count(xor(bucket, (SELECT qbucket FROM qb))) <= 2
+ORDER BY cosine DESC, vec_id
+LIMIT 10
 """
 
 
