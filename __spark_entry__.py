@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": lambda s, d: TX.token_count(load_table(s, d, "documents")),
         "json_extract": lambda s, d: E.json_extract(load_table(s, d, "events")),
         "window_tumbling": lambda s, d: E.window_tumbling(load_table(s, d, "events")),
+        "window_hopping": lambda s, d: E.window_hopping(load_table(s, d, "events")),
         "sessionize": lambda s, d: E.session_stats(load_table(s, d, "events")),
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
@@ -458,6 +459,18 @@ FROM events GROUP BY event_type
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS value_sum
 FROM events GROUP BY 1, 2
+""",
+        "window_hopping": """
+WITH x AS (
+  SELECT event_type, value,
+         UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS value_sum
+FROM x GROUP BY 1, 2
 """,
         "sessionize": """
 WITH flagged AS (

@@ -32,7 +32,7 @@ HEADLINE = [
     "parse_project", "parse_sparse", "repartition_balanced",
     "repartition_stratified", "merge_pairs",
     # events (100k rows)
-    "json_extract", "window_tumbling", "sessionize",
+    "json_extract", "window_tumbling", "window_hopping", "sessionize",
     # documents (5k rows)
     "dedup_exact", "simjoin_candidates", "dedup_minhash", "dedup_simhash",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",

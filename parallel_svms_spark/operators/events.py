@@ -40,6 +40,23 @@ def window_tumbling(events: DataFrame) -> DataFrame:
     )
 
 
+def window_hopping(events: DataFrame, width: str = "1 hour",
+                   slide: str = "30 minutes") -> DataFrame:
+    """E6: hopping (sliding) window aggregation — each event lands in
+    width/slide overlapping windows. F.window generates the window
+    structs JVM-side (no explode UDF); the aggregation is one hash agg
+    keyed (window, type) exactly like the tumbling form, with
+    width/slide× the input rows — the standard overlap cost, NOT an
+    extra shuffle."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events", "value_sum")
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """E6: gap-based sessionization — session breaks when a user is
     idle > gap. lag + cumulative-sum windows, both partitioned by

@@ -33,12 +33,15 @@ def stream_events_from_dir(spark: SparkSession, path: str,
 
 
 def windowed_counts(stream: DataFrame, window: str = "1 hour",
-                    watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window counts with late-data watermark. State is
-    bounded: watermark age × (n_types × windows/hour) rows."""
+                    watermark: str = "2 hours",
+                    slide: str | None = None) -> DataFrame:
+    """Tumbling (or, with ``slide``, hopping) window counts with a
+    late-data watermark. State is bounded: watermark age ×
+    (n_types × windows/hour) rows — ×(width/slide) when hopping."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 6).alias("value_sum"))
         .select(F.col("w.start").alias("window_start"),

@@ -74,3 +74,24 @@ def test_sessionize_invariants(events):
     stats = E.session_stats(events, gap_minutes=30)
     assert stats.count() == events.select("user_id").distinct().count()
     assert s.filter("session_start > session_end").count() == 0
+
+
+def test_window_hopping_double_counts_each_event(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import events as E
+    ev = load_table(spark, sf_dir, "events")
+    hop = E.window_hopping(ev, width="1 hour", slide="30 minutes")
+    # width/slide = 2 ⇒ every event lands in exactly two windows
+    total = hop.agg(F.sum("n_events")).first()[0]
+    assert total == 2 * ev.count()
+    # each hopping window's count equals the sum of its two half-hour
+    # tumbling sub-buckets
+    tum = (ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+           .count().select(F.col("w.start").alias("s"), "event_type", "count"))
+    joined = (hop.join(tum, (tum.event_type == hop.event_type)
+                       & ((tum.s == hop.window_start)
+                          | (tum.s == hop.window_start
+                             + F.expr("INTERVAL 30 minutes"))), "left")
+              .groupBy(hop.window_start, hop.event_type, "n_events")
+              .agg(F.sum("count").alias("sub_sum")))
+    assert joined.filter("n_events != sub_sum").count() == 0

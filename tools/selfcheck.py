@@ -60,6 +60,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        spark.catalog.clearCache()  # drop operator-persisted intermediates
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
