@@ -116,6 +116,21 @@ def parse_dense_lines(lines: DataFrame, col: str = "line") -> DataFrame:
     )
 
 
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 32,
+                   sort_by: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join
+    key. Two tables bucketed the same way equi-join with NO exchange
+    on either side — at 100 TB this converts the fact⋈fact shuffle
+    (the single most expensive stage of a recurring pipeline) into a
+    zero-movement co-located join, paid for once at write time.
+    Plan-shape proof lives in tests/test_plan_shape.py."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.format("parquet").saveAsTable(table)
+
+
 # ---------------------------------------------------------------------------
 # Reference-native sparse codec (P3: label,idx1,val1,idx2,val2,...)
 # ---------------------------------------------------------------------------

@@ -65,3 +65,24 @@ def test_minhash_pipeline_join_strategy(docs):
 def test_exact_dedup_scan_prunes_to_needed_columns(docs):
     p = phys(D.exact_dedup_keys(docs))
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_bucketed_tables_join_with_zero_exchange(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table, write_bucketed
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(lineitem, "b_lineitem", "l_orderkey", n_buckets=8)
+    try:
+        j = (spark.table("b_lineitem")
+             .join(spark.table("b_orders"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .select("l_orderkey", "o_orderstatus"))
+        p = phys(j)
+        # both scans read pre-bucketed data: the equi-join plans with
+        # NO shuffle on either side (SortMergeJoin over bucketed scans)
+        assert "Exchange hashpartitioning" not in p, p
+        assert j.count() == lineitem.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
