@@ -325,16 +325,22 @@ def cosine_near_dup_blocked(embeddings: DataFrame, threshold: float = 0.9,
     both = side_a.unionByName(side_b)
 
     def tile(pdf):
+        # diagonal iff the GROUP KEY says so — never inferred from row
+        # counts: an off-diagonal (ta, tb) group whose column block tb
+        # happens to be empty (common when n ≪ n_blocks) must emit
+        # nothing, not silently recompute block ta's within-block pairs
+        # (which would duplicate the (ta, ta) task's output)
+        diagonal = bool(pdf["ta"].iloc[0] == pdf["tb"].iloc[0])
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
-        if len(a) == 0:
+        if len(a) == 0 or (not diagonal and len(b) == 0):
             return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                                  "vec_b": pd.Series([], dtype="int64"),
                                  "cosine": pd.Series([], dtype="float64")})
         X = np.stack(a["emb"].to_numpy()).astype(np.float64)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
         ids_a = a["vec_id"].to_numpy()
-        if len(b) == 0:  # diagonal task: within-block upper triangle
+        if diagonal:  # diagonal task: within-block upper triangle
             S = Xn @ Xn.T
             ai, bi = np.nonzero(S >= threshold)
             ids_b = ids_a
@@ -350,7 +356,7 @@ def cosine_near_dup_blocked(embeddings: DataFrame, threshold: float = 0.9,
         va, vb, cos = va[keep], vb[keep], S[ai, bi][keep]
         lo = np.minimum(va, vb)
         hi = np.maximum(va, vb)
-        if len(b) == 0:
+        if diagonal:
             # each unordered within-block pair appears twice (S is
             # symmetric) — keep the va<vb instance only
             keep2 = va < vb

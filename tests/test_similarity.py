@@ -141,6 +141,24 @@ def test_cosine_near_dup_blocked_matches_exact(emb):
         assert got == want
 
 
+def test_cosine_near_dup_blocked_empty_column_block(spark):
+    # Regression: with n ≪ n_blocks many off-diagonal (ta, tb) tasks
+    # receive rows for block ta but NONE for block tb. Such a task must
+    # emit nothing — the buggy row-count branch treated it as a
+    # diagonal task and re-emitted block ta's within-block pairs,
+    # duplicating the (ta, ta) output. 10 identical vectors across 16
+    # blocks guarantees both ≥1 multi-vector block and ≥6 empty blocks.
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got_rows = S.cosine_near_dup_blocked(
+        df, threshold=0.9, n_blocks=16).collect()
+    got = {(r.vec_a, r.vec_b) for r in got_rows}
+    want = {(a, b) for a in range(10) for b in range(a + 1, 10)}
+    assert len(got_rows) == len(got) == 45  # no duplicated pairs
+    assert got == want
+
+
 def test_cosine_near_dup_exact_matches_numpy(emb):
     import numpy as np
     rows = emb.select("vec_id", "embedding").collect()
