@@ -374,6 +374,7 @@ ORDER BY cosine DESC, vec_id
 LIMIT 10
 """,
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "topk_batch": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
@@ -617,6 +618,79 @@ FROM b
 WHERE bit_count(xor(bucket, (SELECT qbucket FROM qb))) <= 2
 ORDER BY cosine DESC, vec_id
 LIMIT 10
+"""
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of the FULL ivf_topk pipeline (similarity.py:236).
+
+    The index build is deterministic and engine-independent: the
+    centroid sample is the ``sample_rows`` smallest
+    ``md5(cast(vec_id as string))`` rows — both engines compute the
+    identical hex digest — and ``_kmeans_lite`` is seeded. So the
+    oracle REBUILDS the exact centroids at oracle-construction time
+    (reading the same sf0.01 parquet the driver registers as views)
+    and inlines them as DOUBLE[] literals. Assignment (argmin ‖v−c‖²
+    with np.argmin's first-wins tie-break), probe-set selection (the
+    4 centroids nearest the query) and the exact cosine rerank are
+    recomputed in pure SQL. Cross-engine argmin agreement holds
+    because a flip needs two centroid distances within ~1e-12 (FP
+    summation-order noise) while measured inter-centroid gaps are
+    O(0.1) — the same argument as the LSH oracle's sign agreement."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from parallel_svms_spark.operators.similarity import _kmeans_lite
+
+    n_lists, n_probe, seed, sample_rows, k = 16, 4, 42, 4096, 10
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    pq = f"{sf_dir}/embeddings.parquet"
+    con = duckdb.connect()
+    sample = con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) AS v FROM read_parquet(?) "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ?",
+        [pq, sample_rows]).fetchall()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    C = _kmeans_lite(X, n_lists, seed)
+    q = np.asarray(con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet(?) "
+        "WHERE vec_id = 0", [pq]).fetchone()[0], dtype=np.float64)
+    con.close()
+    probes = [int(i) for i in np.argsort(((C - q[None, :]) ** 2).sum(1))
+              [:n_probe]]
+
+    def lit(vec: np.ndarray) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+    # d_j = ‖v‖² − 2·v·c_j + ‖c_j‖² minus the per-row constant ‖v‖²,
+    # which cannot change the argmin
+    d_cols = ", ".join(
+        f"({float((c * c).sum())!r} - 2.0 * list_dot_product(v, {lit(c)}))"
+        f" AS d{j}"
+        for j, c in enumerate(C))
+    dnames = ", ".join(f"d{j}" for j in range(len(C)))
+    argmin = ("CASE "
+              + " ".join(f"WHEN d{j} = m THEN {j}" for j in range(len(C)))
+              + " END")
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), d AS (
+  SELECT vec_id, v, {d_cols} FROM e
+), a AS (
+  SELECT vec_id, v, {argmin} AS ivf_list
+  FROM (SELECT *, least({dnames}) AS m FROM d)
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(v, (SELECT v FROM e WHERE vec_id = 0)),
+             6) AS cosine
+FROM a
+WHERE ivf_list IN ({", ".join(map(str, probes))})
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
 """
 
 

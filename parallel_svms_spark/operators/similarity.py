@@ -180,7 +180,8 @@ def _kmeans_lite(X: np.ndarray, n_lists: int, seed: int = 42,
 
 def ivf_assign(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
                sample_rows: int = 4096,
-               features_col: str = "embedding") -> tuple[DataFrame, np.ndarray]:
+               features_col: str = "embedding",
+               id_col: str = "vec_id") -> tuple[DataFrame, np.ndarray]:
     """IVF index build: centroids from a seeded driver-side sample
     (sample size is fixed, not data-proportional — at 100 TB the
     sample is still 4096 rows), then every vector assigned to its
@@ -190,19 +191,25 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
     write the result ``partitionBy('ivf_list')`` so queries prune to
     n_probe/n_lists of the files.
 
-    The sample is the ``sample_rows`` smallest xxhash64 values of the
-    feature vector — a deterministic uniform draw over the WHOLE table
-    (TakeOrdered: per-partition heaps, no full sort). A plain
-    ``limit()`` here would take the first partition's rows, which on
-    sorted/clustered data puts every centroid in one region and
-    collapses recall."""
+    The sample is the ``sample_rows`` rows with the smallest
+    ``md5(cast(id as string))`` — a deterministic uniform draw over
+    the WHOLE table (TakeOrdered: per-partition heaps, no full sort).
+    A plain ``limit()`` here would take the first partition's rows,
+    which on sorted/clustered data puts every centroid in one region
+    and collapses recall. md5-of-id-string (rather than xxhash64) is
+    chosen because every SQL engine computes the identical hex digest,
+    making the whole index build recomputable by the DuckDB oracle
+    (`__spark_entry__._ann_ivf_oracle`); rows are re-sorted driver-side
+    so the k-means input order never depends on Spark's collect order."""
     spark = embeddings.sparkSession
     sample = (embeddings
-              .select(F.col(features_col),
-                      F.xxhash64(F.col(features_col)).alias("_h"))
-              .orderBy("_h").limit(sample_rows)
-              .select(features_col).collect())
-    X = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample])
+              .select(F.col(id_col).alias("_id"), F.col(features_col),
+                      F.md5(F.col(id_col).cast("string")).alias("_h"))
+              .orderBy("_h", "_id").limit(sample_rows)
+              .collect())
+    sample.sort(key=lambda r: (r["_h"], r["_id"]))
+    X = np.stack([np.asarray(r[features_col], dtype=np.float64)
+                  for r in sample])
     C = _kmeans_lite(X, n_lists, seed)
     bc = spark.sparkContext.broadcast(C)
 
