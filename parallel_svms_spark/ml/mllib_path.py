@@ -40,13 +40,18 @@ def train_linear_ovr(df: DataFrame, features_col: str = "embedding",
     is the path where the *solver* parallelizes instead of the data
     being partitioned into independent problems.
 
-    ``parallelism`` defaults to the class count so all N binary fits
-    launch concurrently — each fit is itself a sequence of small
-    treeAggregate jobs, so on an underutilized cluster the N jobs
-    interleave and the OvR wall-clock approaches one binary fit."""
+    ``parallelism`` defaults to min(class count, defaultParallelism)
+    so binary fits interleave without launching an unbounded number of
+    concurrent driver threads/job groups on many-class data — each fit
+    is itself a sequence of small treeAggregate jobs, so on an
+    underutilized cluster the OvR wall-clock approaches one binary
+    fit. Pass ``parallelism`` explicitly when the class count is known
+    to skip the extra distinct().count() job the default costs."""
     data = _to_mllib(df, features_col, label_col)
     if parallelism is None:
-        parallelism = max(data.select("label").distinct().count(), 1)
+        n_classes = max(data.select("label").distinct().count(), 1)
+        cap = df.sparkSession.sparkContext.defaultParallelism
+        parallelism = min(n_classes, max(cap, 1))
     svc = LinearSVC(maxIter=max_iter, regParam=reg_param)
     return OneVsRest(classifier=svc, parallelism=parallelism).fit(data)
 

@@ -101,21 +101,35 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
                         threshold: float = 0.5,
                         max_doc_freq: int | None = 1000,
-                        log_dropped: bool = False) -> DataFrame:
-    """EXACT pairs by shingle-set Jaccard ≥ threshold (prefix-filtered
+                        log_dropped: bool = True) -> DataFrame:
+    """Pairs by shingle-set Jaccard ≥ threshold (prefix-filtered
     candidate generation + array-intersect verification).
 
-    ``max_doc_freq`` drops shingles appearing
-    in more than that many docs (stopword-shingle skew guard — the
-    hot-key salting alternative for this workload; a shingle in f docs
-    generates f²/2 pair rows, so capping f bounds the join blowup).
-    ON by default: an uncapped run on a real corpus with one
-    million-doc stopword shingle would expand ~10¹² pair rows from a
-    single group — pass ``max_doc_freq=None`` only when the corpus is
-    known skew-free and exact Jaccard over ALL shingles is required.
-    ``log_dropped=True`` counts and logs the capped shingles (one
-    extra action over the persisted grouped frame — cheap, but an
-    action, so opt-in). Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    Return contract: results are EXACT Jaccard over the RETAINED
+    shingle sets — with the default ``max_doc_freq`` cap, shingles
+    appearing in more docs than the cap are excluded from both the
+    candidate join and the jaccard numerator/denominator (stopword-
+    shingle skew guard — the hot-key salting alternative for this
+    workload; a shingle in f docs generates f²/2 pair rows, so capping
+    f bounds the join blowup). The cap is ON by default: an uncapped
+    run on a real corpus with one million-doc stopword shingle would
+    expand ~10¹² pair rows from a single group — pass
+    ``max_doc_freq=None`` to get textbook exact Jaccard over ALL
+    shingles when the corpus is known skew-free. ``log_dropped``
+    (default ON — silent semantics changes are worse than one cheap
+    count over the already-persisted grouped frame) warns with the
+    number of capped shingles whenever any were dropped; pass False to
+    suppress the extra action in latency-critical paths. Returns
+    (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Verify-stage cost note (100 TB): each surviving candidate pair
+    joins against BOTH docs' full shingle-hash arrays, so per-candidate
+    shuffle volume is O(|doc_a| + |doc_b|) longs — the price of exact
+    jaccard values. The positional filter bounds the candidate COUNT
+    (measured 40M → ~1M on the 10× stress corpus), which bounds the
+    aggregate verify traffic; on corpora with very large docs where
+    even that is too much, use minhash_near_dups (constant-size
+    signatures end-to-end) and accept estimated jaccard.
 
     Caching contract: intermediates are persist()ed because multiple
     branches of the returned plan consume them; the entries live until
