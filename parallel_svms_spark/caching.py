@@ -1,0 +1,59 @@
+"""Cache-lifetime scoping for operators that persist() intermediates.
+
+Some operators (``dedup.ngram_jaccard_pairs``, ``dedup.minhash_near_dups``)
+persist shared subtrees because several branches of the returned plan
+consume them — Catalyst does no cross-branch CSE, so an unpersisted run
+re-derives the whole upstream pipeline per branch. Spark offers no
+after-action hook, and unpersisting before the caller's action would
+force that recomputation, so by default the blocks live until the
+caller clears them (the documented contract; blocks are LRU-evictable
+under memory pressure either way).
+
+``cache_scope`` gives long-lived sessions a deterministic lifetime:
+
+    with cache_scope():
+        pairs = minhash_near_dups(docs).collect()
+    # every intermediate persisted inside the scope is now unpersisted
+
+Scopes nest; each scope drops exactly the entries persisted while it
+was the innermost active scope. This is driver-local bookkeeping only
+— no executor coordination, no extra jobs (unpersist(blocking=False)).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_SCOPES: list[list[DataFrame]] = []
+
+
+def scoped_persist(df: DataFrame,
+                   level: StorageLevel | None = None) -> DataFrame:
+    """persist() that registers the frame with the innermost active
+    ``cache_scope`` (no-op registration when no scope is active —
+    caller-managed lifetime, the historical contract)."""
+    out = df.persist(level if level is not None
+                     else StorageLevel.MEMORY_AND_DISK)
+    if _SCOPES:
+        _SCOPES[-1].append(out)
+    return out
+
+
+@contextmanager
+def cache_scope():
+    """Unpersist every ``scoped_persist`` entry made inside the block
+    on exit (success or error)."""
+    entries: list[DataFrame] = []
+    _SCOPES.append(entries)
+    try:
+        yield entries
+    finally:
+        _SCOPES.pop()
+        for df in entries:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release

@@ -133,10 +133,11 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
 
     Caching contract: intermediates are persist()ed because multiple
     branches of the returned plan consume them; the entries live until
-    the CALLER drops them (``spark.catalog.clearCache()`` or session
-    end) — Spark offers no after-action hook, and unpersisting before
-    the caller's action would force triple recomputation. Long-lived
-    sessions running many queries should clearCache between them (as
+    the CALLER drops them — Spark offers no after-action hook, and
+    unpersisting before the caller's action would force triple
+    recomputation. Long-lived sessions should run this inside
+    ``parallel_svms_spark.caching.cache_scope()`` (unpersists every
+    intermediate on scope exit) or clearCache between queries (as
     bench.py does); under memory pressure the blocks are LRU-evictable
     so the leak is bounded either way.
     """
@@ -154,7 +155,7 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     # join key = xxhash64(shingle), hashed INSIDE the array before the
     # explode: the exploded rows and every exchange carry 8-byte longs,
     # never ~25-byte strings (collision odds ~n²/2⁶⁴ — negligible).
-    from pyspark.storagelevel import StorageLevel
+    from parallel_svms_spark.caching import scoped_persist
     sh = (ensure_parallelism(documents)
           .select("doc_id", F.explode(F.array_distinct(
               F.transform(shingles_col("text", k),
@@ -162,7 +163,7 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
     df_freq = sh.groupBy("h").agg(F.count("*").alias("df"))
     if max_doc_freq is not None:
         if log_dropped:
-            df_freq = df_freq.persist(StorageLevel.MEMORY_AND_DISK)
+            df_freq = scoped_persist(df_freq)
             n_hot = df_freq.filter(F.col("df") > max_doc_freq).count()
             if n_hot:
                 import logging
@@ -188,8 +189,8 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
                .withColumn("plen",
                            (F.col("n_sh")
                             - F.ceil(F.col("n_sh") * F.lit(float(threshold)))
-                            + 1).cast("int"))
-               .persist(StorageLevel.MEMORY_AND_DISK))
+                            + 1).cast("int")))
+    per_doc = scoped_persist(per_doc)
     # persist: per_doc feeds the prefix index AND both verify sides —
     # unpersisted, Catalyst re-derives the whole scan→explode→join→
     # group pipeline three times (no cross-join CSE)
@@ -333,16 +334,19 @@ def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
                       n_bands: int = 16, rows_per_band: int = 4,
                       seed: int = 42) -> DataFrame:
     """Full near-dup pipeline: sign → band → candidates → verify with
-    exact Jaccard (join back to shingle sets only for candidates)."""
-    from pyspark.storagelevel import StorageLevel
+    exact Jaccard (join back to shingle sets only for candidates).
+
+    Same caching contract as ``ngram_jaccard_pairs``: run inside
+    ``caching.cache_scope()`` for deterministic block lifetime in
+    long-lived sessions."""
+    from parallel_svms_spark.caching import scoped_persist
     sigs = minhash_signatures(documents, n_hashes, k, seed)
     # persist: downstream consumes cands THREE times (both arms of the
     # cand_ids union + the final verify join) and each arm would
     # otherwise re-run the whole sign→band→pair pipeline over the full
     # corpus; the candidate list itself is two ids per row — the
     # cheapest thing in the pipeline to keep
-    cands = lsh_candidate_pairs(sigs, n_bands, rows_per_band) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cands = scoped_persist(lsh_candidate_pairs(sigs, n_bands, rows_per_band))
     # verify candidates exactly: semi-join documents down to candidate
     # ids FIRST, so shingle sets are recomputed only for docs that
     # appear in a candidate pair (≪ corpus at any scale)
@@ -351,10 +355,10 @@ def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
                 .distinct())
     # persist sh too: the a/b join aliases below each scan it, and a
     # recompute re-runs the corpus-wide semi-join + shingling
-    sh = (documents.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id", F.transform(F.array_distinct(shingles_col("text", k)),
-                              lambda s: F.xxhash64(s)).alias("sh"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = scoped_persist(
+        documents.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id", F.transform(F.array_distinct(shingles_col("text", k)),
+                                  lambda s: F.xxhash64(s)).alias("sh")))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     # shuffle_hash: neither side is safely broadcastable at scale —

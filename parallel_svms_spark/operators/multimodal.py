@@ -21,6 +21,7 @@ Design for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+from contextlib import contextmanager as _contextmanager
 
 import numpy as np
 import pandas as pd
@@ -104,14 +105,19 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
     (requires ``_HAVE_CODECS``) — same batching, schema and plan, only
     the per-payload function changes.
 
-    ``batch_rows``, when given, caps rows per Arrow batch by setting
+    ``batch_rows``, when given, caps rows per Arrow batch via
     spark.sql.execution.arrow.maxRecordsPerBatch — REQUIRED for
     MB-scale payloads (batches must stay under Arrow's 2 GB limit).
-    It is a SESSION-level conf, so it intentionally stays unset by
-    default: setting it here unconditionally was observed to throttle
-    every later Pandas-UDF stage in the session (64-row Arrow batches
-    for the SVM trainers — ~15% on the bench) long after this operator
-    finished.
+    That is a SESSION-level conf read at execution time, so this path
+    runs the extraction stage EAGERLY (localCheckpoint) inside a
+    set/restore window and returns the materialized result: later
+    Pandas-UDF stages in the session see the caller's original conf
+    (an unconditional set here was observed to throttle the SVM
+    trainers to 64-row Arrow batches — ~15% on the bench — long after
+    this operator finished). The eager trade is sound exactly when
+    batch_rows matters: the input payloads are huge but the output is
+    fixed-width (dim floats/row), so checkpoint storage is small.
+    Without ``batch_rows`` the result is lazy as usual.
     """
     if codec == "digest":
         feat_fn = _fake_decode_features
@@ -122,10 +128,6 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
         feat_fn = _image_features
     else:
         raise ValueError(f"unknown codec: {codec!r}")
-    if batch_rows is not None:
-        media.sparkSession.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-
     def run(it):
         for pdf in it:
             if len(pdf) == 0:
@@ -141,9 +143,33 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM,
                 "features": [f.tolist() for f in feats],
             })
 
-    return media.mapInPandas(
+    out = media.mapInPandas(
         run, schema=("media_id long, media_type string, n_bytes long, "
                      f"features array<float>"))
+    if batch_rows is not None:
+        with _temp_conf(media.sparkSession,
+                        "spark.sql.execution.arrow.maxRecordsPerBatch",
+                        str(batch_rows)):
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+@_contextmanager
+def _temp_conf(spark, key: str, value: str):
+    """Set a session conf for the duration of the block, restoring the
+    caller's value (or unset state) on exit — success or error."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def resize_images(media: DataFrame, target_w: int = 224,

@@ -124,3 +124,23 @@ def test_doc_freq_cap_bounds_planted_stopword_blowup(spark):
     capped = D.ngram_jaccard_pairs(docs, k=3, threshold=0.0,
                                    max_doc_freq=10, log_dropped=True)
     assert capped.count() == 0
+
+
+def test_cache_scope_releases_persisted_blocks(spark, docs):
+    """VERDICT r2 #5: the persisting operators leave blocks behind by
+    documented contract; cache_scope must reclaim them on exit."""
+    from parallel_svms_spark.caching import cache_scope
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    with cache_scope():
+        D.minhash_near_dups(docs, threshold=0.5).collect()
+        assert not cm.isEmpty()  # intermediates cached inside the scope
+    assert cm.isEmpty()          # nothing survives scope exit
+    with cache_scope():
+        D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        assert not cm.isEmpty()
+    assert cm.isEmpty()
+    # outside any scope the historical caller-managed contract holds
+    D.minhash_near_dups(docs, threshold=0.5).collect()
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()

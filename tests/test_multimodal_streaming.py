@@ -113,3 +113,29 @@ def test_resize_images_only_images_fixed_dims(media):
     again = MM.resize_images(media, 64, 48).orderBy("media_id").limit(5).collect()
     assert [bytes(r.payload) for r in out.orderBy("media_id").limit(5).collect()] \
         == [bytes(r.payload) for r in again]
+
+
+def test_extract_features_batch_rows_restores_arrow_conf(spark, media):
+    """VERDICT r2 #6: the Arrow batch cap must not leak past the
+    operator — a subsequent Pandas-UDF stage sees the prior conf."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    want = [(r.media_id, r.features) for r in
+            MM.extract_features(media).orderBy("media_id").limit(20).collect()]
+    capped = MM.extract_features(media, batch_rows=7)
+    got = [(r.media_id, r.features) for r in
+           capped.orderBy("media_id").limit(20).collect()]
+    assert got == want                       # cap changes batching only
+    assert spark.conf.get(key) == before     # conf restored eagerly
+    # a later Arrow stage runs under the caller's conf, full batch size
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def bsize(s):
+        return pd.Series([len(s)] * len(s))
+    bsize.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    sizes = (media.limit(500)
+             .repartition(1)
+             .select(pandas_udf(bsize, "long")("media_id").alias("b"))
+             .collect())
+    assert max(r.b for r in sizes) > 7       # not throttled to 7
