@@ -189,7 +189,9 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
 
     Returns (embeddings + ``ivf_list`` column, centroids). At scale,
     write the result ``partitionBy('ivf_list')`` so queries prune to
-    n_probe/n_lists of the files.
+    n_probe/n_lists of the files — ``write_ivf_partitioned`` /
+    ``ivf_topk_partitioned`` package exactly that (pruning proven by
+    plan test).
 
     The sample is the ``sample_rows`` rows with the smallest
     ``md5(cast(id as string))`` — a deterministic uniform draw over
@@ -243,6 +245,45 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     cand = assigned.filter(F.col("ivf_list").isin(probes))
     return topk_cosine(cand, [float(x) for x in q], k,
                        features_col=features_col)
+
+
+def write_ivf_partitioned(embeddings: DataFrame, path: str,
+                          n_lists: int = 16, seed: int = 42,
+                          sample_rows: int = 4096,
+                          features_col: str = "embedding",
+                          id_col: str = "vec_id") -> np.ndarray:
+    """Materialize the IVF index as a Hive-partitioned parquet layout
+    (one directory per inverted list) and return the centroids.
+
+    This is the build-once/query-many half of the 100 TB story that
+    ``ivf_topk`` (which re-assigns per query) only documents: with the
+    table written ``partitionBy('ivf_list')``, the probe predicate in
+    ``ivf_topk_partitioned`` becomes a PARTITION filter — Spark lists
+    and reads only n_probe/n_lists of the files, no per-row filtering,
+    no scan of the other lists (proven in
+    tests/test_plan_shape.py::test_ivf_partitioned_layout_prunes_scan).
+    """
+    assigned, C = ivf_assign(embeddings, n_lists, seed, sample_rows,
+                             features_col, id_col)
+    assigned.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    return C
+
+
+def ivf_topk_partitioned(spark, path: str, centroids: np.ndarray,
+                         query_vec: list[float], k: int = 10,
+                         n_probe: int = 4,
+                         features_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k against a ``write_ivf_partitioned`` layout: pick the
+    n_probe nearest lists driver-side (centroids are tiny), push
+    ``ivf_list IN (...)`` as a partition filter, exact-rerank inside
+    the surviving files only."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(1)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    cand = spark.read.parquet(path).filter(F.col("ivf_list").isin(probes))
+    return topk_cosine(cand, [float(x) for x in q], k,
+                       id_col=id_col, features_col=features_col)
 
 
 # ---------------------------------------------------------------------------

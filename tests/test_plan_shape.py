@@ -86,3 +86,43 @@ def test_bucketed_tables_join_with_zero_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_partitioned_layout_prunes_scan(spark, emb, tmp_path):
+    """VERDICT r2 #7: the write-path pruning ivf_assign promises.
+    The probe predicate must land in PartitionFilters (metadata-level
+    pruning), and a poison file planted in a non-probed list directory
+    proves behaviorally that pruned directories are never opened."""
+    import os
+
+    import numpy as np
+    path = str(tmp_path / "ivf_emb")
+    C = S.write_ivf_partitioned(emb, path, n_lists=8)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    got = S.ivf_topk_partitioned(spark, path, C, qvec, k=10, n_probe=3)
+    p = phys(got)
+    assert "PartitionFilters" in p and "ivf_list" in p.split(
+        "PartitionFilters", 1)[1][:200]
+    # the pruned query agrees with the in-memory path at equal probes
+    want = [r.vec_id for r in S.ivf_topk(emb, qvec, k=10, n_lists=8,
+                                         n_probe=3).collect()]
+    assert [r.vec_id for r in got.collect()] == want
+    # behavioral pruning proof: corrupt parquet in a NON-probed list dir
+    q = np.asarray(qvec, dtype=np.float64)
+    probes = [int(i) for i in
+              np.argsort(((C - q[None, :]) ** 2).sum(1))[:3]]
+    schema = spark.read.parquet(path).schema  # inferred pre-poison
+    victim = next(d for d in os.listdir(path)
+                  if d.startswith("ivf_list=")
+                  and int(d.split("=")[1]) not in probes)
+    poison = os.path.join(path, victim, "part-99999.parquet")
+    with open(poison, "wb") as f:
+        f.write(b"this is not a parquet file")
+    try:
+        pruned = (spark.read.schema(schema).parquet(path)
+                  .filter(F.col("ivf_list").isin(probes)))
+        assert pruned.count() > 0  # poison dir pruned away, never opened
+        with pytest.raises(Exception):
+            spark.read.schema(schema).parquet(path).count()  # full scan dies
+    finally:
+        os.remove(poison)
