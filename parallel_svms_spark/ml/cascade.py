@@ -38,10 +38,16 @@ def _validate_k(k: int) -> None:
 
 def cascade_train(df: DataFrame, k: int, C: float = 1.0,
                   gamma: float | None = None, kernel: str = "rbf",
-                  checkpoint: bool = True) -> tuple[SVCModel, DataFrame]:
+                  checkpoint: bool = True,
+                  stats_out: dict | None = None) -> tuple[SVCModel, DataFrame]:
     """Train cascade SVM; returns (final model, final SV DataFrame).
 
-    df columns: vec_id, label, embedding.
+    df columns: vec_id, label, embedding. Pass ``stats_out={}`` to
+    receive ``{"layers": [(n_buckets, n_rows), ...]}`` — the row count
+    entering each layer (and the surviving-SV count after each), the
+    observable behind the paper's per-layer SV-shrinkage claim (PDF
+    slide 23); costs nothing since the driver loop counts each layer
+    anyway.
     """
     _validate_k(k)
     cur = balanced_buckets(df, k)
@@ -51,6 +57,8 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
     cur = cur.localCheckpoint() if checkpoint else cur.cache()
     n_rows = cur.count()
     n_buckets = k
+    if stats_out is not None:
+        stats_out["layers"] = [(n_buckets, n_rows)]
     while n_buckets > 1:
         # strategy per layer: bucket-granular tasks while the layer is
         # wide (one exchange of each row, plenty of tasks); switch to
@@ -72,6 +80,8 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
         cur = cur.localCheckpoint() if checkpoint else cur.cache()
         n_rows = cur.count()
         n_buckets //= 2
+        if stats_out is not None:
+            stats_out["layers"].append((n_buckets, n_rows))
     # final retrain on surviving SVs (Lastcascade.java:109-144). The
     # reference runs this in ONE reducer — the serial tail of Cascade
     # SVM. Past ~5k surviving SVs the N(N−1)/2 one-vs-one duals are

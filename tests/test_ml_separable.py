@@ -1,0 +1,114 @@
+"""SURVEY §5.4's accuracy-envelope test plan on a fixture where the
+algorithms can actually demonstrate their value.
+
+The driver fixture's labels are near-random (BASELINE.md: nearest-
+centroid 0.21 vs 0.10 chance), so no SV reduction ever occurs there
+and every cascade layer carries all rows. This module generates the
+SEPARABLE fixture the reference's own evaluation assumes (the paper's
+MNIST runs, PDF slides 23-24): seeded 10-class Gaussian blobs. On it
+we assert the two headline claims:
+
+- per-layer SV-count shrinkage in the cascade (slide 23's shape);
+- parallel-vs-single accuracy gap within the paper's envelope
+  (slide 24 reports 0.5-3%; loosened to 5 points for fixture size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parallel_svms_spark.ml import evaluate, smo, trainer
+from parallel_svms_spark.ml.bagging import bagging_predict, bagging_train
+from parallel_svms_spark.ml.cascade import cascade_train
+from parallel_svms_spark.ml.iterative import iterative_train
+
+N_ROWS = 2000
+N_CLASSES = 10
+DIM = 16
+GAMMA = 1.0 / DIM
+
+
+def _blobs(n: int = N_ROWS, n_classes: int = N_CLASSES, dim: int = DIM,
+           spread: float = 5.0, std: float = 0.6, seed: int = 7):
+    """Seeded Gaussian blobs: well-separated class centers, modest
+    within-class noise — separable but not trivially so (std/spread
+    chosen so a few points sit near boundaries and SVs exist)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_classes, dim)) * spread
+    labels = rng.integers(0, n_classes, size=n)
+    X = centers[labels] + rng.standard_normal((n, dim)) * std
+    return X.astype(np.float32), labels.astype(np.int64)
+
+
+@pytest.fixture(scope="module")
+def blobs_np():
+    return _blobs()
+
+
+@pytest.fixture(scope="module")
+def blobs(spark, blobs_np):
+    X, y = blobs_np
+    rows = [(int(i), int(y[i]), [float(v) for v in X[i]])
+            for i in range(len(y))]
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>") \
+        .repartition(8).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def single_model_acc(blobs_np):
+    """The serial baseline every parallel variant is measured against:
+    one SMO solve over the full fixture (driver-side numpy)."""
+    X, y = blobs_np
+    model = smo.train_svc(X.astype(np.float64), y, gamma=GAMMA)
+    acc = float((model.predict(X.astype(np.float64)) == y).mean())
+    assert acc >= 0.95  # the fixture is actually separable
+    return model, acc
+
+
+def test_cascade_sv_counts_shrink_per_layer(blobs, single_model_acc):
+    stats: dict = {}
+    model, svs = cascade_train(blobs, k=8, gamma=GAMMA, stats_out=stats)
+    layers = stats["layers"]          # [(n_buckets, n_rows), ...]
+    assert layers[0] == (8, N_ROWS)
+    counts = [n for _, n in layers]
+    # slide 23's shape: every layer distills — monotone decrease, and
+    # the cascade's whole premise: far fewer rows reach the tip than
+    # entered the base layer
+    assert all(b < a for a, b in zip(counts, counts[1:])), counts
+    assert counts[-1] < 0.5 * N_ROWS, counts
+    # the final model keeps only its own SVs — fewer still
+    assert 0 < model.n_sv <= counts[-1]
+    assert svs.count() == model.n_sv
+
+
+def test_cascade_accuracy_within_envelope(blobs, single_model_acc):
+    _, single_acc = single_model_acc
+    model, _ = cascade_train(blobs, k=8, gamma=GAMMA)
+    acc = evaluate.accuracy(trainer.predict_df(blobs, model))
+    assert acc >= single_acc - 0.05, (acc, single_acc)
+
+
+def test_bagging_accuracy_within_envelope(blobs, single_model_acc):
+    _, single_acc = single_model_acc
+    models, _ = bagging_train(blobs, k=4, gamma=GAMMA)
+    acc = evaluate.accuracy(bagging_predict(blobs, models))
+    assert acc >= single_acc - 0.05, (acc, single_acc)
+    # each bagged model trains on ~1/4 of a separable fixture: its SV
+    # set must be a small fraction of its subset (the non-degenerate-
+    # fixture property the r2 fixture lacked)
+    for b, m in models.items():
+        assert m.n_sv < 0.6 * (N_ROWS / 4), (b, m.n_sv)
+
+
+def test_iterative_accuracy_and_error_signal(blobs, single_model_acc):
+    _, single_acc = single_model_acc
+    gsv, errs = iterative_train(blobs, k=4, gamma=GAMMA)
+    # the convergence signal must actually converge on separable data:
+    # final errorsum no worse than the first, and small in absolute
+    # terms (errorsum = Σ_buckets Σ_class floor(err_rate·100))
+    assert errs[-1] <= errs[0]
+    assert errs[-1] <= 4 * N_CLASSES * 5  # ≤5 points/class/bucket
+    # the distilled global SV set is a small fraction of the data
+    assert 0 < gsv.count() < 0.5 * N_ROWS
