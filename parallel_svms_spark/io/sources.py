@@ -62,6 +62,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     projections) the extra exchange costs more than the work, and on a
     healthy many-row-group layout it's pure overhead.
     """
+    if df.isStreaming:
+        # micro-batch partitioning is the source's job (maxFilesPerTrigger
+        # / kafka partitions); a blind repartition would also force an
+        # exchange into every micro-batch
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         # physical scan partition count without df.rdd: df.rdd appends

@@ -266,6 +266,23 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 64,
     `array_min` passes) measured ~5× slower at identical output.
     Overflow-safe: shingle hashes and a are both < 2³¹ so a·h+b < 2⁶².
     """
+    hashed = ensure_parallelism(documents).select(
+        "doc_id", minhash_hashes_col("text", k).alias("hs"))
+    return hashed.select(
+        "doc_id", minhash_udf(n_hashes, seed)("hs").alias("sig"))
+
+
+def minhash_hashes_col(text_col: str = "text", k: int = 3) -> F.Column:
+    """Shingle-hash array feeding the minhash reducer — JVM-side
+    (shingling + xxhash64 folded into the 31-bit field)."""
+    return F.transform(shingles_col(text_col, k),
+                       lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE31))
+
+
+def minhash_udf(n_hashes: int = 64, seed: int = 42):
+    """The Arrow affine-min reducer behind ``minhash_signatures`` —
+    exposed separately so the streaming twin (streaming/windows.py)
+    applies the IDENTICAL signature function to micro-batches."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -289,13 +306,22 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 64,
         return pd.Series(list(np.minimum.reduceat(vals, starts, axis=0)))
 
     _mins.__annotations__ = {"hs": pd.Series, "return": pd.Series}
-    mins_udf = pandas_udf(_mins, "array<long>")
-    hashed = ensure_parallelism(documents).select(
-        "doc_id",
-        F.transform(shingles_col("text", k),
-                    lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE31))
-        .alias("hs"))
-    return hashed.select("doc_id", mins_udf("hs").alias("sig"))
+    return pandas_udf(_mins, "array<long>")
+
+
+def band_structs(n_bands: int = 16, rows_per_band: int = 4) -> F.Column:
+    """Array of (band, bandhash) structs over a ``sig`` column — the
+    banding expression shared by the batch candidate generator and the
+    streaming stream-static twin (streaming/windows.py). Pure JVM."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.struct(
+            i.alias("band"),
+            F.xxhash64(F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string")), ",")).alias("bandhash"),
+        ))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
@@ -307,15 +333,7 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
     expansion is the standard f² cost, bounded by band-hash width.
     Returns (doc_a, doc_b) distinct, doc_a < doc_b.
     """
-    bands = F.explode(F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda i: F.struct(
-            i.alias("band"),
-            F.xxhash64(F.array_join(
-                F.transform(
-                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string")), ",")).alias("bandhash"),
-        )))
+    bands = F.explode(band_structs(n_bands, rows_per_band))
     exploded = signatures.select("doc_id", bands.alias("bh")) \
                          .select("doc_id", "bh.band", "bh.bandhash")
     return (

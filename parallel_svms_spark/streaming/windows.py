@@ -151,6 +151,82 @@ def streaming_exact_dedup(stream: DataFrame,
             .drop("digest"))
 
 
+def static_minhash_index(documents: DataFrame, n_hashes: int = 64,
+                         k: int = 3, n_bands: int = 16,
+                         rows_per_band: int = 4,
+                         seed: int = 42) -> DataFrame:
+    """Static side of the stream-static near-dup join: one row per
+    (band, bandhash) per corpus doc, carrying the doc's distinct
+    shingle-hash set for exact verification. Build once from the batch
+    corpus (same signature family as ``dedup.minhash_signatures``);
+    at scale, persist it or write it bucketed by (band, bandhash) so
+    each micro-batch joins without rebuilding."""
+    from parallel_svms_spark.operators import dedup as D
+    sigs = D.minhash_signatures(documents, n_hashes, k, seed)
+    banded = (sigs
+              .select("doc_id", F.explode(
+                  D.band_structs(n_bands, rows_per_band)).alias("bh"))
+              .select(F.col("doc_id").alias("doc_b"),
+                      "bh.band", "bh.bandhash"))
+    sh = documents.select(
+        F.col("doc_id").alias("doc_b"),
+        F.transform(F.array_distinct(D.shingles_col("text", k)),
+                    lambda s: F.xxhash64(s)).alias("sh_b"))
+    return banded.join(sh, "doc_b")
+
+
+def streaming_minhash_near_dups(stream_docs: DataFrame,
+                                static_index: DataFrame,
+                                n_hashes: int = 64, k: int = 3,
+                                threshold: float = 0.5,
+                                n_bands: int = 16, rows_per_band: int = 4,
+                                seed: int = 42,
+                                watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of ``dedup.minhash_near_dups``: match each
+    arriving doc against a static corpus index (E2 × streaming —
+    continuous-ingest near-dup screening).
+
+    Same pipeline, streaming-shaped:
+    - sign: the batch signature family (``minhash_udf`` — identical
+      permutations) as a narrow per-micro-batch map, no state;
+    - band: same ``band_structs`` expression, exploded;
+    - candidates: a STREAM-STATIC equi-join on (band, bandhash) — no
+      stream-stream join state; the static side is a plain DataFrame
+      the planner shuffles/broadcasts per its size;
+    - verify: exact Jaccard over distinct shingle-hash sets, same
+      xxhash64 family as the batch verifier;
+    - emit-once: a doc collides with the same corpus doc in up to
+      ``n_bands`` bands; ``dropDuplicatesWithinWatermark`` on
+      (doc_a, doc_b) collapses them with state bounded by the
+      watermark horizon (the unbounded ``distinct`` of the batch
+      operator is not available to a stream).
+
+    Returns (doc_a = stream doc, doc_b = corpus doc, ts, jaccard).
+    """
+    from parallel_svms_spark.operators import dedup as D
+    sh_a = F.transform(F.array_distinct(D.shingles_col("text", k)),
+                       lambda s: F.xxhash64(s))
+    sigs = (stream_docs
+            .select("doc_id", "ts", sh_a.alias("sh_a"),
+                    D.minhash_hashes_col("text", k).alias("hs"))
+            .select("doc_id", "ts", "sh_a",
+                    D.minhash_udf(n_hashes, seed)("hs").alias("sig")))
+    banded = (sigs
+              .select("doc_id", "ts", "sh_a", F.explode(
+                  D.band_structs(n_bands, rows_per_band)).alias("bh"))
+              .select(F.col("doc_id").alias("doc_a"), "ts", "sh_a",
+                      "bh.band", "bh.bandhash"))
+    jac = F.round(F.size(F.array_intersect("sh_a", "sh_b"))
+                  / F.size(F.array_union("sh_a", "sh_b")), 6)
+    return (banded.withWatermark("ts", watermark)
+            .join(static_index, ["band", "bandhash"])
+            .filter(F.col("doc_a") != F.col("doc_b"))
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "ts", "jaccard")
+            .dropDuplicatesWithinWatermark(["doc_a", "doc_b"]))
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str = "stream_out",
                          output_mode: str = "append"):
     """Drive a bounded file-stream to completion synchronously (test

@@ -108,3 +108,60 @@ def test_streaming_exact_dedup_bounded_state(spark):
         got = sorted(r.doc_id for r in
                      spark.sql(f"SELECT * FROM {name}").collect())
     assert got == [0, 1, 3]  # doc 2 (cross-batch exact dup) dropped
+
+
+def test_streaming_minhash_near_dups_stream_static(spark):
+    import glob
+    import os
+    import shutil
+
+    from parallel_svms_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    corpus_texts = {
+        100: "the quick brown fox jumps over the lazy dog every single day",
+        101: "completely different content about spark structured streaming",
+        102: "another unrelated corpus document mentioning gaussian models",
+    }
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in corpus_texts.items()], "doc_id long, text string")
+    idx = SW.static_minhash_index(corpus)
+    # batch 1: a near-dup of corpus doc 100 (first token dropped) + noise;
+    # batch 2: an EXACT dup of 101 — collides in all 16 bands, must
+    # still emit exactly once (the bounded-state dedup)
+    f1 = [(1, t0, " ".join(corpus_texts[100].split()[1:])),
+          (2, t0 + timedelta(minutes=1),
+           "nothing similar here at all whatsoever to anything above")]
+    f2 = [(3, t0 + timedelta(minutes=5), corpus_texts[101])]
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, rows in enumerate((f1, f2)):
+            spark.createDataFrame(rows, SW.DOCS_SCHEMA).coalesce(1) \
+                .write.parquet(f"{tmp}/d/{i}")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/d/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = (spark.readStream.schema(SW.DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(dst))
+        pairs = SW.streaming_minhash_near_dups(stream, idx, threshold=0.5)
+        name = "stream_minhash_test"
+        q = (pairs.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.doc_a, r.doc_b): r.jaccard
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        n_rows = spark.sql(f"SELECT COUNT(*) c FROM {name}").first().c
+    assert set(got) == {(1, 100), (3, 101)}
+    assert n_rows == 2                      # band collisions collapsed
+    assert got[(3, 101)] == 1.0             # exact dup
+    # jaccard values match the BATCH operator bit-for-bit on the union
+    union = corpus.unionByName(spark.createDataFrame(
+        [(i, t) for i, _, t in f1 + f2], "doc_id long, text string"))
+    batch = {(r.doc_a, r.doc_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(
+                 union, threshold=0.5, max_doc_freq=None).collect()}
+    assert got[(1, 100)] == batch[(1, 100)]
+    assert got[(3, 101)] == batch[(3, 101)]
