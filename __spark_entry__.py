@@ -20,6 +20,7 @@ from parallel_svms_spark.operators import dedup as D
 from parallel_svms_spark.operators import events as E
 from parallel_svms_spark.operators import relational as R
 from parallel_svms_spark.operators import partitioning as X
+from parallel_svms_spark.operators import sharding as SH
 from parallel_svms_spark.operators import text as TX
 
 K_BUCKETS = 8  # reference runs k ∈ {2,4,8,16} (PDF slide 23); 8 is the middle
@@ -234,6 +235,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iterative_svm": _iterative_svm,
         # §2.8 extension ops — dedup / similarity / text / events
         "dedup_exact": lambda s, d: D.exact_dedup_keys(load_table(s, d, "documents")),
+        "dedup_clusters": lambda s, d: D.dedup_clusters(
+            load_table(s, d, "documents"), k=3, threshold=0.5),
+        "shard_pack": lambda s, d: SH.pack_shards(
+            load_table(s, d, "documents"), budget_tokens=4096),
+        "sample_stratified": lambda s, d: SH.stratified_sample(
+            load_table(s, d, "embeddings"), n_per_label=10),
         "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "dedup_minhash": lambda s, d: D.minhash_near_dups(
@@ -346,6 +353,24 @@ FROM k
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "simjoin_candidates": _JACCARD_PAIRS_ORACLE,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        "shard_pack": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - len(string_split(text, ' '))) // 4096 AS BIGINT) AS shard
+FROM documents
+""",
+        "sample_stratified": """
+SELECT vec_id, label FROM (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM embeddings
+) WHERE rn <= 10
+""",
         # The minhash pipeline post-verifies its LSH candidates with
         # EXACT Jaccard, so its output is the exact pair set wherever
         # banding recall is 1. On this fixture the minimum qualifying
@@ -523,6 +548,27 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+"""
+
+# Connected components over the jaccard-≥-threshold edge set: every
+# doc's cluster_rep = min reachable doc_id. The recursive CTE
+# enumerates (node, reachable-label) pairs to a fixpoint (UNION = set
+# semantics), then folds with MIN — independent of the engine's
+# min-label-propagation rounds, so it cross-checks the iteration's
+# convergence, not just its plumbing.
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pr AS ({_JACCARD_PAIRS_ORACLE}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pr
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pr
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, r.lab FROM edges e JOIN reach r ON r.node = e.d
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_rep FROM reach GROUP BY node
 """
 
 # Full independent recomputation of the simhash near-dup pipeline

@@ -496,3 +496,62 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
     return (cands.withColumn("hamming", hamming)
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# E2d — near-dup cluster canonicalization (connected components)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(documents: DataFrame, k: int = 3,
+                   threshold: float = 0.5,
+                   max_doc_freq: int | None = 1000,
+                   max_iter: int = 50) -> DataFrame:
+    """Canonical-representative assignment over the near-dup graph:
+    every doc gets ``cluster_rep`` = the smallest doc_id reachable
+    through jaccard-≥-threshold edges (connected components). The
+    dedup ENDGAME for a training corpus — pairs alone don't dedupe;
+    ``filter(doc_id == cluster_rep)`` keeps exactly one doc per
+    near-dup cluster (and every singleton keeps itself).
+
+    Spark shape: min-label propagation. Labels start as doc_id; each
+    round every node takes the min of its own and its neighbors'
+    labels (one shuffle-hash join + groupBy over the edge list, which
+    persists once); converges when the label sum stops changing —
+    labels only ever decrease, so the sum is a strictly-decreasing
+    convergence witness costing one cheap agg instead of a self-join
+    diff. Rounds needed = component diameter; near-dup clusters are
+    dense (diameter ≤ 3 in practice). For adversarial long-chain
+    graphs swap the loop body for large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    same join primitive, O(log n) rounds guaranteed.
+
+    The DuckDB oracle recomputes reachability with a recursive CTE
+    and must produce the identical (doc_id, cluster_rep) multiset.
+    """
+    from parallel_svms_spark.caching import scoped_persist
+    pairs = ngram_jaccard_pairs(documents, k, threshold,
+                                max_doc_freq=max_doc_freq,
+                                log_dropped=False)
+    edges = scoped_persist(
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"),
+                            F.col("doc_a").alias("d"))))
+    lab = documents.select("doc_id", F.col("doc_id").alias("lab")) \
+                   .localCheckpoint()
+    prev_sum = lab.agg(F.sum("lab")).first()[0]
+    for _ in range(max_iter):
+        nbr = (edges.join(lab.select(F.col("doc_id").alias("d"),
+                                     F.col("lab").alias("nbr_lab")), "d")
+               .groupBy("s").agg(F.min("nbr_lab").alias("nbr_lab")))
+        lab = (lab.join(nbr.withColumnRenamed("s", "doc_id"),
+                        "doc_id", "left")
+               .select("doc_id",
+                       F.least(F.col("lab"),
+                               F.coalesce("nbr_lab", F.col("lab")))
+                       .alias("lab"))
+               .localCheckpoint())
+        cur_sum = lab.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return lab.select("doc_id", F.col("lab").alias("cluster_rep"))

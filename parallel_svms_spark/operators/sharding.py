@@ -1,0 +1,129 @@
+"""Training-shard assembly operators for LLM-data pipelines
+(SURVEY §2.8 extension surface: what sits between "deduped corpus"
+and "tokenizer-ready shards").
+
+- ``pack_shards``: assign documents to fixed-token-budget training
+  shards in a deterministic global order. Implemented as a SCALABLE
+  two-pass prefix sum (per-range partial sums + driver offsets), not
+  a single-partition window — but numerically identical to the
+  textbook ``SUM() OVER (ORDER BY ...)`` formulation, which is
+  exactly what the DuckDB oracle runs against it.
+- ``stratified_sample``: deterministic per-label sample (eval-set
+  carving) via md5-ranked row_number — reproducible across engines
+  and runs, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Greedy sequential shard packing: walk docs in ``id_col`` order,
+    cut a new shard whenever the running token total would pass a
+    multiple of ``budget_tokens``. Returns (id, n_tokens, shard).
+
+    shard = floor(prefix_tokens_before_this_doc / budget) — the
+    standard "concatenate then split every N tokens" layout used to
+    build LLM training shards, expressed so every engine agrees:
+    a document's shard depends only on the EXACT prefix sum before it.
+
+    Scale shape: the naive formulation is a global-ORDER-BY window —
+    one partition, one task, dead at 100 TB. This implementation is
+    the classic two-pass distributed prefix sum instead:
+
+    1. range-partition by id (``repartitionByRange`` — Spark samples
+       range bounds; P parallel partitions, each internally sorted);
+    2. per-partition partial token sums → driver (P longs);
+    3. broadcast the P exclusive offsets back; each partition computes
+       its local running sum + offset in one Arrow pass.
+
+    Wall-clock is two narrow passes + one range exchange; no stage
+    sees more than its partition. The DuckDB oracle recomputes the
+    single-threaded window formulation and must hash-match exactly —
+    locking in that the distributed decomposition is value-identical.
+    """
+    import pandas as pd
+
+    spark = documents.sparkSession
+    toks = documents.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"))
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    # materialize the ranged layout ONCE: repartitionByRange samples
+    # its bounds per execution, and the two passes below must see the
+    # SAME partition→rows mapping (the checkpointed frame is 16 B/doc
+    # — ids and counts, never text)
+    ranged = (toks.repartitionByRange(n_part, F.col(id_col))
+              .sortWithinPartitions(id_col)
+              .localCheckpoint())
+
+    # pass 1: per-partition (partition_id, partial_sum, min_id) —
+    # spark_partition_id() is the RDD-free partition index
+    parts = (ranged
+             .groupBy(F.spark_partition_id().alias("pid"))
+             .agg(F.sum("n_tokens").alias("psum"),
+                  F.min(id_col).alias("min_id"))
+             .collect())
+    # driver: exclusive prefix offsets in id order (P rows — tiny).
+    # order by min_id, not pid: range partitions are id-ordered but
+    # nothing guarantees pid numbering follows the range order
+    parts.sort(key=lambda r: r["min_id"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in parts:
+        offsets[r["pid"]] = acc
+        acc += int(r["psum"])
+    bc = spark.sparkContext.broadcast(offsets)
+    budget = int(budget_tokens)
+
+    # pass 2: local running sum + broadcast offset, one Arrow batch
+    # stream per partition (mapInPandas batches within a partition are
+    # sequential, so carrying the running total across batches is safe)
+    def assign(it):
+        offs = bc.value
+        running = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if running is None:
+                running = offs.get(int(pdf["pid"].iloc[0]), 0)
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            csum = pdf["n_tokens"].cumsum() - pdf["n_tokens"] + running
+            running += int(pdf["n_tokens"].sum())
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_tokens": pdf["n_tokens"],
+                "shard": (csum // budget).astype("int64"),
+            })
+
+    return (ranged.withColumn("pid", F.spark_partition_id())
+            .mapInPandas(assign,
+                         schema=f"{id_col} long, n_tokens long, shard long"))
+
+
+def stratified_sample(df: DataFrame, n_per_label: int = 10,
+                      id_col: str = "vec_id",
+                      label_col: str = "label") -> DataFrame:
+    """Deterministic per-label sample: the ``n_per_label`` rows with
+    the smallest md5(id-string) per label (md5 is engine-portable, so
+    the DuckDB oracle reproduces the exact row set — same trick as the
+    IVF centroid sample). The eval-set carve for training pipelines:
+    reproducible across runs/engines, no RNG state, uniform within
+    each label.
+
+    Scale shape: one hash-partitioned window keyed by label —
+    rank-within-group over (C labels × rows/label). Skewed labels are
+    the only hazard; at extreme skew swap the window for a per-label
+    TakeOrdered (the md5 order is a total order, so top-n per group
+    composes)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    rn = F.row_number().over(
+        W.partitionBy(label_col).orderBy(h, F.col(id_col)))
+    return (df.select(id_col, label_col, rn.alias("rn"))
+            .filter(F.col("rn") <= int(n_per_label))
+            .drop("rn"))

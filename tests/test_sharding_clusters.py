@@ -1,0 +1,102 @@
+"""Shard packing, stratified sampling, and near-dup cluster
+canonicalization (SURVEY §2.8 extension surface, r3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import dedup as D
+from parallel_svms_spark.operators import sharding as SH
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_pack_shards_matches_serial_prefix_sum(spark, docs):
+    """The two-pass distributed prefix sum must equal the serial
+    definition exactly: shard = floor(tokens_before_doc / budget)."""
+    budget = 512
+    got = {r.doc_id: (r.n_tokens, r.shard)
+           for r in SH.pack_shards(docs, budget).collect()}
+    rows = sorted((r.doc_id, len(r.text.split(" ")))
+                  for r in docs.select("doc_id", "text").collect())
+    acc = 0
+    for doc_id, n_tok in rows:
+        assert got[doc_id] == (n_tok, acc // budget), doc_id
+        acc += n_tok
+    assert len(got) == len(rows)
+    # shard index is non-decreasing in id order (contiguous packing)
+    shards_in_order = [got[doc_id][1] for doc_id, _ in rows]
+    assert shards_in_order == sorted(shards_in_order)
+
+
+def test_pack_shards_skewed_partitions(spark):
+    """Range partitioning with heavily skewed doc sizes must still
+    reproduce the serial assignment (offsets, not per-partition
+    restarts)."""
+    rows = [(i, "tok " * (1000 if i % 7 == 0 else 3)) for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string") \
+        .repartition(13)
+    budget = 777
+    got = {r.doc_id: r.shard for r in SH.pack_shards(df, budget).collect()}
+    acc = 0
+    for i, t in rows:
+        n = len(t.strip().split(" "))
+        assert got[i] == acc // budget, i
+        acc += n
+
+
+def test_stratified_sample_deterministic_and_balanced(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    s1 = SH.stratified_sample(emb, n_per_label=7)
+    s2 = SH.stratified_sample(emb, n_per_label=7)
+    r1 = sorted((r.vec_id, r.label) for r in s1.collect())
+    assert r1 == sorted((r.vec_id, r.label) for r in s2.collect())
+    counts = {r.label: r.c for r in
+              s1.groupBy("label").agg(F.count("*").alias("c")).collect()}
+    full = {r.label: r.c for r in
+            emb.groupBy("label").agg(F.count("*").alias("c")).collect()}
+    for lbl, n in full.items():
+        assert counts.get(lbl, 0) == min(7, n)
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """Chained near-dups must collapse into ONE cluster even when the
+    endpoints are not pairwise similar (the property a pair list alone
+    cannot express)."""
+    # docs 0-2: a chain (0~1, 1~2 similar; 0 vs 2 less so); 10: unrelated
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    toks = base.split(" ")
+    d0 = " ".join(toks)
+    d1 = " ".join(toks[1:])            # high overlap with d0
+    d2 = " ".join(toks[2:])            # high overlap with d1
+    d3 = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2), (10, d3)], "doc_id long, text string")
+    got = {r.doc_id: r.cluster_rep
+           for r in D.dedup_clusters(df, k=3, threshold=0.5).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10}
+    # canonical filter keeps exactly one doc per cluster
+    keep = sorted(i for i, rep in got.items() if i == rep)
+    assert keep == [0, 10]
+
+
+def test_dedup_clusters_on_fixture_matches_pairs(spark, docs):
+    """Every pair's two docs share a rep; reps are component minima."""
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5,
+                                  log_dropped=False).collect()
+    rep = {r.doc_id: r.cluster_rep
+           for r in D.dedup_clusters(docs, k=3, threshold=0.5).collect()}
+    for p in pairs:
+        assert rep[p.doc_a] == rep[p.doc_b]
+        assert rep[p.doc_a] <= min(p.doc_a, p.doc_b)
+    # docs in no pair are their own rep
+    in_pairs = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    for doc_id, r in rep.items():
+        if doc_id not in in_pairs:
+            assert r == doc_id
