@@ -256,6 +256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fromlist=["x"]).cosine_near_dup_blocked(
                 load_table(s, d, "embeddings"), threshold=0.4),
         "text_token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
+        "vocab_topk": lambda s, d: TX.vocab_topk(
+            load_table(s, d, "documents"), top_n=100),
+        "ngram_topk": lambda s, d: TX.ngram_topk(
+            load_table(s, d, "documents"), n=2, top_n=100),
+        "scrub_text": lambda s, d: TX.scrub_text(load_table(s, d, "documents")),
         "text_quality": lambda s, d: TX.quality_score(load_table(s, d, "documents")),
         "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
@@ -458,6 +463,32 @@ SELECT doc_id, n_tokens, ROUND(mtl, 6) AS mean_token_len,
 FROM y
 """,
         "lang_id": _LANG_ID_ORACLE,
+        "vocab_topk": """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY freq DESC, token LIMIT 100
+""",
+        "ngram_topk": """
+SELECT ngram, COUNT(*) AS freq
+FROM (
+  SELECT UNNEST(CASE WHEN len(t) >= 2 THEN
+      [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+    ELSE [array_to_string(t, ' ')] END) AS ngram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+)
+GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100
+""",
+        "scrub_text": r"""
+SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_chars
+FROM (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<email>', 'g'),
+           '[0-9]+', '<num>', 'g'),
+           ' +', ' ', 'g') AS clean_text
+  FROM documents
+)
+""",
         "doc_fingerprint": """
 SELECT doc_id,
        CASE WHEN len(t) >= 3 THEN

@@ -52,6 +52,7 @@ HEADLINE = [
     # documents (5k rows)
     "dedup_exact", "simjoin_candidates", "dedup_minhash", "dedup_simhash",
     "dedup_clusters", "shard_pack", "sample_stratified",
+    "vocab_topk", "ngram_topk", "scrub_text",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "token_count", "multimodal_features", "frame_sample", "resize_images",
     # embeddings (2k rows, 64-dim)

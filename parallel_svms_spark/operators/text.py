@@ -109,3 +109,54 @@ def doc_fingerprint(documents: DataFrame, k: int = 3) -> DataFrame:
     sh = shingles_col("text", k)
     fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return ensure_parallelism(documents).select("doc_id", fp.alias("fingerprint"))
+
+
+def vocab_topk(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent whitespace
+    tokens with deterministic (count DESC, token ASC) tie-break.
+
+    Scale shape: explode → hash-partitioned count with MAP-SIDE
+    partial aggregation (token cardinality ≪ token occurrences, so
+    the exchange carries one row per distinct token per task, not one
+    per occurrence); the top-N cut is orderBy+limit = TakeOrdered —
+    per-partition heaps + a driver merge of N rows, never a global
+    sort. The standard vocab-building pass before tokenizer training.
+    """
+    return (ensure_parallelism(documents)
+            .select(F.explode(tokens_col("text")).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("freq"))
+            .orderBy(F.col("freq").desc(), "token")
+            .limit(int(top_n)))
+
+
+def ngram_topk(documents: DataFrame, n: int = 2,
+               top_n: int = 100) -> DataFrame:
+    """Corpus-wide n-gram frequencies, top ``top_n`` with the same
+    deterministic tie-break as ``vocab_topk``. Same scale shape —
+    shingling is a narrow JVM map, the count is map-side partial.
+    (Shingles shorter than ``n`` tokens fall back to the whole text,
+    matching ``shingles_col``'s contract everywhere else.)"""
+    return (ensure_parallelism(documents)
+            .select(F.explode(shingles_col("text", n)).alias("ngram"))
+            .groupBy("ngram").agg(F.count("*").alias("freq"))
+            .orderBy(F.col("freq").desc(), "ngram")
+            .limit(int(top_n)))
+
+
+def scrub_text(documents: DataFrame) -> DataFrame:
+    """Normalization/redaction pass: lowercase, mask emails →
+    ``<email>``, mask digit runs → ``<num>``, collapse whitespace
+    runs. One narrow codegen'd map — the cheap always-on hygiene
+    stage of an ingest pipeline.
+
+    Patterns deliberately stay in the regex subset with identical
+    semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
+    classes, ``+`` quantifiers — no backrefs, no lookaround."""
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+"
+    out = F.lower(F.col("text"))
+    out = F.regexp_replace(out, email, "<email>")
+    out = F.regexp_replace(out, r"[0-9]+", "<num>")
+    out = F.regexp_replace(out, r" +", " ")
+    return documents.select(
+        "doc_id", out.alias("clean_text"),
+        F.length(out).alias("clean_chars"))

@@ -126,3 +126,24 @@ def test_ivf_partitioned_layout_prunes_scan(spark, emb, tmp_path):
             spark.read.schema(schema).parquet(path).count()  # full scan dies
     finally:
         os.remove(poison)
+
+
+def test_vocab_topk_partial_agg_and_take_ordered(docs):
+    from parallel_svms_spark.operators import text as TX
+    p = phys(TX.vocab_topk(docs, top_n=50))
+    # map-side combine: the count must run partial_count before the
+    # exchange (occurrences collapse to distinct-token rows per task)
+    assert "partial_count" in p, p
+    # top-N compiles to per-partition heaps + driver merge — never a
+    # global sort of the vocabulary
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_pack_shards_no_global_window_one_range_exchange(docs):
+    from parallel_svms_spark.operators import sharding as SH
+    df = SH.pack_shards(docs, budget_tokens=1024)
+    p = phys(df)
+    # the naive formulation is a single-partition global window — the
+    # scalable two-pass prefix sum must never plan one
+    assert "Window" not in p, p
+    assert "SinglePartition" not in p, p
