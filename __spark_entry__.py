@@ -247,6 +247,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), threshold=0.5),
         "dedup_simhash": lambda s, d: D.simhash_near_dups(
             load_table(s, d, "documents"), max_hamming=3),
+        "dedup_keep_canonical": lambda s, d: D.keep_canonical(
+            load_table(s, d, "documents"), k=3, threshold=0.5)
+            .select("doc_id", "lang", "source"),
+        "decontaminate": lambda s, d: (lambda docs: __import__(
+            "parallel_svms_spark.operators.contamination",
+            fromlist=["x"]).decontaminate(
+                docs.filter("source <> 'src0'"),
+                docs.filter("source = 'src0'"), k=4)
+            .select("doc_id", "lang", "source"))(
+                load_table(s, d, "documents")),
+        "mixture_sample": lambda s, d: SH.mixture_sample(
+            load_table(s, d, "documents"),
+            rates={"src0": 0.5, "src1": 0.25}, default_rate=0.1),
         "topk_cosine": _topk_cosine,
         "topk_batch": _topk_batch,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -261,6 +274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": lambda s, d: TX.ngram_topk(
             load_table(s, d, "documents"), n=2, top_n=100),
         "scrub_text": lambda s, d: TX.scrub_text(load_table(s, d, "documents")),
+        "repetition_stats": lambda s, d: TX.repetition_stats(
+            load_table(s, d, "documents")),
+        "tfidf_topk": lambda s, d: TX.tfidf_topk(
+            load_table(s, d, "documents"), top_n=5),
         "text_quality": lambda s, d: TX.quality_score(load_table(s, d, "documents")),
         "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
@@ -385,6 +402,43 @@ SELECT vec_id, label FROM (
         # (any dropped candidate or jaccard drift hash-mismatches).
         "dedup_minhash": _JACCARD_PAIRS_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
+        # keep-rule composed over the recursive-CTE component oracle:
+        # a doc survives iff it IS its cluster's min-reachable id
+        "dedup_keep_canonical": f"""
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN ({_DEDUP_CLUSTERS_ORACLE}) c
+  ON d.doc_id = c.doc_id AND c.cluster_rep = d.doc_id
+""",
+        # mirrors operators/contamination.decontaminate at k=4,
+        # min_overlap=1 (shingle CTEs mirror shingles_col incl. the
+        # <k-token whole-text fallback)
+        "decontaminate": """
+WITH bench AS (SELECT * FROM documents WHERE source = 'src0'),
+corp AS (SELECT * FROM documents WHERE source <> 'src0'),
+bsh AS (
+  SELECT DISTINCT UNNEST(CASE WHEN len(t) >= 4 THEN list_distinct(
+      [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+csh AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 4 THEN list_distinct(
+      [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp)),
+bad AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (shingle))
+SELECT doc_id, lang, source FROM corp
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+        "mixture_sample": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_grp
+  FROM documents
+) WHERE rn <= CEIL(n_grp * (CASE source WHEN 'src0' THEN 0.5
+                            WHEN 'src1' THEN 0.25 ELSE 0.1 END))
+""",
         "dedup_embedding": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -477,6 +531,53 @@ FROM (
   FROM (SELECT string_split(text, ' ') AS t FROM documents)
 )
 GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100
+""",
+        "repetition_stats": """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS g FROM documents
+), uni1 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), uni AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         COUNT(*) AS n_distinct_tok, MAX(c) AS top_tok
+  FROM uni1 GROUP BY 1
+), bg AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 2 THEN
+      [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]
+    ELSE [array_to_string(t, ' ')] END) AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), big1 AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), big AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_big, MAX(c) AS top_big
+  FROM big1 GROUP BY 1
+)
+SELECT uni.doc_id, n_tok AS n_tokens,
+       ROUND(1.0 - CAST(n_distinct_tok AS DOUBLE) / n_tok, 6)
+         AS dup_token_ratio,
+       ROUND(CAST(top_tok AS DOUBLE) / n_tok, 6) AS top_token_ratio,
+       ROUND(CAST(top_big AS DOUBLE) / n_big, 6) AS top_bigram_ratio
+FROM uni JOIN big ON uni.doc_id = big.doc_id
+""",
+        "tfidf_topk": """
+WITH tf AS (
+  SELECT doc_id, g AS token, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS g
+        FROM documents)
+  GROUP BY 1, 2
+), dfq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), s AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * ln((SELECT CAST(COUNT(*) AS DOUBLE)
+                           FROM documents) / dfq.df), 6) AS tfidf
+  FROM tf JOIN dfq ON tf.token = dfq.token
+)
+SELECT doc_id, token, tf, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rank
+  FROM s
+) WHERE rank <= 5
 """,
         "scrub_text": r"""
 SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_chars

@@ -1,0 +1,81 @@
+"""Benchmark decontamination for training corpora (SURVEY §2.8
+extension surface: the standard pre-training hygiene pass that removes
+training documents overlapping an evaluation/benchmark set).
+
+Semantics (the publicly documented n-gram-overlap rule used by GPT-3
+appendix C / PaLM / Llama data cards): a training doc is contaminated
+when it shares at least ``min_overlap`` distinct word ``k``-shingles
+with ANY benchmark document.  ``decontaminate`` returns the corpus
+with contaminated docs removed.
+
+Scale shape — the asymmetry is the whole design: the benchmark side is
+small by nature (eval sets are thousands of docs, the corpus is
+billions), so its distinct shingle set is BROADCAST and the corpus
+side never shuffles at all: explode(shingles) → broadcast-hash
+semi-join → distinct ids → broadcast anti-join back.  The corpus is
+read once, in place, with no exchange — the plan-shape test pins this
+(no SortMergeJoin, no corpus-side Exchange).  For a benchmark too big
+to broadcast, pass ``broadcast_benchmark=False`` to fall back to a
+hash-partitioned semi-join on the shingle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.operators.dedup import shingles_col
+
+
+def benchmark_shingles(benchmark: DataFrame, k: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """Distinct word k-shingles over the benchmark set — the (small)
+    build side of the contamination join."""
+    return (benchmark
+            .select(F.explode(F.array_distinct(
+                shingles_col(text_col, k))).alias("shingle"))
+            .distinct())
+
+
+def contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
+                     k: int = 3, min_overlap: int = 1,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     broadcast_benchmark: bool = True) -> DataFrame:
+    """Ids of corpus docs sharing ≥ ``min_overlap`` distinct
+    k-shingles with the benchmark.
+
+    ``min_overlap == 1`` is a pure semi-join (no counting state);
+    higher thresholds count matched shingles per doc first — the agg
+    state is one long per (doc, matched-shingle), bounded by doc size.
+    """
+    bsh = benchmark_shingles(benchmark, k, text_col)
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    csh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, k)))
+        .alias("shingle"))
+    if min_overlap <= 1:
+        return (csh.join(bsh, "shingle", "left_semi")
+                .select(id_col).distinct())
+    return (csh.join(bsh, "shingle")
+            .groupBy(id_col).agg(F.count("*").alias("n_hits"))
+            .filter(F.col("n_hits") >= int(min_overlap))
+            .select(id_col))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  k: int = 3, min_overlap: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """The corpus minus contaminated docs (all columns preserved).
+
+    The contaminated-id set is itself small (it is at most
+    |benchmark-adjacent docs|), so the final anti-join is another
+    broadcast — end to end the corpus never exchanges.
+    """
+    bad = contaminated_ids(corpus, benchmark, k, min_overlap,
+                           id_col, text_col, broadcast_benchmark)
+    if broadcast_benchmark:
+        bad = F.broadcast(bad)
+    return corpus.join(bad, id_col, "left_anti")

@@ -555,3 +555,21 @@ def dedup_clusters(documents: DataFrame, k: int = 3,
             break
         prev_sum = cur_sum
     return lab.select("doc_id", F.col("lab").alias("cluster_rep"))
+
+
+def keep_canonical(documents: DataFrame, k: int = 3,
+                   threshold: float = 0.5,
+                   max_doc_freq: int | None = 1000) -> DataFrame:
+    """The deduplicated corpus itself: one representative (smallest
+    doc_id) per near-dup cluster, singletons kept — ``dedup_clusters``
+    composed with its own keep-rule, returning full document rows.
+    This is the table a training pipeline actually writes out.
+
+    Scale shape: the rep set is ids only (16 B/doc), so the final
+    attach is a semi-join that never moves text; everything upstream
+    inherits ``dedup_clusters``'s bounded label-propagation shape.
+    """
+    reps = (dedup_clusters(documents, k, threshold, max_doc_freq)
+            .filter(F.col("doc_id") == F.col("cluster_rep"))
+            .select("doc_id"))
+    return documents.join(reps, "doc_id", "left_semi")

@@ -106,6 +106,41 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
                          schema=f"{id_col} long, n_tokens long, shard long"))
 
 
+def mixture_sample(df: DataFrame, rates: dict[str, float] | None = None,
+                   default_rate: float = 0.1,
+                   id_col: str = "doc_id",
+                   group_col: str = "source") -> DataFrame:
+    """Deterministic source-weighted mixture sampling — the "data
+    mixing" step that assembles a training corpus from per-source
+    sampling rates (the publicly documented recipe behind e.g. the
+    Pile / Llama data mixtures: each source contributes a chosen
+    fraction, reproducibly).
+
+    Per group g, keeps the ``ceil(rate(g) · |g|)`` rows with the
+    smallest md5(id-string) — the same engine-portable total order as
+    ``stratified_sample``/the IVF centroid draw, so the DuckDB oracle
+    reproduces the exact row set and re-runs are stable (adding rows
+    to one source never changes another source's sample).
+
+    Scale shape: per-group counts are a map-side-partial hash agg
+    producing |sources| rows, broadcast back; the rank is one window
+    keyed by the group column.  Nothing driver-side, no RNG state.
+    """
+    rates = rates or {}
+    rate = F.lit(float(default_rate))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    cnt = df.groupBy(group_col).agg(F.count("*").alias("n_grp"))
+    h = F.md5(F.col(id_col).cast("string"))
+    rn = F.row_number().over(
+        W.partitionBy(group_col).orderBy(h, F.col(id_col)))
+    return (df.join(F.broadcast(cnt), group_col)
+            .select(F.col(id_col), F.col(group_col), rn.alias("rn"),
+                    F.ceil(rate * F.col("n_grp")).cast("long").alias("want"))
+            .filter(F.col("rn") <= F.col("want"))
+            .select(id_col, group_col))
+
+
 def stratified_sample(df: DataFrame, n_per_label: int = 10,
                       id_col: str = "vec_id",
                       label_col: str = "label") -> DataFrame:

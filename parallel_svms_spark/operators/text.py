@@ -143,6 +143,77 @@ def ngram_topk(documents: DataFrame, n: int = 2,
             .limit(int(top_n)))
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc repetition signals — the Gopher-rule family (Rae et
+    al. 2021, §A1.1: "fraction of duplicate content") expressed over
+    token counts:
+
+    - ``dup_token_ratio``: 1 − distinct/total tokens (how much of the
+      doc is repeated words at all);
+    - ``top_token_ratio``: occurrences of the single most frequent
+      token / total (degenerate-repetition spike detector);
+    - ``top_bigram_ratio``: same for word bigrams (catches "foo bar
+      foo bar ..." loops that unigrams miss).
+
+    Scale shape: two hash aggregations keyed (doc_id, gram).  A doc's
+    tokens are co-partitioned with the doc (explode preserves
+    partitioning), so map-side partial aggregation collapses the
+    occurrence stream to per-doc distinct grams BEFORE the exchange —
+    shuffle volume is bounded by vocabulary-per-doc, not doc length.
+    No Python anywhere.
+    """
+    def _per_gram(col: F.Column, out: str) -> DataFrame:
+        return (ensure_parallelism(documents)
+                .select("doc_id", F.explode(col).alias("g"))
+                .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+                .groupBy("doc_id")
+                .agg(F.sum("c").alias(f"n_{out}"),
+                     F.count("*").alias(f"n_distinct_{out}"),
+                     F.max("c").alias(f"top_{out}")))
+
+    uni = _per_gram(tokens_col("text"), "tok")
+    big = _per_gram(shingles_col("text", 2), "big")
+    return (uni.join(big, "doc_id")
+            .select(
+                "doc_id",
+                F.col("n_tok").alias("n_tokens"),
+                F.round(1.0 - F.col("n_distinct_tok") / F.col("n_tok"), 6)
+                .alias("dup_token_ratio"),
+                F.round(F.col("top_tok") / F.col("n_tok"), 6)
+                .alias("top_token_ratio"),
+                F.round(F.col("top_big") / F.col("n_big"), 6)
+                .alias("top_bigram_ratio")))
+
+
+def tfidf_topk(documents: DataFrame, top_n: int = 5) -> DataFrame:
+    """Per-doc top-``top_n`` terms by tf·idf (idf = ln(N/df), the
+    textbook smooth-free variant), deterministic tie-break on token.
+    The keyword-extraction / dedup-feature pass of a corpus pipeline.
+
+    Scale shape: tf = one (doc, token) hash agg with map-side partial;
+    df = a second agg over the ALREADY-distinct (doc, token) rows, so
+    its input is vocabulary-sized; the df table (distinct tokens ×
+    16 B) is broadcast back — corpus rows never shuffle for the join.
+    The top-k cut is one window over doc_id, partitioned on the same
+    key as tf's agg so AQE can reuse the exchange.  Ordering uses the
+    ROUNDED score (both engines round identically at 6 dp) so the
+    oracle's ROW_NUMBER agrees.
+    """
+    n_docs = float(documents.count())
+    tf = (ensure_parallelism(documents)
+          .select("doc_id", F.explode(tokens_col("text")).alias("token"))
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    score = F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6)
+    from pyspark.sql import Window as W
+    scored = (tf.join(F.broadcast(dfreq), "token")
+              .select("doc_id", "token", "tf", score.alias("tfidf")))
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token"))
+    return (scored.withColumn("rank", rn)
+            .filter(F.col("rank") <= int(top_n)))
+
+
 def scrub_text(documents: DataFrame) -> DataFrame:
     """Normalization/redaction pass: lowercase, mask emails →
     ``<email>``, mask digit runs → ``<num>``, collapse whitespace

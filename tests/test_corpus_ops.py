@@ -1,0 +1,104 @@
+"""Unit tests for the corpus-assembly operators added in r3:
+decontamination, repetition stats, tf-idf, mixture sampling, and the
+canonical-doc dedup output. Hand-computed expectations on crafted
+micro-fixtures (the sf0.01 oracle comparison runs in selfcheck)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.operators import contamination as C
+from parallel_svms_spark.operators import dedup as D
+from parallel_svms_spark.operators import sharding as SH
+from parallel_svms_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon", "en", "bench"),
+        (1, "alpha beta gamma delta something else entirely", "en", "web"),
+        (2, "completely different words here nothing shared", "en", "web"),
+        (3, "alpha beta gamma delta epsilon zeta", "en", "web"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string, source string")
+
+
+def test_decontaminate_removes_overlapping_docs(tiny_docs):
+    bench = tiny_docs.filter("source = 'bench'")
+    corpus = tiny_docs.filter("source = 'web'")
+    kept = sorted(r.doc_id for r in
+                  C.decontaminate(corpus, bench, k=4).collect())
+    # docs 1 and 3 share the 4-shingle "alpha beta gamma delta"
+    assert kept == [2]
+
+
+def test_decontaminate_min_overlap_threshold(tiny_docs):
+    bench = tiny_docs.filter("source = 'bench'")
+    corpus = tiny_docs.filter("source = 'web'")
+    # doc 1 shares one distinct 4-shingle with the benchmark; doc 3
+    # shares two ("alpha beta gamma delta", "beta gamma delta epsilon")
+    # — at min_overlap=2 only doc 3 is contaminated
+    kept = sorted(r.doc_id for r in
+                  C.decontaminate(corpus, bench, k=4,
+                                  min_overlap=2).collect())
+    assert kept == [1, 2]
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame([(7, "x x x y")], "doc_id long, text string")
+    row = TX.repetition_stats(df).collect()[0]
+    assert row.n_tokens == 4
+    assert row.dup_token_ratio == pytest.approx(0.5)        # 1 - 2/4
+    assert row.top_token_ratio == pytest.approx(0.75)       # x: 3/4
+    # bigrams: "x x", "x x", "x y" → top 2 of 3
+    assert row.top_bigram_ratio == pytest.approx(round(2 / 3, 6))
+
+
+def test_tfidf_topk_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.token): (r.tf, r.tfidf, r.rank)
+           for r in TX.tfidf_topk(df, top_n=2).collect()}
+    ln2 = math.log(2.0)
+    # banana appears in both docs → idf = ln(2/2) = 0 → score 0
+    assert out[(0, "apple")] == (2, round(2 * ln2, 6), 1)
+    assert out[(0, "banana")][1] == 0.0
+    assert out[(1, "cherry")] == (1, round(ln2, 6), 1)
+    assert out[(1, "banana")] == (1, 0.0, 2)
+
+
+def test_mixture_sample_sizes_and_determinism(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 0.5, "src1": 0.25}
+    got = SH.mixture_sample(docs, rates=rates, default_rate=0.1)
+    sizes = {r.source: r.n for r in
+             got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {r.source: r.n for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in base.items():
+        want = math.ceil(rates.get(src, 0.1) * n)
+        assert sizes.get(src, 0) == want, src
+    # deterministic: same rows on a second run
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, SH.mixture_sample(
+        docs, rates=rates, default_rate=0.1).collect()))
+    assert a == b
+
+
+def test_keep_canonical_reps_and_singletons(spark):
+    rows = [(i, "unique words only doc %d distinct tokens" % i)
+            for i in range(4)]
+    # docs 10 and 11 are near-identical → one survivor (10)
+    rows += [(10, "the quick brown fox jumps over the lazy dog today"),
+             (11, "the quick brown fox jumps over the lazy dog tonight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  D.keep_canonical(df, k=3, threshold=0.5).collect())
+    assert kept == [0, 1, 2, 3, 10]

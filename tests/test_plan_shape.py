@@ -139,6 +139,21 @@ def test_vocab_topk_partial_agg_and_take_ordered(docs):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_decontaminate_broadcasts_benchmark_no_corpus_shuffle(docs):
+    from parallel_svms_spark.operators import contamination as C
+    out = C.decontaminate(docs.filter("source <> 'src0'"),
+                          docs.filter("source = 'src0'"), k=4)
+    p = phys(out)
+    # both the shingle semi-join and the id anti-join must be
+    # broadcast-hash — a sort-merge join here means the full corpus
+    # shingle stream got exchanged, dead at 100 TB
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    # the only exchange allowed is the distinct() over contaminated
+    # ids (a benchmark-bounded set), never the corpus rows
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
 def test_pack_shards_no_global_window_one_range_exchange(docs):
     from parallel_svms_spark.operators import sharding as SH
     df = SH.pack_shards(docs, budget_tokens=1024)
