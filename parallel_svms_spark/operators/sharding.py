@@ -106,6 +106,30 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
                          schema=f"{id_col} long, n_tokens long, shard long"))
 
 
+def write_corpus_shards(documents: DataFrame, path: str,
+                        budget_tokens: int = 4096,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Materialize the packed corpus: ``pack_shards`` assignment joined
+    back to the full rows and written as ``partitionBy('shard')``
+    parquet — the on-disk layout a training job actually consumes
+    (each shard directory is one token-budgeted unit of work, so the
+    trainer's reader maps shard → input split with no further shuffle).
+
+    Scale notes: the assignment table is (id, shard) longs, so the
+    attach join never moves text; rows are ``repartition('shard')``-ed
+    before the write so each shard directory is produced by one task —
+    without it every task appends a file into every shard directory
+    and a 10k-shard corpus becomes a 320k-small-file listing problem.
+    Returns the (id, n_tokens, shard) assignment for verification.
+    """
+    packed = pack_shards(documents, budget_tokens, id_col, text_col)
+    out = documents.join(packed.select(id_col, "shard"), id_col)
+    (out.repartition(F.col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(path))
+    return packed
+
+
 def mixture_sample(df: DataFrame, rates: dict[str, float] | None = None,
                    default_rate: float = 0.1,
                    id_col: str = "doc_id",

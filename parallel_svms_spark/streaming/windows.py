@@ -227,6 +227,56 @@ def streaming_minhash_near_dups(stream_docs: DataFrame,
             .dropDuplicatesWithinWatermark(["doc_a", "doc_b"]))
 
 
+def streaming_decontaminate(stream_docs: DataFrame, benchmark: DataFrame,
+                            k: int = 4, text_col: str = "text") -> DataFrame:
+    """Streaming twin of ``contamination.decontaminate``: drop arriving
+    docs that share any word k-shingle with the (static, small)
+    benchmark set — the continuous-ingest contamination screen.
+
+    STATELESS by construction: the benchmark's distinct shingle set is
+    collected once (it is small by the same contract that lets the
+    batch operator broadcast it) and shipped as a broadcast variable;
+    each micro-batch row is screened by one Arrow-batched membership
+    test. No join state, no watermark, no store — the streaming shapes
+    that DO need state (stream-static join + dedup) are exercised by
+    ``streaming_minhash_near_dups``; a contamination screen is a pure
+    filter and should plan like one.
+
+    Python shingling here mirrors ``dedup.shingles_col`` exactly
+    (space tokens, k-window space-join, whole-text fallback below k
+    tokens) — asserted against the batch operator in tests.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from parallel_svms_spark.operators.contamination import \
+        benchmark_shingles
+    bench = {r[0] for r in benchmark_shingles(benchmark, k, text_col)
+             .collect()}
+    bc = stream_docs.sparkSession.sparkContext.broadcast(bench)
+    kk = int(k)
+
+    def _screen(texts):
+        bset = bc.value
+
+        def clean(t: str) -> bool:
+            toks = t.split(" ")
+            if len(toks) < kk:
+                return t not in bset
+            return all(" ".join(toks[i:i + kk]) not in bset
+                       for i in range(len(toks) - kk + 1))
+
+        return texts.map(clean)
+
+    # concrete-class annotations (postponed-evaluation strings would
+    # not resolve for pandas_udf's eval-type inference — same pattern
+    # as dedup.minhash_udf)
+    _screen.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    is_clean = pandas_udf(_screen, "boolean")
+
+    return stream_docs.filter(is_clean(F.col(text_col)))
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str = "stream_out",
                          output_mode: str = "append"):
     """Drive a bounded file-stream to completion synchronously (test

@@ -100,3 +100,21 @@ def test_dedup_clusters_on_fixture_matches_pairs(spark, docs):
     for doc_id, r in rep.items():
         if doc_id not in in_pairs:
             assert r == doc_id
+
+
+def test_write_corpus_shards_layout_and_roundtrip(spark, docs, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "shards")
+    packed = SH.write_corpus_shards(docs, path, budget_tokens=4096)
+    assign = {r.doc_id: r.shard for r in packed.collect()}
+    # hive layout: one directory per shard
+    dirs = sorted(p.name for p in (tmp_path / "shards").iterdir()
+                  if p.name.startswith("shard="))
+    assert dirs == sorted(f"shard={s}" for s in set(assign.values()))
+    # read-back: every doc present, in the shard pack_shards assigned,
+    # with full original columns intact
+    back = spark.read.parquet(path)
+    assert sorted(back.columns) == sorted(docs.columns + ["shard"])
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert got == assign

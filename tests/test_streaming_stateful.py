@@ -165,3 +165,46 @@ def test_streaming_minhash_near_dups_stream_static(spark):
                  union, threshold=0.5, max_doc_freq=None).collect()}
     assert got[(1, 100)] == batch[(1, 100)]
     assert got[(3, 101)] == batch[(3, 101)]
+
+
+def test_streaming_decontaminate_matches_batch(spark):
+    import glob
+    import os
+    import shutil
+
+    from parallel_svms_spark.operators import contamination as C
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string")
+    f1 = [(0, t0, "alpha beta gamma delta totally new suffix"),
+          (1, t0 + timedelta(minutes=1), "nothing in common with that")]
+    f2 = [(2, t0 + timedelta(minutes=5), "short doc"),  # <k fallback path
+          (3, t0 + timedelta(minutes=6), "beta gamma delta epsilon trailing")]
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, rows in enumerate((f1, f2)):
+            spark.createDataFrame(rows, SW.DOCS_SCHEMA).coalesce(1) \
+                .write.parquet(f"{tmp}/d/{i}")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/d/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = (spark.readStream.schema(SW.DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(dst))
+        clean = SW.streaming_decontaminate(stream, bench, k=4)
+        name = "stream_decontam_test"
+        q = (clean.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(r.doc_id for r in
+                     spark.sql(f"SELECT doc_id FROM {name}").collect())
+        # the stream twin must agree with the batch operator on the
+        # same rows (docs 0 and 3 share 4-shingles with the benchmark)
+        corpus = spark.createDataFrame(
+            [(i, t) for i, _, t in f1 + f2], "doc_id long, text string")
+        batch = sorted(r.doc_id for r in
+                       C.decontaminate(corpus, bench, k=4).collect())
+    assert got == [1, 2]
+    assert got == batch
