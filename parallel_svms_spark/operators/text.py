@@ -155,15 +155,19 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     - ``top_bigram_ratio``: same for word bigrams (catches "foo bar
       foo bar ..." loops that unigrams miss).
 
-    Scale shape: two hash aggregations keyed (doc_id, gram).  A doc's
-    tokens are co-partitioned with the doc (explode preserves
-    partitioning), so map-side partial aggregation collapses the
-    occurrence stream to per-doc distinct grams BEFORE the exchange —
-    shuffle volume is bounded by vocabulary-per-doc, not doc length.
-    No Python anywhere.
+    Scale shape: ONE exchange total — the corpus is hash-repartitioned
+    on doc_id up front, and because HashPartitioning(doc_id) satisfies
+    every downstream clustering requirement here (groupBy(doc_id, g),
+    groupBy(doc_id), the final doc_id join), both gram branches
+    aggregate entirely locally and the join needs no shuffle; the two
+    branches share the same exchange subtree (ReusedExchange). The
+    plan-shape test pins this: token-level rows never enter an
+    exchange. No Python anywhere.
     """
+    by_doc = documents.repartition(F.col("doc_id"))
+
     def _per_gram(col: F.Column, out: str) -> DataFrame:
-        return (ensure_parallelism(documents)
+        return (by_doc
                 .select("doc_id", F.explode(col).alias("g"))
                 .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
                 .groupBy("doc_id")
@@ -190,17 +194,19 @@ def tfidf_topk(documents: DataFrame, top_n: int = 5) -> DataFrame:
     textbook smooth-free variant), deterministic tie-break on token.
     The keyword-extraction / dedup-feature pass of a corpus pipeline.
 
-    Scale shape: tf = one (doc, token) hash agg with map-side partial;
-    df = a second agg over the ALREADY-distinct (doc, token) rows, so
-    its input is vocabulary-sized; the df table (distinct tokens ×
-    16 B) is broadcast back — corpus rows never shuffle for the join.
-    The top-k cut is one window over doc_id, partitioned on the same
-    key as tf's agg so AQE can reuse the exchange.  Ordering uses the
-    ROUNDED score (both engines round identically at 6 dp) so the
-    oracle's ROW_NUMBER agrees.
+    Scale shape: the corpus is hash-repartitioned on doc_id ONCE;
+    HashPartitioning(doc_id) satisfies the (doc_id, token) tf
+    aggregation, so it runs with no exchange of token-level rows, and
+    the top-k window (also keyed doc_id) runs directly on the join
+    output with no exchange either — Spark even plans a partial
+    WindowGroupLimit so non-top-k rows die before any sort.  df = a
+    second agg over the ALREADY-distinct (doc, token) rows (its
+    exchange carries vocabulary-sized partials) broadcast back.
+    Ordering uses the ROUNDED score (both engines round identically
+    at 6 dp) so the oracle's ROW_NUMBER agrees.
     """
     n_docs = float(documents.count())
-    tf = (ensure_parallelism(documents)
+    tf = (documents.repartition(F.col("doc_id"))
           .select("doc_id", F.explode(tokens_col("text")).alias("token"))
           .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))

@@ -154,6 +154,21 @@ def test_decontaminate_broadcasts_benchmark_no_corpus_shuffle(docs):
     assert p.count("Exchange hashpartitioning") <= 2, p
 
 
+def test_repetition_and_tfidf_never_exchange_token_rows(docs):
+    import re
+    from parallel_svms_spark.operators import text as TX
+    # both operators hash-repartition the corpus on doc_id once; every
+    # downstream agg/join/window must then be exchange-free — an
+    # exchange keyed (doc_id, gram) means token-level rows shuffled
+    p1 = phys(TX.repetition_stats(docs))
+    assert "hashpartitioning(doc_id" in p1, p1
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, g#", p1), p1
+    p2 = phys(TX.tfidf_topk(docs))
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, token#", p2), p2
+    # the top-k cut prunes before the full window sort
+    assert "WindowGroupLimit" in p2, p2
+
+
 def test_pack_shards_no_global_window_one_range_exchange(docs):
     from parallel_svms_spark.operators import sharding as SH
     df = SH.pack_shards(docs, budget_tokens=1024)
