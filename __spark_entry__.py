@@ -190,6 +190,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
+    from pyspark.sql import functions as F
 
     def q(table_fn):
         return table_fn
@@ -221,6 +222,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exchange_identity": lambda s, d: X.exchange_by_bucket(
             X.balanced_buckets(load_table(s, d, "embeddings"), K_BUCKETS),
             K_BUCKETS).select("vec_id", "bucket"),
+        # X5 — skew-safe salted join (value-identical to the plain
+        # join, so the oracle is the plain SQL join; the salt's worth
+        # is in the plan, pinned by tests/test_plan_shape.py)
+        "salted_join_agg": lambda s, d: X.salted_join(
+            load_table(s, d, "lineitem")
+            .select("l_orderkey", "l_partkey", "l_extendedprice"),
+            load_table(s, d, "orders")
+            .select(F.col("o_orderkey").alias("l_orderkey"),
+                    "o_orderpriority"),
+            "l_orderkey", n_salt=8, row_col="l_partkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(F.floor(F.col("l_extendedprice") * 100))
+                 .cast("long").alias("revenue_cents")),
         # §2.5 — set operations
         "set_union": lambda s, d: R.set_union(load_table(s, d, "orders")),
         "set_except": lambda s, d: R.set_except(
@@ -369,6 +384,12 @@ FROM k
         "eval_confusion": (
             "SELECT label, CAST(vec_id % 10 AS INT) AS pred, COUNT(*) AS n "
             "FROM embeddings GROUP BY 1, 2"
+        ),
+        "salted_join_agg": (
+            "SELECT o_orderpriority, COUNT(*) AS n_items, "
+            "CAST(SUM(FLOOR(l_extendedprice*100)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         # §2.8 extension ops
         "dedup_exact": (

@@ -54,7 +54,7 @@ HEADLINE = [
     "dedup_clusters", "shard_pack", "sample_stratified",
     "vocab_topk", "ngram_topk", "scrub_text",
     "decontaminate", "mixture_sample", "repetition_stats", "tfidf_topk",
-    "dedup_keep_canonical",
+    "dedup_keep_canonical", "salted_join_agg",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "token_count", "multimodal_features", "frame_sample", "resize_images",
     # embeddings (2k rows, 64-dim)

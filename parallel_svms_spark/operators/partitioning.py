@@ -104,3 +104,35 @@ def halve_buckets_count(df_with_bucket: DataFrame) -> DataFrame:
         merge_pairs(df_with_bucket)
         .groupBy("bucket").agg(F.count("*").alias("merged_count"))
     )
+
+
+def salted_join(big: DataFrame, dim: DataFrame, key: str,
+                n_salt: int = 8, row_col: str | None = None) -> DataFrame:
+    """Skew-safe equi-join for the "hot key" regime: a handful of join
+    keys carry a disproportionate share of the big side, so a plain
+    hash-partitioned join lands them on a handful of reducers and the
+    stage runs at the speed of its hottest task.
+
+    The classic salting rewrite, value-identical to ``big.join(dim,
+    key)``: the big side gets a per-ROW salt in [0, n_salt) (derived
+    from ``row_col`` when given — deterministic — else
+    ``monotonically_increasing_id``), the dim side is replicated once
+    per salt value, and the join key becomes (key, salt) — a hot key's
+    rows now spread across ``n_salt`` reducers instead of one.
+
+    Use when the dim side is too big to broadcast (a broadcast join
+    has no reduce-side skew and needs no salt) but ``n_salt``× its
+    size is still exchangeable — the standard middle regime between
+    broadcast and AQE's coarser skew-split. The dim side is hinted
+    ``shuffle_hash`` so Spark never degrades to a sort-merge whose
+    sort re-concentrates the hot key.
+    """
+    n_salt = int(n_salt)
+    salt_src = F.col(row_col) if row_col else F.monotonically_increasing_id()
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salt)).cast("int"))
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return (salted_big
+            .join(salted_dim.hint("shuffle_hash"), [key, "__salt"])
+            .drop("__salt"))

@@ -102,3 +102,32 @@ def test_keep_canonical_reps_and_singletons(spark):
     kept = sorted(r.doc_id for r in
                   D.keep_canonical(df, k=3, threshold=0.5).collect())
     assert kept == [0, 1, 2, 3, 10]
+
+
+def test_new_ops_empty_and_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, "
+                                      "lang string, source string")
+    one = spark.createDataFrame(
+        [(0, "solo doc text here", "en", "web")],
+        "doc_id long, text string, lang string, source string")
+    # empty benchmark → nothing contaminated, corpus unchanged
+    assert C.decontaminate(one, empty, k=4).count() == 1
+    # empty corpus → empty out, no crash on either side
+    assert C.decontaminate(empty, one, k=4).count() == 0
+    assert TX.tfidf_topk(empty).count() == 0
+    assert TX.repetition_stats(empty).count() == 0
+    assert D.keep_canonical(empty).count() == 0
+    # rate > 1 keeps every row (row_number never exceeds group size)
+    assert SH.mixture_sample(one, rates={"web": 1.5}).count() == 1
+
+
+def test_scrub_text_idempotent(spark, sf_dir):
+    from pyspark.sql import functions as F2
+    from parallel_svms_spark.io.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    once = TX.scrub_text(docs)
+    twice = TX.scrub_text(once.select(
+        "doc_id", F2.col("clean_text").alias("text")))
+    joined = (once.alias("a").join(twice.alias("b"), "doc_id")
+              .filter(F2.col("a.clean_text") != F2.col("b.clean_text")))
+    assert joined.count() == 0

@@ -169,6 +169,26 @@ def test_repetition_and_tfidf_never_exchange_token_rows(docs):
     assert "WindowGroupLimit" in p2, p2
 
 
+def test_salted_join_spreads_key_and_hashes(spark, sf_dir):
+    from parallel_svms_spark.operators import partitioning as X
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    od = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    j = X.salted_join(li, od, "l_orderkey", n_salt=8, row_col="l_partkey")
+    p = phys(j)
+    # the exchange must partition on (key, salt) — that IS the skew fix
+    assert "__salt" in p and "hashpartitioning(l_orderkey" in p, p
+    # and never degrade to sort-merge (its sort re-concentrates hot keys)
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" in p, p
+    # value-identical to the plain join
+    plain = li.join(od, "l_orderkey")
+    assert j.count() == plain.count()
+    a = j.groupBy("o_orderpriority").count().collect()
+    b = plain.groupBy("o_orderpriority").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_pack_shards_no_global_window_one_range_exchange(docs):
     from parallel_svms_spark.operators import sharding as SH
     df = SH.pack_shards(docs, budget_tokens=1024)
