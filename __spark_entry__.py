@@ -275,6 +275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": lambda s, d: SH.mixture_sample(
             load_table(s, d, "documents"),
             rates={"src0": 0.5, "src1": 0.25}, default_rate=0.1),
+        "mixture_sample_hash": lambda s, d: SH.mixture_sample_hash(
+            load_table(s, d, "documents"),
+            rates={"src0": 0.5, "src1": 0.25}, default_rate=0.1),
+        "length_profile": lambda s, d: TX.length_profile(
+            load_table(s, d, "documents")),
         "topk_cosine": _topk_cosine,
         "topk_batch": _topk_batch,
         "ann_lsh_topk": _ann_lsh_topk,
@@ -301,6 +306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": lambda s, d: E.window_tumbling(load_table(s, d, "events")),
         "window_hopping": lambda s, d: E.window_hopping(load_table(s, d, "events")),
         "sessionize": lambda s, d: E.session_stats(load_table(s, d, "events")),
+        "asof_join": lambda s, d: E.asof_prev_event(
+            load_table(s, d, "events")),
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
         "resize_images": _resize_images,
@@ -552,6 +559,43 @@ FROM (
   FROM (SELECT string_split(text, ' ') AS t FROM documents)
 )
 GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100
+""",
+        # hash-threshold mixture: keep iff first-8-hex md5 < per-source
+        # threshold (lexicographic hex compare == numeric compare)
+        "mixture_sample_hash": """
+SELECT doc_id, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      (CASE source WHEN 'src0' THEN '80000000'
+                   WHEN 'src1' THEN '40000000' ELSE '19999999' END)
+""",
+        "length_profile": """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM documents GROUP BY lang
+""",
+        # window-based as-of (NOT DuckDB's native ASOF JOIN, whose
+        # ts-only tie rule differs: this pins the (ts, event_id)
+        # total order the Spark operator defines)
+        "asof_join": """
+WITH e AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('error', 'click')
+), m AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS prev_event_id,
+    last_value(CASE WHEN event_type = 'click' THEN ts END
+               IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS prev_ts
+  FROM e
+)
+SELECT event_id, user_id, ts, prev_event_id, prev_ts,
+       epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+FROM m WHERE event_type = 'error'
 """,
         "repetition_stats": """
 WITH tok AS (

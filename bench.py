@@ -55,6 +55,7 @@ HEADLINE = [
     "vocab_topk", "ngram_topk", "scrub_text",
     "decontaminate", "mixture_sample", "repetition_stats", "tfidf_topk",
     "dedup_keep_canonical", "salted_join_agg",
+    "mixture_sample_hash", "length_profile", "asof_join",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "token_count", "multimodal_features", "frame_sample", "resize_images",
     # embeddings (2k rows, 64-dim)
@@ -166,6 +167,13 @@ def run_stress() -> dict:
         timed("topk_batch",
               lambda: similarity.brute_topk_join(
                   emb, emb.limit(8), 10).count())
+        from parallel_svms_spark.operators import contamination, text
+        timed("decontaminate",
+              lambda: contamination.decontaminate(
+                  docs.filter("source <> 'src0'"),
+                  docs.filter("source = 'src0'"), k=4).count())
+        timed("tfidf_topk",
+              lambda: text.tfidf_topk(docs, top_n=5).count())
         return {"mult_docs": mult_docs, "mult_emb": mult_emb,
                 "rows_docs": n_docs, "rows_emb": n_emb, "ops": ops}
     finally:

@@ -100,3 +100,35 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
              F.sum("n_events").alias("n_events"),
              F.sum("duration_ms").alias("total_duration_ms"))
     )
+
+
+def asof_prev_event(events: DataFrame, left_type: str = "error",
+                    right_type: str = "click") -> DataFrame:
+    """As-of join within an event stream: for each ``left_type`` event,
+    the most recent ``right_type`` event by the same user at or before
+    it (tie on ts broken by event_id, strictly ordered) — the
+    "error correlated to the click that preceded it" query. Spark has
+    no native ASOF JOIN; the scalable formulation is NOT a range join
+    (quadratic per user) but a single per-user window: sort each
+    user's events once, carry the last-seen right event forward with
+    ``last(..., ignorenulls=True)``, keep the left rows.
+
+    Scale shape: one hash exchange on user_id + an in-partition sort —
+    identical cost to sessionize; running state is one row. Returns
+    (event_id, user_id, ts, prev_event_id, prev_ts, gap_us) with NULL
+    prevs for lefts with no earlier right (kept, like LEFT ASOF JOIN).
+    """
+    e = (events.filter(F.col("event_type").isin([left_type, right_type]))
+         .select("event_id", "ts", "user_id", "event_type"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    mark_id = F.when(F.col("event_type") == right_type, F.col("event_id"))
+    mark_ts = F.when(F.col("event_type") == right_type, F.col("ts"))
+    return (e
+            .withColumn("prev_event_id", F.last(mark_id, True).over(w))
+            .withColumn("prev_ts", F.last(mark_ts, True).over(w))
+            .filter(F.col("event_type") == left_type)
+            .select("event_id", "user_id", "ts", "prev_event_id",
+                    "prev_ts",
+                    (F.unix_micros(F.col("ts"))
+                     - F.unix_micros(F.col("prev_ts"))).alias("gap_us")))

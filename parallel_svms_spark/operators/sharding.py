@@ -149,6 +149,13 @@ def mixture_sample(df: DataFrame, rates: dict[str, float] | None = None,
     Scale shape: per-group counts are a map-side-partial hash agg
     producing |sources| rows, broadcast back; the rank is one window
     keyed by the group column.  Nothing driver-side, no RNG state.
+
+    SCALE CAVEAT: the exact-quota rank is a per-group window — one
+    sort task per source. Fine while each source fits a task (eval
+    carves, sampled corpora); for billion-row sources use
+    ``mixture_sample_hash`` (same determinism, no window, no sort —
+    sample size becomes Binomial(n, rate) instead of exactly
+    ceil(rate·n)).
     """
     rates = rates or {}
     rate = F.lit(float(default_rate))
@@ -163,6 +170,39 @@ def mixture_sample(df: DataFrame, rates: dict[str, float] | None = None,
                     F.ceil(rate * F.col("n_grp")).cast("long").alias("want"))
             .filter(F.col("rn") <= F.col("want"))
             .select(id_col, group_col))
+
+
+def _rate_threshold_hex(rate: float) -> str:
+    """First-8-hex-chars md5 threshold for a sampling rate: keep a row
+    iff substring(md5, 1, 8) < this string. Lexicographic order over
+    fixed-length lowercase hex IS numeric order, so the comparison is
+    a plain string compare in every engine."""
+    return format(min(int(float(rate) * 16 ** 8), 16 ** 8 - 1), "08x")
+
+
+def mixture_sample_hash(df: DataFrame, rates: dict[str, float] | None = None,
+                        default_rate: float = 0.1,
+                        id_col: str = "doc_id",
+                        group_col: str = "source") -> DataFrame:
+    """The 100 TB mixture sampler: hash-threshold (a.k.a. hash-mod)
+    sampling — keep a row iff the first 8 hex chars of md5(id-string)
+    fall below the group's rate threshold. One narrow codegen'd
+    filter: no window, no sort, no per-group count, no exchange at
+    all. Sample size is Binomial(n, rate) (±O(√n) of the quota) — the
+    standard trade production data mixers make for a shuffle-free
+    plan; use ``mixture_sample`` when the count must be exact.
+
+    Same determinism contract as everything else in this family:
+    membership depends only on (id, rate), so re-runs, engines, and
+    incremental extensions of OTHER sources never change a row's fate.
+    """
+    rates = rates or {}
+    thr = F.lit(_rate_threshold_hex(default_rate))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g,
+                     F.lit(_rate_threshold_hex(r))).otherwise(thr)
+    h8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return (df.filter(h8 < thr).select(id_col, group_col))
 
 
 def stratified_sample(df: DataFrame, n_per_label: int = 10,

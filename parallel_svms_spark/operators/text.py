@@ -220,6 +220,27 @@ def tfidf_topk(documents: DataFrame, top_n: int = 5) -> DataFrame:
             .filter(F.col("rank") <= int(top_n)))
 
 
+def length_profile(documents: DataFrame,
+                   approx: bool = False) -> DataFrame:
+    """Per-language corpus length profile: doc count plus p50/p90 of
+    ``n_chars`` — the distribution snapshot every curation run records
+    before/after filtering.
+
+    ``approx=False`` (default, the verification twin) uses Spark's
+    exact ``percentile`` — linear interpolation, matching DuckDB's
+    ``quantile_cont`` bit-for-bit, which is what makes this
+    oracle-checkable; its agg state is the per-group value multiset,
+    fine up to millions of docs per group.  ``approx=True`` switches
+    to ``approx_percentile`` (t-digest, bounded state) — the 100 TB
+    path, same schema, accuracy traded for constant memory.
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    return (documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr(f"{fn}(n_chars, 0.5)"), 6).alias("p50_chars"),
+        F.round(F.expr(f"{fn}(n_chars, 0.9)"), 6).alias("p90_chars")))
+
+
 def scrub_text(documents: DataFrame) -> DataFrame:
     """Normalization/redaction pass: lowercase, mask emails →
     ``<email>``, mask digit runs → ``<num>``, collapse whitespace

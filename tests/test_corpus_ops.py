@@ -131,3 +131,37 @@ def test_scrub_text_idempotent(spark, sf_dir):
     joined = (once.alias("a").join(twice.alias("b"), "doc_id")
               .filter(F2.col("a.clean_text") != F2.col("b.clean_text")))
     assert joined.count() == 0
+
+
+def test_mixture_sample_hash_rate_and_no_shuffle(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    got = SH.mixture_sample_hash(docs, rates={"src0": 1.0},
+                                 default_rate=0.0)
+    # rate 1.0 keeps (almost) everything in the group, 0.0 nothing else
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert got.filter("source <> 'src0'").count() == 0
+    assert got.count() >= n_src0 - 1  # 1.0 threshold is ffffffff-capped
+    # the whole sampler must be a narrow filter: zero exchanges
+    p = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    # membership of a row is independent of other sources' rates
+    a = {r.doc_id for r in SH.mixture_sample_hash(
+        docs, rates={"src0": 0.3}).filter("source = 'src0'").collect()}
+    b = {r.doc_id for r in SH.mixture_sample_hash(
+        docs, rates={"src0": 0.3, "src9": 0.9})
+        .filter("source = 'src0'").collect()}
+    assert a == b
+
+
+def test_length_profile_approx_variant_same_schema(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    exact = TX.length_profile(docs, approx=False)
+    approx = TX.length_profile(docs, approx=True)
+    assert exact.columns == approx.columns
+    e = {r.lang: r.p50_chars for r in exact.collect()}
+    a = {r.lang: r.p50_chars for r in approx.collect()}
+    # t-digest medians stay close to exact on the fixture
+    for lang in e:
+        assert abs(e[lang] - a[lang]) <= max(5.0, 0.05 * e[lang]), lang

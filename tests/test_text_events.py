@@ -95,3 +95,31 @@ def test_window_hopping_double_counts_each_event(spark, sf_dir):
               .groupBy(hop.window_start, hop.event_type, "n_events")
               .agg(F.sum("count").alias("sub_sum")))
     assert joined.filter("n_events != sub_sum").count() == 0
+
+
+def test_asof_prev_event_semantics(spark):
+    from datetime import datetime
+    from parallel_svms_spark.operators import events as EV
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: click@1, error@2 → matched; error@0 → no prev (kept, null)
+        (10, t(0), 1, "error", 0.0, "{}"),
+        (11, t(1), 1, "click", 0.0, "{}"),
+        (12, t(2), 1, "error", 0.0, "{}"),
+        # user 2: tie on ts — click event_id 20 < error event_id 21 →
+        # click is visible to the error at the same timestamp
+        (20, t(5), 2, "click", 0.0, "{}"),
+        (21, t(5), 2, "error", 0.0, "{}"),
+        # user 2 later: a 'view' must never match
+        (22, t(6), 2, "view", 0.0, "{}"),
+        (23, t(7), 2, "error", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.event_id: (r.prev_event_id, r.gap_us)
+           for r in EV.asof_prev_event(ev).collect()}
+    assert got[10] == (None, None)
+    assert got[12] == (11, 1_000_000)
+    assert got[21] == (20, 0)
+    assert got[23] == (20, 2_000_000)
