@@ -464,8 +464,10 @@ SELECT doc_id, source FROM (
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
          COUNT(*) OVER (PARTITION BY source) AS n_grp
   FROM documents
-) WHERE rn <= CEIL(n_grp * (CASE source WHEN 'src0' THEN 0.5
-                            WHEN 'src1' THEN 0.25 ELSE 0.1 END))
+) WHERE rn <= CEIL(n_grp * (CASE source
+    WHEN 'src0' THEN CAST('0.5' AS DECIMAL(21,10))
+    WHEN 'src1' THEN CAST('0.25' AS DECIMAL(21,10))
+    ELSE CAST('0.1' AS DECIMAL(21,10)) END))
 """,
         "dedup_embedding": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -70,9 +70,15 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   broadcast_benchmark: bool = True) -> DataFrame:
     """The corpus minus contaminated docs (all columns preserved).
 
-    The contaminated-id set is itself small (it is at most
-    |benchmark-adjacent docs|), so the final anti-join is another
-    broadcast — end to end the corpus never exchanges.
+    ``broadcast_benchmark`` gates BOTH joins: the shingle semi-join
+    (build side = benchmark shingles) and the final anti-join (build
+    side = contaminated ids). The id set is usually benchmark-bounded
+    — eval sets touch a sliver of the corpus — so the default
+    broadcasts it and the corpus never exchanges. If contamination can
+    be a large FRACTION of the corpus (e.g. decontaminating against a
+    huge held-out split), pass ``broadcast_benchmark=False``: both
+    joins fall back to hash-partitioned and nothing driver-sized is
+    materialized.
     """
     bad = contaminated_ids(corpus, benchmark, k, min_overlap,
                            id_col, text_col, broadcast_benchmark)

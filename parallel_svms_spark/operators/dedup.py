@@ -554,6 +554,14 @@ def dedup_clusters(documents: DataFrame, k: int = 3,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        import warnings
+        warnings.warn(
+            f"dedup_clusters: label propagation did not converge in "
+            f"{max_iter} rounds — a component with diameter > max_iter "
+            f"exists and its labels are still split; raise max_iter or "
+            f"switch the loop body to large-star/small-star",
+            RuntimeWarning, stacklevel=2)
     return lab.select("doc_id", F.col("lab").alias("cluster_rep"))
 
 

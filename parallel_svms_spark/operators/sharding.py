@@ -50,6 +50,7 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
     import pandas as pd
 
     spark = documents.sparkSession
+    id_type = dict(documents.dtypes)[id_col]
     toks = documents.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"))
@@ -103,7 +104,8 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
 
     return (ranged.withColumn("pid", F.spark_partition_id())
             .mapInPandas(assign,
-                         schema=f"{id_col} long, n_tokens long, shard long"))
+                         schema=f"{id_col} {id_type}, n_tokens long, "
+                                f"shard long"))
 
 
 def write_corpus_shards(documents: DataFrame, path: str,
@@ -158,14 +160,26 @@ def mixture_sample(df: DataFrame, rates: dict[str, float] | None = None,
     ceil(rate·n)).
     """
     rates = rates or {}
-    rate = F.lit(float(default_rate))
+
+    # quota arithmetic is DECIMAL, not double: ceil(0.07 · 100) must be
+    # 7, but the double product is 7.000000000000001 → ceil 8 — decimal
+    # keeps the quota exact and agrees with SQL engines' decimal
+    # literal semantics
+    def _dec(r: float) -> F.Column:
+        return F.expr(f"CAST('{float(r)!r}' AS DECIMAL(21,10))")
+
+    rate = _dec(default_rate)
     for g, r in sorted(rates.items()):
-        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
-    cnt = df.groupBy(group_col).agg(F.count("*").alias("n_grp"))
+        rate = F.when(F.col(group_col) == g, _dec(r)).otherwise(rate)
+    # null-safe count attach: a NULL group must stay eligible (sampled
+    # at default_rate, same fall-through as mixture_sample_hash's CASE)
+    cnt = (df.groupBy(group_col).agg(F.count("*").alias("n_grp"))
+           .withColumnRenamed(group_col, "__grp"))
     h = F.md5(F.col(id_col).cast("string"))
     rn = F.row_number().over(
         W.partitionBy(group_col).orderBy(h, F.col(id_col)))
-    return (df.join(F.broadcast(cnt), group_col)
+    return (df.join(F.broadcast(cnt),
+                    F.col(group_col).eqNullSafe(F.col("__grp")))
             .select(F.col(id_col), F.col(group_col), rn.alias("rn"),
                     F.ceil(rate * F.col("n_grp")).cast("long").alias("want"))
             .filter(F.col("rn") <= F.col("want"))

@@ -259,7 +259,12 @@ def streaming_decontaminate(stream_docs: DataFrame, benchmark: DataFrame,
     def _screen(texts):
         bset = bc.value
 
-        def clean(t: str) -> bool:
+        def clean(t) -> bool:
+            # NULL/invalid text is KEPT, matching the batch twin
+            # (shingles_col(NULL) → NULL → explode drops the doc from
+            # the contamination check, anti-join keeps it)
+            if not isinstance(t, str):
+                return True
             toks = t.split(" ")
             if len(toks) < kk:
                 return t not in bset
