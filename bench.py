@@ -105,11 +105,22 @@ def child_main(sf_dir: str) -> int:
     spark = get_spark("bench")
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t = min(run_once(spark, qs[name], sf_dir)
-                for _ in range(RUNS_PER_SESSION))
+        # per-query isolation (VERDICT r3 #2): one regressed query must
+        # not abort the session — record {"err": ...} and keep going so
+        # the artifact always has numbers for the healthy 50+ queries
+        try:
+            t = min(run_once(spark, qs[name], sf_dir)
+                    for _ in range(RUNS_PER_SESSION))
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            print(f"  {name}: ERROR {msg[:200]}", file=sys.stderr)
+            spark.catalog.clearCache()
+            continue
         timings[name] = round(t, 3)
         print(f"  {name}: {t:.3f}s", file=sys.stderr)
         # operators that persist() intermediates (jaccard/minhash) leave
@@ -117,7 +128,7 @@ def child_main(sf_dir: str) -> int:
         # headline set doesn't accumulate blocks (within a query's runs
         # the cache stays, matching warm-session methodology)
         spark.catalog.clearCache()
-    print(json.dumps({"queries": timings}))
+    print(json.dumps({"queries": timings, "errors": errors}))
     return 0
 
 
@@ -191,16 +202,26 @@ def main() -> int:
     n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
     per_session: list[dict[str, float]] = []
     env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    errors: dict[str, str] = {}
     for i in range(n_sessions):
         print(f"-- session {i + 1}/{n_sessions}", file=sys.stderr)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600)
-        sys.stderr.write(proc.stderr[-4000:])
-        last = [ln for ln in proc.stdout.splitlines() if ln.strip()][-1]
-        per_session.append(json.loads(last)["queries"])
+        # a dead/garbled child loses one session, never the artifact
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600)
+            sys.stderr.write(proc.stderr[-4000:])
+            lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            parsed = json.loads(lines[-1]) if lines else {}
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            print(f"-- session {i + 1} failed: {exc}", file=sys.stderr)
+            parsed = {}
+        if parsed.get("queries"):
+            per_session.append(parsed["queries"])
+        errors.update(parsed.get("errors") or {})
+    all_names = {n for s in per_session for n in s}
     timings = {name: min(s[name] for s in per_session if name in s)
-               for name in per_session[0]}
+               for name in sorted(all_names)}
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_headline_sec",
@@ -211,6 +232,8 @@ def main() -> int:
         "probe_sec": probe,
         "sessions": n_sessions,
     }
+    if errors:
+        out["errors"] = errors
     if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") == "1":
         out["stress"] = run_stress()
     print(json.dumps(out))

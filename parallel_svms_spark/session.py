@@ -34,8 +34,10 @@ def get_spark(app_name: str = "parallel_svms_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-        # rejects; read as long and convert in the loader (ns → µs,
+        # compat only: current fixtures write events.ts as timestamp[us]
+        # (no tz) ⇒ TIMESTAMP_NTZ, normalized in io.sources.load_table;
+        # this flag covers older TIMESTAMP(NANOS) layouts which Spark's
+        # reader otherwise rejects (read as long, loader converts ns→µs
         # matching DuckDB's truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -51,7 +51,7 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
 
 SESSION_OUT_SCHEMA = ("user_id long, session_start timestamp, "
                       "session_end timestamp, n_events int, value_sum double")
-_SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n int, vsum double"
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n int, vsum double"
 
 
 def sessionize_stateful(stream: DataFrame,
@@ -67,51 +67,60 @@ def sessionize_stateful(stream: DataFrame,
     last one, or — for users that go quiet — when the event-time
     watermark passes last_event + gap (EventTimeTimeout), so state
     can't leak and every session is eventually emitted exactly once.
+
+    Session bounds are tracked at MICROsecond resolution (Spark
+    timestamp precision): ms truncation here would emit session
+    start/end values that differ from the batch operator's on µs-grain
+    data — caught by the fixture-equivalence test in
+    tests/test_streaming_stateful.py. Only the timeout timestamp is
+    ms-grain (the GroupState API's unit).
     """
     import pandas as pd  # noqa: F401  (worker-side)
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_ms = gap_minutes * 60_000
+    gap_us = gap_minutes * 60_000_000
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
         (user_id,) = key
         if state.hasTimedOut:
-            start_ms, last_ms, n, vsum = state.get
+            start_us, last_us, n, vsum = state.get
             state.remove()
             yield pd.DataFrame({
                 "user_id": [user_id],
-                "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
                 "n_events": [n], "value_sum": [round(vsum, 6)]})
             return
         events = pd.concat(list(pdfs)).sort_values("ts")
         if state.exists:
-            start_ms, last_ms, n, vsum = state.get
+            start_us, last_us, n, vsum = state.get
         else:
-            start_ms, last_ms, n, vsum = -1, -1, 0, 0.0
+            start_us, last_us, n, vsum = -1, -1, 0, 0.0
         closed = []
         for ts, value in zip(events["ts"], events["value"]):
-            t = ts.value // 1_000_000  # ns → ms
-            if start_ms < 0:
-                start_ms, last_ms, n, vsum = t, t, 1, float(value)
-            elif t - last_ms > gap_ms:
-                closed.append((start_ms, last_ms, n, vsum))
-                start_ms, last_ms, n, vsum = t, t, 1, float(value)
+            t = ts.value // 1_000  # ns → µs
+            if start_us < 0:
+                start_us, last_us, n, vsum = t, t, 1, float(value)
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n, vsum))
+                start_us, last_us, n, vsum = t, t, 1, float(value)
             else:
-                last_ms, n, vsum = t, n + 1, vsum + float(value)
-        state.update((start_ms, last_ms, n, vsum))
-        # a wholly-late burst can put last_ms+gap behind the watermark,
+                last_us, n, vsum = t, n + 1, vsum + float(value)
+        state.update((start_us, last_us, n, vsum))
+        # a wholly-late burst can put last+gap behind the watermark,
         # which setTimeoutTimestamp rejects — clamp to watermark+1ms
-        # (fires at the next batch)
+        # (fires at the next batch). Timeout API is ms-grain; round the
+        # µs deadline UP so a timeout can never fire early.
         state.setTimeoutTimestamp(
-            max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+            max(-(-(last_us + gap_us) // 1000),
+                state.getCurrentWatermarkMs() + 1))
         if closed:
             yield pd.DataFrame({
                 "user_id": [user_id] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="ms")
+                "session_start": [pd.Timestamp(s, unit="us")
                                   for s, _, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="ms")
+                "session_end": [pd.Timestamp(e, unit="us")
                                 for _, e, _, _ in closed],
                 "n_events": [c for _, _, c, _ in closed],
                 "value_sum": [round(v, 6) for _, _, _, v in closed]})
