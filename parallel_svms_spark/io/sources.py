@@ -79,13 +79,13 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
         # exchange into every micro-batch
         return df
     par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        # physical scan partition count without df.rdd: df.rdd appends
-        # an InternalRow→Row deserializer to the plan it compiles;
-        # queryExecution().toRdd() is the same RDD pre-deserializer
-        n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
-    except Exception:  # non-JVM backends (Connect) — fall back
-        n_parts = df.rdd.getNumPartitions()
+    # public-API probe: df.rdd compiles the plan with an extra
+    # InternalRow→Row deserializer appended, but that never changes the
+    # partition count, and nothing executes — getNumPartitions is
+    # metadata-only. (Previously used _jdf.queryExecution().toRdd(), a
+    # private API of exactly the Spark-version-fragile kind that broke
+    # the events family in round 3.)
+    n_parts = df.rdd.getNumPartitions()
     if n_parts * 4 < par:
         return df.repartition(par)
     return df
