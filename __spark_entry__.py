@@ -162,6 +162,27 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("feature_sum"))
 
 
+def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL codec round trip: documents → JSONL sink → JSONL source
+    (explicit schema, no inference scan) → per-lang rollup. The rollup
+    hash-matching the parquet-side oracle proves the codec is lossless
+    for the whole corpus surface (ids, text bytes, metadata)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.io.sources import read_jsonl, write_jsonl
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    write_jsonl(docs, tmp)
+    back = read_jsonl(spark, tmp)
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.length("text")).alias("total_text_chars"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
 def _parse_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: reference sparse-line codec round trip — encode embeddings
     as ``label,i1,v1,...`` lines (|v| ≥ 0.05 kept), parse back with
@@ -203,13 +224,14 @@ _QKEY_ORDER = [
     "salted_join_agg", "set_union", "set_except", "eval_confusion",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
-    "asof_join",
+    "asof_join", "funnel", "retention_cohorts",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "resize_images",
     # text analysis
     "text_token_stats", "vocab_topk", "ngram_topk", "scrub_text",
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
     "doc_fingerprint", "token_count", "length_profile",
+    "boilerplate_score", "jsonl_roundtrip",
     # dedup / corpus assembly
     "dedup_exact", "dedup_clusters", "shard_pack", "sample_stratified",
     "simjoin_candidates", "dedup_minhash", "dedup_simhash",
@@ -341,6 +363,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": lambda s, d: E.session_stats(load_table(s, d, "events")),
         "asof_join": lambda s, d: E.asof_prev_event(
             load_table(s, d, "events")),
+        "funnel": lambda s, d: E.funnel(load_table(s, d, "events")),
+        "retention_cohorts": lambda s, d: E.retention_cohorts(
+            load_table(s, d, "events")),
+        "boilerplate_score": lambda s, d: TX.boilerplate_score(
+            load_table(s, d, "documents")),
+        "jsonl_roundtrip": _jsonl_roundtrip,
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
         "resize_images": _resize_images,
@@ -755,6 +783,80 @@ SELECT user_id, COUNT(*) AS n_sessions,
        CAST(SUM(n_events) AS BIGINT) AS n_events,
        CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
 FROM per_session GROUP BY user_id
+""",
+        # funnel: first qualifying occurrence per stage, each within
+        # 24 h of completing the prior stage — mirrors operators/
+        # events.funnel(steps=(view, click, purchase), window_hours=24)
+        "funnel": """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+)
+SELECT CAST(0 AS INT) AS stage, 'view' AS step,
+       (SELECT COUNT(*) FROM s0) AS n_users
+UNION ALL
+SELECT CAST(1 AS INT), 'click', (SELECT COUNT(*) FROM s1)
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', (SELECT COUNT(*) FROM s2)
+""",
+        # retention: ISO-week cohorts (both engines' date_trunc('week')
+        # is the Monday of the ISO week, so offsets divide exactly by 7)
+        "retention_cohorts": """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) // 7 AS INT)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+""",
+        # cross-doc boilerplate: distinct 3-grams per doc (same shingle
+        # CTE as the Jaccard oracles, incl. the <k-token fallback),
+        # common = appears in ≥4 docs
+        "boilerplate_score": """
+WITH sh AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3 THEN list_distinct(
+      [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)])
+    ELSE [array_to_string(t, ' ')] END) AS ng
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+), dfreq AS (
+  SELECT ng, COUNT(*) AS df FROM sh GROUP BY ng
+)
+SELECT s.doc_id, COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN d.df >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_common,
+       ROUND(CAST(SUM(CASE WHEN d.df >= 4 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS boilerplate_frac
+FROM sh s JOIN dfreq d USING (ng)
+GROUP BY s.doc_id
+""",
+        # jsonl_roundtrip: the oracle aggregates the parquet directly —
+        # hash-matching proves the Spark-side JSONL write+read was
+        # lossless
+        "jsonl_roundtrip": """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY lang
 """,
     }
 

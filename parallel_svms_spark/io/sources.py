@@ -227,3 +227,36 @@ def write_dense_csv(df: DataFrame, path: str, label_col: str = "label",
                     features_col: str = "features") -> None:
     """S3 text sink, kept for reference format parity only."""
     to_dense_lines(df, label_col, features_col).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus source/sink (the de-facto LLM training-corpus format)
+# ---------------------------------------------------------------------------
+
+DOCUMENTS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("source", T.StringType(), True),
+    T.StructField("n_chars", T.LongType(), True),
+])
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink: one JSON object per line, one file per task — the
+    interchange format most public corpora (C4, the Pile, Dolma) ship
+    in. Spark's JSON writer is JVM/Jackson (no Python in the path) and
+    splits output by partition, so a 100 TB corpus writes with full
+    parallelism; callers control file sizing with the usual
+    repartition-before-write."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: T.StructType | None = None) -> DataFrame:
+    """JSONL source with an EXPLICIT schema (default: the documents
+    table). Passing the schema skips Spark's inference pre-scan — at
+    100 TB schema inference is a full extra read of the corpus — and
+    pins column types so a malformed line becomes a null row
+    (columnNameOfCorruptRecord semantics) instead of a type flip."""
+    return spark.read.schema(schema or DOCUMENTS_SCHEMA).json(path)

@@ -102,6 +102,72 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def funnel(events: DataFrame,
+           steps: tuple[str, ...] = ("view", "click", "purchase"),
+           window_hours: int = 24) -> DataFrame:
+    """Ordered conversion funnel: count users who performed the steps
+    in sequence, each within ``window_hours`` of completing the prior
+    step (the first qualifying occurrence counts). Returns one row per
+    stage: (stage, step, n_users).
+
+    Scale shape: stage 0 is a hash aggregation keyed on user_id; every
+    later stage joins the (monotonically shrinking) converted-user
+    frame back to the events on user_id and re-aggregates — all
+    exchanges share the user_id key, so AQE reuses the partitioning,
+    and from stage 1 on the converted side is usually small enough for
+    a broadcast join (Spark picks that up from its shrinking size
+    estimate; at 100 TB the events side streams through unchanged).
+    The per-stage outputs are single-row aggregates unioned at the end.
+    """
+    e = events.select("user_id", "event_type", "ts")
+    cur = (e.filter(F.col("event_type") == steps[0])
+           .groupBy("user_id").agg(F.min("ts").alias("t")))
+    counts = [cur.agg(F.lit(0).alias("stage"),
+                      F.lit(steps[0]).alias("step"),
+                      F.count("*").alias("n_users"))]
+    for i, step in enumerate(steps[1:], start=1):
+        deadline = F.col("t") + F.expr(f"INTERVAL {int(window_hours)} HOURS")
+        cur = (e.filter(F.col("event_type") == step)
+               .join(cur, "user_id")
+               .filter((F.col("ts") > F.col("t"))
+                       & (F.col("ts") <= deadline))
+               .groupBy("user_id").agg(F.min("ts").alias("t")))
+        counts.append(cur.agg(F.lit(i).alias("stage"),
+                              F.lit(step).alias("step"),
+                              F.count("*").alias("n_users")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event (cohort_week), counted in every subsequent week they
+    were active. Returns (cohort_week, week_offset, n_users) — the
+    classic retention-triangle input.
+
+    Scale shape: two hash aggregations keyed on user_id (first-seen
+    and distinct user-weeks — the distinct is map-side partial, state
+    one row per user-week) joined on user_id, then a small rollup
+    keyed (cohort, offset): at most users × horizon rows enter the
+    final aggregation. No windows, no skew hazard beyond mega-user
+    event counts, which the distinct collapses before the join.
+    """
+    first = (events.groupBy("user_id")
+             .agg(F.to_date(F.date_trunc("week", F.min("ts")))
+                  .alias("cohort_week")))
+    active = (events
+              .select("user_id",
+                      F.to_date(F.date_trunc("week", F.col("ts")))
+                      .alias("active_week"))
+              .distinct())
+    off = (F.datediff("active_week", "cohort_week") / 7).cast("int")
+    return (active.join(first, "user_id")
+            .groupBy("cohort_week", off.alias("week_offset"))
+            .agg(F.count("*").alias("n_users")))
+
+
 def asof_prev_event(events: DataFrame, left_type: str = "error",
                     right_type: str = "click") -> DataFrame:
     """As-of join within an event stream: for each ``left_type`` event,

@@ -241,6 +241,45 @@ def length_profile(documents: DataFrame,
         F.round(F.expr(f"{fn}(n_chars, 0.9)"), 6).alias("p90_chars")))
 
 
+def boilerplate_score(documents: DataFrame, n: int = 3,
+                      min_docs: int = 4,
+                      broadcast_common: bool = True) -> DataFrame:
+    """Cross-document boilerplate signal: per doc, the fraction of its
+    DISTINCT word n-grams that recur in ≥ ``min_docs`` documents — the
+    corpus-internal twin of ``decontaminate`` (C4-style repeated-span
+    detection: navboxes, licence blocks, templated headers score high).
+    Returns (doc_id, n_ngrams, n_common, boilerplate_frac).
+
+    Scale shape: shingling is a narrow JVM map; the doc-frequency count
+    is a hash aggregation with map-side partials whose state is one row
+    per distinct n-gram (vocabulary-bounded, not corpus-bounded). The
+    ≥min_docs survivors — the actual boilerplate set, tiny relative to
+    the corpus — are broadcast for the membership mark, so the
+    n-gram-level rows are exchanged exactly ONCE (for the count); the
+    per-doc rollup re-uses the doc-local explode, never a second
+    shuffle of gram rows.  If the common set outgrows broadcast (a
+    pathologically templated corpus), ``broadcast_common=False`` falls
+    back to a shuffle join keyed on the n-gram.
+    """
+    ex = (ensure_parallelism(documents)
+          .select("doc_id",
+                  F.explode(F.array_distinct(shingles_col("text", n)))
+                  .alias("ng")))
+    common = (ex.groupBy("ng").agg(F.count("*").alias("df"))
+              .filter(F.col("df") >= int(min_docs))
+              .select("ng", F.lit(1).alias("is_common")))
+    if broadcast_common:
+        common = F.broadcast(common)
+    marked = ex.join(common, "ng", "left")
+    frac = F.round(F.col("n_common") / F.col("n_ngrams"), 6)
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_ngrams"),
+                 F.sum(F.coalesce(F.col("is_common"), F.lit(0)))
+                 .cast("long").alias("n_common"))
+            .select("doc_id", "n_ngrams", "n_common",
+                    frac.alias("boilerplate_frac")))
+
+
 def scrub_text(documents: DataFrame) -> DataFrame:
     """Normalization/redaction pass: lowercase, mask emails →
     ``<email>``, mask digit runs → ``<num>``, collapse whitespace

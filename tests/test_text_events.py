@@ -123,3 +123,97 @@ def test_asof_prev_event_semantics(spark):
     assert got[12] == (11, 1_000_000)
     assert got[21] == (20, 0)
     assert got[23] == (20, 2_000_000)
+
+
+def test_funnel_semantics(spark):
+    from datetime import datetime, timedelta
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    mk = lambda i, dt, u, ty: (i, t0 + dt, u, ty, 0.0, "{}")
+    rows = [
+        # user 1: full in-window conversion
+        mk(1, timedelta(hours=0), 1, "view"),
+        mk(2, timedelta(hours=1), 1, "click"),
+        mk(3, timedelta(hours=2), 1, "purchase"),
+        # user 2: click outside the 24h window → stops at stage 0
+        mk(4, timedelta(hours=0), 2, "view"),
+        mk(5, timedelta(hours=30), 2, "click"),
+        # user 3: purchase BEFORE the click → stops at stage 1
+        mk(6, timedelta(hours=0), 3, "view"),
+        mk(7, timedelta(hours=2), 3, "purchase"),
+        mk(8, timedelta(hours=3), 3, "click"),
+        # user 4: never views; a click alone must not enter the funnel
+        mk(9, timedelta(hours=0), 4, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.step: r.n_users for r in E.funnel(ev).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_first_occurrence_counts(spark):
+    # an early out-of-window click must not shadow a later in-window
+    # one? No: the contract is FIRST QUALIFYING occurrence — the first
+    # click after the view that is inside the window. A click 1h after
+    # the view qualifies even if another click came before the view.
+    from datetime import datetime, timedelta
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0 - timedelta(hours=1), 1, "click", 0.0, "{}"),  # pre-view
+        (2, t0, 1, "view", 0.0, "{}"),
+        (3, t0 + timedelta(hours=1), 1, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.step: r.n_users for r in E.funnel(ev).collect()}
+    assert got["click"] == 1
+
+
+def test_retention_cohorts_offsets(spark):
+    from datetime import datetime
+    # 2026-01-05 is a Monday; user 1 active weeks 0 and 2, user 2 joins
+    # a week later, active week 0 only
+    rows = [
+        (1, datetime(2026, 1, 6), 1, "view", 0.0, "{}"),    # wk of Jan 5
+        (2, datetime(2026, 1, 21), 1, "view", 0.0, "{}"),   # wk of Jan 19
+        (3, datetime(2026, 1, 14), 2, "view", 0.0, "{}"),   # wk of Jan 12
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in E.retention_cohorts(ev).collect()}
+    assert got == {("2026-01-05", 0): 1, ("2026-01-05", 2): 1,
+                   ("2026-01-12", 0): 1}
+
+
+def test_boilerplate_score_synthetic(spark):
+    # the trigram "a b c" appears in 4 docs → common at min_docs=4;
+    # everything else is unique
+    docs = spark.createDataFrame(
+        [(i, "a b c unique%d filler%d" % (i, i)) for i in range(4)]
+        + [(9, "totally fresh text here")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_ngrams, r.n_common) for r in
+           TX.boilerplate_score(docs, n=3, min_docs=4).collect()}
+    # each of docs 0-3 has 3 distinct trigrams, exactly 1 common
+    for i in range(4):
+        assert got[i] == (3, 1)
+    assert got[9] == (2, 0)
+
+
+def test_boilerplate_score_shuffle_join_fallback(docs):
+    a = TX.boilerplate_score(docs, broadcast_common=True).collect()
+    b = TX.boilerplate_score(docs, broadcast_common=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_jsonl_roundtrip_lossless(spark, docs, tmp_path):
+    from parallel_svms_spark.io.sources import read_jsonl, write_jsonl
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, p)
+    back = read_jsonl(spark, p)
+    assert back.schema == docs.schema
+    assert (sorted(map(tuple, back.collect()))
+            == sorted(map(tuple, docs.collect())))
