@@ -239,7 +239,7 @@ _QKEY_ORDER = [
     "mixture_sample_hash",
     # similarity / ANN
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
-    "dedup_embedding",
+    "dedup_embedding", "dedup_embedding_ivf",
     # ML training — most expensive, rows-only (no SQL oracle): last
     "svm_train", "svm_linear_ovr", "cascade_svm", "bagging_svm",
     "iterative_svm",
@@ -342,6 +342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": lambda s, d: __import__(
             "parallel_svms_spark.operators.similarity",
             fromlist=["x"]).cosine_near_dup_blocked(
+                load_table(s, d, "embeddings"), threshold=0.4),
+        "dedup_embedding_ivf": lambda s, d: __import__(
+            "parallel_svms_spark.operators.similarity",
+            fromlist=["x"]).cosine_near_dup_ivf(
                 load_table(s, d, "embeddings"), threshold=0.4),
         "text_token_stats": lambda s, d: TX.token_stats(load_table(s, d, "documents")),
         "vocab_topk": lambda s, d: TX.vocab_topk(
@@ -553,6 +557,7 @@ LIMIT 10
 """,
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "dedup_embedding_ivf": _dedup_embedding_ivf_oracle(threshold=0.4),
         "topk_batch": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
@@ -1004,22 +1009,25 @@ LIMIT 10
 """
 
 
-def _ann_ivf_oracle() -> str:
-    """DuckDB twin of the FULL ivf_topk pipeline (similarity.py:236).
+def _ivf_assignment_parts(n_lists: int = 16, seed: int = 42,
+                          sample_rows: int = 4096):
+    """Shared engine-side rebuild of the deterministic IVF index
+    (similarity.ivf_assign): centroids from the md5-ordered sample +
+    seeded _kmeans_lite, inlined as DOUBLE[] literals into an
+    assignment CTE chain (e → d → a, where ``a`` carries
+    (vec_id, v, ivf_list)). Used by BOTH the ann_ivf_topk and the
+    dedup_embedding_ivf oracles so the two can never drift.
 
-    The index build is deterministic and engine-independent: the
-    centroid sample is the ``sample_rows`` smallest
-    ``md5(cast(vec_id as string))`` rows — both engines compute the
-    identical hex digest — and ``_kmeans_lite`` is seeded. So the
-    oracle REBUILDS the exact centroids at oracle-construction time
-    (reading the same sf0.01 parquet the driver registers as views)
-    and inlines them as DOUBLE[] literals. Assignment (argmin ‖v−c‖²
-    with np.argmin's first-wins tie-break), probe-set selection (the
-    4 centroids nearest the query) and the exact cosine rerank are
-    recomputed in pure SQL. Cross-engine argmin agreement holds
-    because a flip needs two centroid distances within ~1e-12 (FP
-    summation-order noise) while measured inter-centroid gaps are
-    O(0.1) — the same argument as the LSH oracle's sign agreement."""
+    The build is engine-independent because the sample order is
+    md5(cast(vec_id as string)) — identical hex in every engine — and
+    k-means is seeded. Assignment argmin (‖v−c‖² with np.argmin's
+    first-wins tie-break) is recomputed in pure SQL; cross-engine
+    agreement holds because a flip needs two centroid distances within
+    ~1e-12 (FP summation-order noise) while measured inter-centroid
+    gaps are O(0.1).
+
+    Returns (cte_sql, centroids).
+    """
     import os
 
     import duckdb
@@ -1027,7 +1035,6 @@ def _ann_ivf_oracle() -> str:
 
     from parallel_svms_spark.operators.similarity import _kmeans_lite
 
-    n_lists, n_probe, seed, sample_rows, k = 16, 4, 42, 4096, 10
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                             "/root/testdata/sf0.01")
     pq = f"{sf_dir}/embeddings.parquet"
@@ -1036,14 +1043,9 @@ def _ann_ivf_oracle() -> str:
         "SELECT CAST(embedding AS DOUBLE[]) AS v FROM read_parquet(?) "
         "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ?",
         [pq, sample_rows]).fetchall()
+    con.close()
     X = np.array([r[0] for r in sample], dtype=np.float64)
     C = _kmeans_lite(X, n_lists, seed)
-    q = np.asarray(con.execute(
-        "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet(?) "
-        "WHERE vec_id = 0", [pq]).fetchone()[0], dtype=np.float64)
-    con.close()
-    probes = [int(i) for i in np.argsort(((C - q[None, :]) ** 2).sum(1))
-              [:n_probe]]
 
     def lit(vec: np.ndarray) -> str:
         return "[" + ", ".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
@@ -1058,7 +1060,7 @@ def _ann_ivf_oracle() -> str:
     argmin = ("CASE "
               + " ".join(f"WHEN d{j} = m THEN {j}" for j in range(len(C)))
               + " END")
-    return f"""
+    cte = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), d AS (
@@ -1066,7 +1068,33 @@ WITH e AS (
 ), a AS (
   SELECT vec_id, v, {argmin} AS ivf_list
   FROM (SELECT *, least({dnames}) AS m FROM d)
-)
+)"""
+    return cte, C
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of the FULL ivf_topk pipeline (similarity.py:236):
+    shared index rebuild (`_ivf_assignment_parts`) + probe-set
+    selection (the n_probe centroids nearest the query) + exact cosine
+    rerank in pure SQL."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    n_probe, k = 4, 10
+    cte, C = _ivf_assignment_parts()
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    q = np.asarray(con.execute(
+        "SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet(?) "
+        "WHERE vec_id = 0", [f"{sf_dir}/embeddings.parquet"]).fetchone()[0],
+        dtype=np.float64)
+    con.close()
+    probes = [int(i) for i in np.argsort(((C - q[None, :]) ** 2).sum(1))
+              [:n_probe]]
+    return f"""{cte}
 SELECT vec_id,
        ROUND(list_cosine_similarity(v, (SELECT v FROM e WHERE vec_id = 0)),
              6) AS cosine
@@ -1074,6 +1102,21 @@ FROM a
 WHERE ivf_list IN ({", ".join(map(str, probes))})
 ORDER BY cosine DESC, vec_id
 LIMIT {k}
+"""
+
+
+def _dedup_embedding_ivf_oracle(threshold: float = 0.4) -> str:
+    """DuckDB twin of similarity.cosine_near_dup_ivf: shared index
+    rebuild, then the within-cluster pair join with exact cosine —
+    the oracle pins BOTH the pair values and the cluster-bucketing
+    semantics (a cross-cluster pair in the output would hash-fail)."""
+    cte, _ = _ivf_assignment_parts()
+    return f"""{cte}
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine
+FROM a x JOIN a y
+  ON x.ivf_list = y.ivf_list AND x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.v, y.v) >= {float(threshold)!r}
 """
 
 

@@ -416,6 +416,54 @@ def cosine_near_dup_blocked(embeddings: DataFrame, threshold: float = 0.9,
         tile, schema="vec_a long, vec_b long, cosine double")
 
 
+def cosine_near_dup_ivf(embeddings: DataFrame, threshold: float = 0.9,
+                        n_lists: int = 16, seed: int = 42,
+                        sample_rows: int = 4096,
+                        features_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Cluster-bucketed embedding near-dup — the SemDeDup recipe
+    (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embeddings, then search for high-cosine pairs only WITHIN each
+    cluster. Sub-quadratic by construction: pair compute drops from
+    n² to Σ|cluster|² ≈ n²/n_lists (uniform case), and the documented
+    trade is recall on pairs that straddle a cluster boundary —
+    acceptable for dedup because near-duplicates, being near, land in
+    the same Voronoi cell with high probability.
+
+    Reuses the deterministic IVF index build (seeded k-means over the
+    fixed-size md5-ordered sample, engine-reproducible — the DuckDB
+    oracle rebuilds the identical centroids and assignment). Each
+    cluster becomes one applyInPandas task computing its similarity
+    tile with a single numpy matmul. At 100 TB, scale ``n_lists``
+    with the corpus so a cluster fits a task (n_lists ≈ n/500k keeps
+    tiles under ~2 GB at 768-dim float64); a pathologically hot
+    cluster can further run the 2-D blocked decomposition
+    (``cosine_near_dup_blocked``) within that cluster alone.
+    """
+    assigned, _ = ivf_assign(embeddings, n_lists, seed, sample_rows,
+                             features_col, id_col)
+    src = assigned.select(F.col(id_col).alias("vec_id"),
+                          F.col(features_col).alias("emb"), "ivf_list")
+
+    def bucket(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        S = Xn @ Xn.T
+        ai, bi = np.nonzero(S >= threshold)
+        ids = pdf["vec_id"].to_numpy()
+        va, vb = ids[ai], ids[bi]
+        keep = va < vb  # upper triangle once; drops self-pairs
+        return pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep],
+                             "cosine": np.round(S[ai, bi][keep], 6)})
+
+    return src.groupBy("ivf_list").applyInPandas(
+        bucket, schema="vec_a long, vec_b long, cosine double")
+
+
 def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                           features_col: str = "embedding") -> DataFrame:
     """All pairs with cosine ≥ threshold via LSH-bucketed self-join:

@@ -197,3 +197,27 @@ def test_pack_shards_no_global_window_one_range_exchange(docs):
     # scalable two-pass prefix sum must never plan one
     assert "Window" not in p, p
     assert "SinglePartition" not in p, p
+
+
+def test_boilerplate_common_set_broadcasts_not_grams(docs):
+    from parallel_svms_spark.operators import text as TX
+    p = phys(TX.boilerplate_score(docs))
+    # the >=min_docs survivor set broadcasts; the gram-level rows never
+    # go through a join shuffle (a SortMergeJoin of exploded grams was
+    # the failure mode this shape avoids)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # the per-doc rollup must partially aggregate before its exchange
+    # (gram rows collapse to per-doc partials map-side); both
+    # aggregations in the plan are hash aggs with a partial phase
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_funnel_no_cartesian_and_pushed_type_filter(spark, sf_dir):
+    from parallel_svms_spark.operators import events as E
+    ev = load_table(spark, sf_dir, "events")
+    p = phys(E.funnel(ev))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # each stage's event_type filter must reach the parquet scan
+    assert "EqualTo(event_type,view)" in p
+    assert "EqualTo(event_type,purchase)" in p

@@ -172,3 +172,33 @@ def test_cosine_near_dup_exact_matches_numpy(emb):
     got = {(r.vec_a, r.vec_b)
            for r in S.cosine_near_dup_exact(emb, threshold=thr).collect()}
     assert got == want
+
+
+def test_cosine_near_dup_ivf_subset_of_exact(emb):
+    # SemDeDup semantics: every emitted pair is a TRUE >=threshold pair
+    # (values identical to the exact blocked join), and only
+    # cross-cluster pairs may be missing — never extra or wrong pairs
+    thr = 0.4
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in S.cosine_near_dup_blocked(emb, threshold=thr).collect()}
+    ivf = {(r.vec_a, r.vec_b): r.cosine
+           for r in S.cosine_near_dup_ivf(emb, threshold=thr).collect()}
+    assert ivf  # non-degenerate on the fixture
+    assert set(ivf) <= set(exact)
+    for pair, cos in ivf.items():
+        assert cos == exact[pair], pair
+
+
+def test_cosine_near_dup_ivf_same_cluster_pairs_complete(emb):
+    # within one cluster the search is exact: re-derive the assignment
+    # and check every same-cluster exact pair is present
+    thr = 0.4
+    assigned, _ = S.ivf_assign(emb)
+    cl = {r.vec_id: r.ivf_list
+          for r in assigned.select("vec_id", "ivf_list").collect()}
+    exact = {(r.vec_a, r.vec_b)
+             for r in S.cosine_near_dup_blocked(emb, threshold=thr).collect()}
+    want = {p for p in exact if cl[p[0]] == cl[p[1]]}
+    got = {(r.vec_a, r.vec_b)
+           for r in S.cosine_near_dup_ivf(emb, threshold=thr).collect()}
+    assert got == want
