@@ -177,6 +177,11 @@ def run_stress() -> dict:
         timed("dedup_embedding_blocked",
               lambda: similarity.cosine_near_dup_blocked(
                   emb, threshold=0.9, n_blocks=16).count())
+        # the sub-quadratic SemDeDup path on the same 25× vectors: the
+        # blocked/ivf ratio IS the scale argument (n² vs n²/n_lists)
+        timed("dedup_embedding_ivf",
+              lambda: similarity.cosine_near_dup_ivf(
+                  emb, threshold=0.9, n_lists=64).count())
         timed("topk_batch",
               lambda: similarity.brute_topk_join(
                   emb, emb.limit(8), 10).count())
@@ -187,6 +192,8 @@ def run_stress() -> dict:
                   docs.filter("source = 'src0'"), k=4).count())
         timed("tfidf_topk",
               lambda: text.tfidf_topk(docs, top_n=5).count())
+        timed("boilerplate_score",
+              lambda: text.boilerplate_score(docs).count())
         return {"mult_docs": mult_docs, "mult_emb": mult_emb,
                 "rows_docs": n_docs, "rows_emb": n_emb, "ops": ops}
     finally:

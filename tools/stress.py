@@ -111,6 +111,11 @@ def main() -> None:
     timed("dedup_embedding_blocked", n_emb,
           lambda: similarity.cosine_near_dup_blocked(
               emb, threshold=0.9, n_blocks=16).count())
+    timed("dedup_embedding_ivf", n_emb,
+          lambda: similarity.cosine_near_dup_ivf(
+              emb, threshold=0.9, n_lists=64).count())
+    timed("boilerplate_score", n_docs,
+          lambda: text.boilerplate_score(docs).count())
     timed("cascade_k16", n_emb,
           lambda: cascade.cascade_train(emb, k=16)[1].count())
     timed("bagging_k16", n_emb,
