@@ -190,7 +190,11 @@ def _parse_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from parallel_svms_spark.io.sources import (parse_sparse_lines,
                                                 to_sparse_lines)
-    emb = load_table(spark, sf_dir, "embeddings")
+    from parallel_svms_spark.io.sources import ensure_parallelism
+    # the fixture's embeddings parquet is one row group → one task; the
+    # codec is CPU-heavy per row (two ~64-element array transforms), so
+    # fan the scan out before encoding (same guard the shingling ops use)
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     parsed = parse_sparse_lines(to_sparse_lines(emb, min_abs=0.05))
     return parsed.select(
         "label",
@@ -258,7 +262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_error_sum": lambda s, d: R.agg_error_sum(load_table(s, d, "events")),
         # §2.2 — projections / parsing / join-filters
         "proj_label": lambda s, d: R.proj_label(load_table(s, d, "embeddings")),
-        "parse_project": lambda s, d: R.parse_project(load_table(s, d, "embeddings")),
+        # ensure_parallelism: the single-row-group fixture scan would
+        # otherwise run the CPU-heavy dense codec in ONE task
+        "parse_project": lambda s, d: R.parse_project(__import__(
+            "parallel_svms_spark.io.sources", fromlist=["x"]
+        ).ensure_parallelism(load_table(s, d, "embeddings"))),
         "parse_sparse": _parse_sparse,
         "filter_semijoin": lambda s, d: R.filter_semijoin(
             load_table(s, d, "lineitem"), load_table(s, d, "orders")),
