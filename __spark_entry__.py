@@ -235,9 +235,10 @@ _QKEY_ORDER = [
     "text_token_stats", "vocab_topk", "ngram_topk", "scrub_text",
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
     "doc_fingerprint", "token_count", "length_profile",
-    "boilerplate_score", "jsonl_roundtrip",
+    "boilerplate_score", "quality_filter", "jsonl_roundtrip",
     # dedup / corpus assembly
-    "dedup_exact", "dedup_clusters", "shard_pack", "sample_stratified",
+    "dedup_exact", "dedup_incremental", "dedup_clusters", "shard_pack",
+    "sample_stratified",
     "simjoin_candidates", "dedup_minhash", "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "mixture_sample",
     "mixture_sample_hash",
@@ -380,6 +381,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         "boilerplate_score": lambda s, d: TX.boilerplate_score(
             load_table(s, d, "documents")),
+        "quality_filter": lambda s, d: TX.quality_filter(
+            load_table(s, d, "documents"), keep_frac=0.5),
+        # incremental ingest: re-add a batch overlapping the archive —
+        # the overlapped slice must be dropped by digest anti-join
+        "dedup_incremental": lambda s, d: __import__(
+            "parallel_svms_spark.operators.dedup", fromlist=["x"]
+        ).dedup_against(
+            load_table(s, d, "documents").filter("doc_id < 400"),
+            load_table(s, d, "documents").filter("doc_id >= 300")),
         "jsonl_roundtrip": _jsonl_roundtrip,
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
@@ -860,6 +870,49 @@ SELECT s.doc_id, COUNT(*) AS n_ngrams,
              / COUNT(*), 6) AS boilerplate_frac
 FROM sh s JOIN dfreq d USING (ng)
 GROUP BY s.doc_id
+""",
+        # quality_filter: same quality formula as text_quality, then a
+        # per-source rank cut — ceil(0.5·|source|) best docs kept
+        "quality_filter": f"""
+WITH x AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t,
+         length(text) AS nc
+  FROM documents
+), y AS (
+  SELECT doc_id, source,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(nc - len(t) + 1 AS DOUBLE) / len(t) AS mtl,
+         CAST(len(list_intersect(list_distinct(t),
+              {TX.STOPWORDS!r})) AS DOUBLE) / {len(TX.STOPWORDS)} AS sr
+  FROM x
+), q AS (
+  SELECT doc_id, source,
+         ROUND(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000
+                           THEN 1.0 ELSE 0.0 END)
+               + 0.3 * ROUND(sr, 6)
+               + 0.3 * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0
+                             THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM y
+), s AS (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_grp
+  FROM q
+)
+SELECT doc_id, source, quality FROM s
+WHERE rn <= CEIL(CAST('0.5' AS DECIMAL(21,10)) * n_grp)
+""",
+        # dedup_incremental: ground-truth formulation over text
+        # equality — hash-matching the Spark side's sha2-digest
+        # anti-join also certifies digest grouping == text grouping
+        "dedup_incremental": """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id < 400),
+     new_docs AS (SELECT * FROM documents WHERE doc_id >= 300)
+SELECT n.* FROM new_docs n
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+  AND n.doc_id = (SELECT MIN(n2.doc_id) FROM new_docs n2
+                  WHERE n2.text = n.text)
 """,
         # jsonl_roundtrip: the oracle aggregates the parquet directly —
         # hash-matching proves the Spark-side JSONL write+read was

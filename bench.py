@@ -51,14 +51,16 @@ HEADLINE = [
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "funnel", "retention_cohorts",
     # documents (5k rows)
-    "dedup_exact", "simjoin_candidates", "dedup_minhash", "dedup_simhash",
+    "dedup_exact", "dedup_incremental", "simjoin_candidates",
+    "dedup_minhash", "dedup_simhash",
     "dedup_clusters", "shard_pack", "sample_stratified",
     "vocab_topk", "ngram_topk", "scrub_text",
     "decontaminate", "mixture_sample", "repetition_stats", "tfidf_topk",
     "dedup_keep_canonical", "salted_join_agg",
     "mixture_sample_hash", "length_profile", "asof_join",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
-    "token_count", "boilerplate_score", "jsonl_roundtrip",
+    "token_count", "boilerplate_score", "quality_filter",
+    "jsonl_roundtrip",
     "multimodal_features", "frame_sample", "resize_images",
     # embeddings (2k rows, 64-dim)
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",

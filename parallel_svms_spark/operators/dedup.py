@@ -94,6 +94,32 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     return documents.join(exact_dedup_keys(documents), "doc_id", "left_semi")
 
 
+def dedup_against(corpus: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Incremental exact dedup: the rows of ``new_docs`` that survive
+    ingestion against an existing ``corpus`` — drop any new doc whose
+    text already exists in the corpus, and collapse exact duplicates
+    WITHIN the batch to the min-doc_id representative. The
+    "don't re-add what we already have" step every continuously-grown
+    training corpus runs per ingest batch.
+
+    Scale shape: both sides reduce to (digest, id) before anything
+    joins — the anti-join and the in-batch groupBy shuffle 40 B rows
+    keyed on the digest regardless of document size, and the surviving
+    ids semi-join back so text is scanned, never exchanged. The
+    corpus side is a digest projection of the full archive: at 100 TB
+    keep it as a bucketed-by-digest table (write_bucketed) so repeated
+    ingests skip its exchange entirely.
+    """
+    new_digests = new_docs.select(
+        F.col("doc_id"), F.sha2(F.col("text"), 256).alias("digest"))
+    corpus_digests = corpus.select(F.sha2(F.col("text"), 256).alias("digest"))
+    keep = (new_digests
+            .join(corpus_digests, "digest", "left_anti")
+            .groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    return new_docs.join(keep, "doc_id", "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # E2a — exact n-gram Jaccard similarity join (the verifiable baseline)
 # ---------------------------------------------------------------------------

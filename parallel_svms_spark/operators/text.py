@@ -241,6 +241,40 @@ def length_profile(documents: DataFrame,
         F.round(F.expr(f"{fn}(n_chars, 0.9)"), 6).alias("p90_chars")))
 
 
+def quality_filter(documents: DataFrame, keep_frac: float = 0.5) -> DataFrame:
+    """Per-source quality carving: keep each source's top
+    ``keep_frac`` fraction of documents by the heuristic
+    ``quality_score`` (ties broken by doc_id so the cut is
+    deterministic and engine-reproducible). The classifier-threshold
+    filtering step of a curation pipeline, quota'd per source so one
+    high-scoring source can't crowd out the mixture.
+
+    Exact per-group quota = the same rank-vs-count shape as
+    ``mixture_sample``: per-source counts broadcast back, one window
+    keyed on source. Same SCALE CAVEAT too — the rank sorts each
+    source in one task; for billion-row sources switch the rank to a
+    percentile threshold on the score distribution (approx_percentile
+    per source, then a narrow filter) at the cost of a Binomial-sized
+    cut.
+    """
+    from pyspark.sql import Window as W
+    q = quality_score(documents).select("doc_id", "quality")
+    scored = documents.select("doc_id", "source").join(q, "doc_id")
+    cnt = (scored.groupBy("source").agg(F.count("*").alias("n_grp"))
+           .withColumnRenamed("source", "__src"))
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id"))
+    want = F.ceil(F.expr(f"CAST('{float(keep_frac)!r}' AS DECIMAL(21,10))")
+                  * F.col("n_grp")).cast("long")
+    return (scored
+            .join(F.broadcast(cnt),
+                  F.col("source").eqNullSafe(F.col("__src")))
+            .select("doc_id", "source", "quality", rn.alias("rn"),
+                    want.alias("want"))
+            .filter(F.col("rn") <= F.col("want"))
+            .select("doc_id", "source", "quality"))
+
+
 def boilerplate_score(documents: DataFrame, n: int = 3,
                       min_docs: int = 4,
                       broadcast_common: bool = True) -> DataFrame:

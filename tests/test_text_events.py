@@ -217,3 +217,39 @@ def test_jsonl_roundtrip_lossless(spark, docs, tmp_path):
     assert back.schema == docs.schema
     assert (sorted(map(tuple, back.collect()))
             == sorted(map(tuple, docs.collect())))
+
+
+def test_dedup_against_semantics(spark):
+    from parallel_svms_spark.operators import dedup as D
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta"),      # exact dup of corpus → dropped
+         (11, "epsilon zeta"),    # fresh → kept
+         (12, "epsilon zeta"),    # in-batch dup → collapsed to 11
+         (13, "eta theta")],      # fresh → kept
+        "doc_id long, text string")
+    got = {r.doc_id for r in D.dedup_against(corpus, new).collect()}
+    assert got == {11, 13}
+
+
+def test_quality_filter_per_source_quota(docs):
+    kept = TX.quality_filter(docs, keep_frac=0.5)
+    per_src_in = {r.source: r.n for r in
+                  docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_src_kept = {r.source: r.n for r in
+                    kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    import math
+    for src, n in per_src_in.items():
+        assert per_src_kept.get(src, 0) == math.ceil(n * 0.5), src
+    # kept docs dominate dropped docs within each source (min kept
+    # quality >= max dropped quality)
+    q = TX.quality_score(docs).select("doc_id", "quality")
+    scored = docs.select("doc_id", "source").join(q, "doc_id")
+    dropped = scored.join(kept.select("doc_id"), "doc_id", "left_anti")
+    lo = {r.source: r.q for r in
+          kept.groupBy("source").agg(F.min("quality").alias("q")).collect()}
+    hi = {r.source: r.q for r in
+          dropped.groupBy("source").agg(F.max("quality").alias("q")).collect()}
+    for src in hi:
+        assert lo[src] >= hi[src], src
