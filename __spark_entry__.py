@@ -162,6 +162,25 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("feature_sum"))
 
 
+def _pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the full assembly line a
+    training-data pipeline actually runs, as ONE lazily-planned DAG:
+    per-source quality carving → exact dedup → hash-threshold mixture
+    sampling → token-budget shard packing. Every stage is an existing
+    oracle-checked operator; this qkey pins that they COMPOSE (column
+    contracts, determinism, and partitioning survive chaining)."""
+    from parallel_svms_spark.operators import dedup as D
+    from parallel_svms_spark.operators import sharding as SH
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = TX.quality_filter(docs, keep_frac=0.5).select("doc_id")
+    curated = docs.join(kept, "doc_id", "left_semi")
+    deduped = D.exact_dedup(curated)
+    mixed = SH.mixture_sample_hash(deduped, default_rate=0.5)
+    final = deduped.join(mixed.select("doc_id"), "doc_id", "left_semi")
+    return SH.pack_shards(final, budget_tokens=2048)
+
+
 def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL codec round trip: documents → JSONL sink → JSONL source
     (explicit schema, no inference scan) → per-lang rollup. The rollup
@@ -241,7 +260,7 @@ _QKEY_ORDER = [
     "sample_stratified",
     "simjoin_candidates", "dedup_minhash", "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "mixture_sample",
-    "mixture_sample_hash",
+    "mixture_sample_hash", "pipeline_curate",
     # similarity / ANN
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
     "dedup_embedding", "dedup_embedding_ivf",
@@ -391,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents").filter("doc_id < 400"),
             load_table(s, d, "documents").filter("doc_id >= 300")),
         "jsonl_roundtrip": _jsonl_roundtrip,
+        "pipeline_curate": _pipeline_curate,
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
         "resize_images": _resize_images,
@@ -913,6 +933,54 @@ SELECT n.* FROM new_docs n
 WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
   AND n.doc_id = (SELECT MIN(n2.doc_id) FROM new_docs n2
                   WHERE n2.text = n.text)
+""",
+        # pipeline_curate: the four curation stages chained in SQL —
+        # quality rank cut → text-equality dedup → md5 hash-threshold
+        # mixture (rate 0.5 ⇒ first-8-hex < '80000000') → prefix-sum
+        # shard assignment at 2048 tokens
+        "pipeline_curate": f"""
+WITH x AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS t,
+         length(text) AS nc
+  FROM documents
+), y AS (
+  SELECT doc_id, source, text,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(nc - len(t) + 1 AS DOUBLE) / len(t) AS mtl,
+         CAST(len(list_intersect(list_distinct(t),
+              {TX.STOPWORDS!r})) AS DOUBLE) / {len(TX.STOPWORDS)} AS sr
+  FROM x
+), q AS (
+  SELECT doc_id, source, text,
+         ROUND(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000
+                           THEN 1.0 ELSE 0.0 END)
+               + 0.3 * ROUND(sr, 6)
+               + 0.3 * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0
+                             THEN 1.0 ELSE 0.0 END), 6) AS quality
+  FROM y
+), s AS (
+  SELECT doc_id, text, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_grp
+  FROM q
+), cur AS (
+  SELECT doc_id, text FROM s
+  WHERE rn <= CEIL(CAST('0.5' AS DECIMAL(21,10)) * n_grp)
+), ded AS (
+  SELECT doc_id, text FROM cur c
+  WHERE c.doc_id = (SELECT MIN(c2.doc_id) FROM cur c2
+                    WHERE c2.text = c.text)
+), mix AS (
+  SELECT doc_id, text FROM ded
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+)
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+             - len(string_split(text, ' '))) // 2048 AS BIGINT) AS shard
+FROM mix
 """,
         # jsonl_roundtrip: the oracle aggregates the parquet directly —
         # hash-matching proves the Spark-side JSONL write+read was

@@ -57,7 +57,8 @@ HEADLINE = [
     "vocab_topk", "ngram_topk", "scrub_text",
     "decontaminate", "mixture_sample", "repetition_stats", "tfidf_topk",
     "dedup_keep_canonical", "salted_join_agg",
-    "mixture_sample_hash", "length_profile", "asof_join",
+    "mixture_sample_hash", "pipeline_curate", "length_profile",
+    "asof_join",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "token_count", "boilerplate_score", "quality_filter",
     "jsonl_roundtrip",
