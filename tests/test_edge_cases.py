@@ -74,3 +74,45 @@ def test_exchange_by_bucket_physical_layout(spark, sf_dir, tmp_path):
     assert dirs == ["0", "1", "2", "3"]
     back = spark.read.parquet(out)
     assert back.count() == emb.count()
+
+
+def test_r4_operators_handle_empty_input(spark):
+    from parallel_svms_spark.operators import events as E
+    from parallel_svms_spark.operators import text as TX
+
+    no_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+    # funnel on zero events: all stages exist with zero users
+    got = {r.step: r.n_users for r in E.funnel(no_events).collect()}
+    assert got == {"view": 0, "click": 0, "purchase": 0}
+    assert E.retention_cohorts(no_events).count() == 0
+
+    no_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+    assert TX.boilerplate_score(no_docs).count() == 0
+    assert TX.quality_filter(no_docs).count() == 0
+
+    from parallel_svms_spark.operators import dedup as D2
+    some = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    # empty corpus: everything in the batch is new
+    assert D2.dedup_against(no_docs.select("doc_id", "text"),
+                            some).count() == 1
+    # empty batch: nothing survives, nothing crashes
+    assert D2.dedup_against(some, no_docs.select("doc_id", "text")
+                            ).count() == 0
+
+
+def test_ivf_near_dup_single_vector_and_tiny_input(spark):
+    one = spark.createDataFrame([(0, [1.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    assert S.cosine_near_dup_ivf(one, threshold=0.5).count() == 0
+    # n < n_lists: every vector its own (or a shared) cluster — the
+    # duplicated pair must still surface
+    few = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    got = {(r.vec_a, r.vec_b) for r in
+           S.cosine_near_dup_ivf(few, threshold=0.99).collect()}
+    assert got == {(0, 1)}
