@@ -58,21 +58,32 @@ def token_count(documents: DataFrame, bpe_like: bool = False) -> DataFrame:
         "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_est_tokens"))
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Heuristic doc quality: length band + stopword ratio + mean
-    token length (the C4/Gopher-style filter family, deterministic).
+def quality_cols(text_col: str = "text"):
+    """The quality heuristic as reusable JVM expressions
+    (n_tokens, mean_token_len, stopword_ratio, quality) — shared by
+    ``quality_score``, ``quality_filter`` and the streaming screen
+    (streaming/windows.streaming_quality_screen) so the batch and
+    stream paths compute the IDENTICAL score by construction.
 
     score = 0.4·len_ok + 0.3·stopword_component + 0.3·token_len_ok
     """
-    toks = tokens_col("text")
+    toks = tokens_col(text_col)
     n_tok = F.size(toks)
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.array_intersect(toks, sw))  # distinct-marker hits
     stop_ratio = F.round(n_stop / F.lit(float(len(STOPWORDS))), 6)
-    mean_tok_len = (F.length("text") - n_tok + 1) / n_tok
+    mean_tok_len = (F.length(text_col) - n_tok + 1) / n_tok
     len_ok = ((n_tok >= 10) & (n_tok <= 100000)).cast("double")
     tok_len_ok = ((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)).cast("double")
     score = F.round(0.4 * len_ok + 0.3 * stop_ratio + 0.3 * tok_len_ok, 6)
+    return n_tok, mean_tok_len, stop_ratio, score
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic doc quality: length band + stopword ratio + mean
+    token length (the C4/Gopher-style filter family, deterministic).
+    """
+    n_tok, mean_tok_len, stop_ratio, score = quality_cols("text")
     return documents.select(
         "doc_id", n_tok.alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_token_len"),

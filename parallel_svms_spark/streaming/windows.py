@@ -291,6 +291,27 @@ def streaming_decontaminate(stream_docs: DataFrame, benchmark: DataFrame,
     return stream_docs.filter(is_clean(F.col(text_col)))
 
 
+def streaming_quality_screen(stream_docs: DataFrame,
+                             min_quality: float = 0.5,
+                             text_col: str = "text") -> DataFrame:
+    """Streaming twin of the quality gate: keep arriving docs whose
+    heuristic quality ≥ ``min_quality``, annotated with the score.
+
+    STATELESS: the score is the batch operator's own JVM expression
+    set (``text.quality_cols`` — literally shared code, so the two
+    paths cannot drift), and the screen is one narrow codegen'd
+    projection + filter per micro-batch. No state store, no watermark,
+    no Python. This is the threshold form of ``text.quality_filter``:
+    the per-source exact-quota rank needs corpus-wide counts and is
+    inherently a batch op; a continuous ingest pipeline screens on a
+    fixed threshold (calibrated offline from the batch percentiles).
+    """
+    from parallel_svms_spark.operators.text import quality_cols
+    _, _, _, score = quality_cols(text_col)
+    return (stream_docs.withColumn("quality", score)
+            .filter(F.col("quality") >= float(min_quality)))
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str = "stream_out",
                          output_mode: str = "append"):
     """Drive a bounded file-stream to completion synchronously (test

@@ -265,3 +265,46 @@ def test_streaming_decontaminate_matches_batch(spark):
                        C.decontaminate(corpus, bench, k=4).collect())
     assert got == [1, 2]
     assert got == batch
+
+
+def test_streaming_quality_screen_matches_batch(spark, sf_dir):
+    """The stateless quality screen must keep exactly the docs the
+    batch quality_score marks >= threshold — scores shared by code,
+    asserted on the REAL fixture streamed file-by-file."""
+    import glob
+    import os
+    import shutil
+
+    from parallel_svms_spark.io.sources import DOCUMENTS_SCHEMA, load_table
+    from parallel_svms_spark.operators import text as TX
+
+    from pyspark.sql import functions as F
+
+    thr = 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {(r.doc_id, r.quality)
+             for r in TX.quality_score(docs)
+             .filter(F.col("quality") >= thr)
+             .select("doc_id", "quality").collect()}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # split the fixture into two stream files
+        docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{tmp}/d/0")
+        docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(f"{tmp}/d/1")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/d/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = (spark.readStream.schema(DOCUMENTS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(dst))
+        kept = SW.streaming_quality_screen(stream, min_quality=thr)
+        name = "stream_quality_test"
+        q = (kept.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.doc_id, r.quality) for r in
+               spark.sql(f"SELECT doc_id, quality FROM {name}").collect()}
+    assert got == batch
+    assert got  # fixture must exercise the screen non-trivially
