@@ -118,3 +118,30 @@ def test_write_corpus_shards_layout_and_roundtrip(spark, docs, tmp_path):
     assert sorted(back.columns) == sorted(docs.columns + ["shard"])
     got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
     assert got == assign
+
+
+def test_pack_shards_property_random_ids_sizes_budgets(spark):
+    """Property check over the dimensions the fixture can't vary:
+    sparse/negative-gapped ids, degenerate sizes, tiny/large budgets.
+    (Bounded explicit cases rather than hypothesis-driven Spark jobs —
+    each case is a full Spark round trip, so enumerate deterministic
+    seeds instead of minutes of shrinking.)"""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = rng.randint(1, 120)
+        ids = rng.sample(range(-10_000, 10_000), n)
+        rows = [(i, " ".join("w" * rng.randint(1, 3)
+                             for _ in range(rng.randint(1, 40))))
+                for i in ids]
+        budget = rng.choice([1, 7, 64, 4096])
+        df = spark.createDataFrame(rows, "doc_id long, text string") \
+            .repartition(rng.choice([1, 5, 32]))
+        got = {r.doc_id: (r.n_tokens, r.shard)
+               for r in SH.pack_shards(df, budget).collect()}
+        acc = 0
+        for i, t in sorted(rows):
+            ntok = len(t.split(" "))
+            assert got[i] == (ntok, acc // budget), (seed, i)
+            acc += ntok
