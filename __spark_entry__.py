@@ -254,7 +254,8 @@ _QKEY_ORDER = [
     "text_token_stats", "vocab_topk", "ngram_topk", "scrub_text",
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
     "doc_fingerprint", "token_count", "length_profile",
-    "boilerplate_score", "quality_filter", "jsonl_roundtrip",
+    "boilerplate_score", "quality_filter", "unigram_logprob",
+    "jsonl_roundtrip",
     # dedup / corpus assembly
     "dedup_exact", "dedup_incremental", "dedup_clusters", "shard_pack",
     "sample_stratified",
@@ -402,6 +403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "quality_filter": lambda s, d: TX.quality_filter(
             load_table(s, d, "documents"), keep_frac=0.5),
+        "unigram_logprob": lambda s, d: TX.unigram_logprob(
+            load_table(s, d, "documents")),
         # incremental ingest: re-add a batch overlapping the archive —
         # the overlapped slice must be dropped by digest anti-join
         "dedup_incremental": lambda s, d: __import__(
@@ -922,6 +925,22 @@ WITH x AS (
 )
 SELECT doc_id, source, quality FROM s
 WHERE rn <= CEIL(CAST('0.5' AS DECIMAL(21,10)) * n_grp)
+""",
+        # unigram_logprob: the corpus's own unigram distribution as the
+        # LM; AVG over per-token -ln(cnt/total), 6-dp round on both
+        # engines (summation-order FP noise ≪ 1e-6 at ≤1e3 tokens/doc)
+        "unigram_logprob": """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-ln(f.cnt / tot.total)), 6) AS nll
+FROM tok t JOIN freq f USING (token), tot
+GROUP BY t.doc_id
 """,
         # dedup_incremental: ground-truth formulation over text
         # equality — hash-matching the Spark side's sha2-digest

@@ -61,7 +61,7 @@ HEADLINE = [
     "asof_join",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "token_count", "boilerplate_score", "quality_filter",
-    "jsonl_roundtrip",
+    "unigram_logprob", "jsonl_roundtrip",
     "multimodal_features", "frame_sample", "resize_images",
     # embeddings (2k rows, 64-dim)
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",

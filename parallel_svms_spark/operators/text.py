@@ -252,6 +252,34 @@ def length_profile(documents: DataFrame,
         F.round(F.expr(f"{fn}(n_chars, 0.9)"), 6).alias("p90_chars")))
 
 
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-LM quality proxy (the CCNet recipe, Wenzek et al. 2020:
+    score each doc under a language model and filter on the score —
+    here the LM is the corpus's own unigram distribution, the
+    dependency-free variant): per doc, the mean negative log
+    probability of its tokens, p(tok) = corpus_count(tok) / total.
+    Low score ⇒ common-word text; high score ⇒ rare-token outliers
+    (gibberish, boilerplate codes, wrong-language fragments).
+    Returns (doc_id, n_tokens, nll) with nll rounded at 6 dp.
+
+    Scale shape: one map-side-partial count keyed on token
+    (vocabulary-bounded state, same exchange as ``vocab_topk``), the
+    frequency table broadcast back (vocabulary ≪ corpus by Heaps'
+    law), then a per-doc rollup whose partial aggregation collapses
+    token rows map-side — token-level rows cross the wire once, in
+    the count.
+    """
+    toks = (ensure_parallelism(documents)
+            .select("doc_id", F.explode(tokens_col("text")).alias("token")))
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = float(freq.agg(F.sum("cnt")).collect()[0][0] or 1)
+    nll = -F.log(F.col("cnt") / F.lit(total))
+    return (toks.join(F.broadcast(freq), "token")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg(nll), 6).alias("nll")))
+
+
 def quality_filter(documents: DataFrame, keep_frac: float = 0.5) -> DataFrame:
     """Per-source quality carving: keep each source's top
     ``keep_frac`` fraction of documents by the heuristic

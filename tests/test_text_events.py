@@ -253,3 +253,18 @@ def test_quality_filter_per_source_quota(docs):
           dropped.groupBy("source").agg(F.max("quality").alias("q")).collect()}
     for src in hi:
         assert lo[src] >= hi[src], src
+
+
+def test_unigram_logprob_semantics(spark):
+    import math
+    # corpus: 'a' x3, 'b' x2, 'c' x1 → total 6
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.nll)
+           for r in TX.unigram_logprob(docs).collect()}
+    pa, pb, pc = 3 / 6, 2 / 6, 1 / 6
+    want1 = round(-(math.log(pa) * 2 + math.log(pb)) / 3, 6)
+    want2 = round(-(math.log(pa) + math.log(pb) + math.log(pc)) / 3, 6)
+    assert got == {1: (3, want1), 2: (3, want2)}
+    # rare-token doc scores strictly higher than common-token doc
+    assert got[2][1] > got[1][1]
