@@ -221,3 +221,12 @@ def test_funnel_no_cartesian_and_pushed_type_filter(spark, sf_dir):
     # each stage's event_type filter must reach the parquet scan
     assert "EqualTo(event_type,view)" in p
     assert "EqualTo(event_type,purchase)" in p
+
+
+def test_unigram_logprob_broadcasts_frequency_table(docs):
+    from parallel_svms_spark.operators import text as TX
+    p = phys(TX.unigram_logprob(docs))
+    # the vocabulary-bounded frequency table must broadcast back; a
+    # SortMergeJoin here would re-shuffle every token occurrence
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
