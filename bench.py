@@ -197,6 +197,17 @@ def run_stress() -> dict:
               lambda: text.tfidf_topk(docs, top_n=5).count())
         timed("boilerplate_score",
               lambda: text.boilerplate_score(docs).count())
+        from parallel_svms_spark.operators import events as EV
+        ev = spark.read.parquet(stress_mod.build_events(spark, mult_docs))
+        if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+            from pyspark.sql import functions as F
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        timed("sessionize",
+              lambda: EV.sessionize(ev).count())
+        timed("asof_join",
+              lambda: EV.asof_prev_event(ev).count())
+        timed("funnel",
+              lambda: EV.funnel(ev).count())
         return {"mult_docs": mult_docs, "mult_emb": mult_emb,
                 "rows_docs": n_docs, "rows_emb": n_emb, "ops": ops}
     finally:

@@ -68,6 +68,27 @@ def build(spark, mult_docs: int, mult_emb: int) -> tuple[str, str]:
     return docs_path, emb_path
 
 
+def build_events(spark, mult: int) -> str:
+    """Replicate events mult×: copy r offsets event_id and user_id
+    (per-user event counts preserved → mult× distinct users, the
+    dimension the per-user window operators shuffle on), timestamps
+    unchanged."""
+    path = str(SCRATCH / f"events_x{mult}.parquet")
+    if not Path(path).exists():
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        n = ev.count()
+        u = ev.agg(F.max("user_id")).collect()[0][0] + 1
+        copies = spark.range(mult).select(F.col("id").alias("r"))
+        (ev.crossJoin(copies)
+           .select((F.col("event_id") + F.col("r") * n).alias("event_id"),
+                   "ts",
+                   (F.col("user_id") + F.col("r") * u).alias("user_id"),
+                   "event_type", "value", "props")
+           .repartition(32)
+           .write.mode("overwrite").parquet(path))
+    return path
+
+
 def timed(name: str, rows_in: int, fn) -> None:
     t0 = time.monotonic()
     out = fn()
@@ -116,6 +137,20 @@ def main() -> None:
               emb, threshold=0.9, n_lists=64).count())
     timed("boilerplate_score", n_docs,
           lambda: text.boilerplate_score(docs).count())
+    from parallel_svms_spark.operators import events as EV
+    ev_path = build_events(spark, mult_docs)
+    ev = spark.read.parquet(ev_path)
+    # same NTZ normalization load_table applies (a session without the
+    # UTC write config would otherwise re-read the scratch file as NTZ)
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    n_ev = ev.count()
+    timed("sessionize", n_ev, lambda: EV.sessionize(ev).count())
+    timed("asof_join", n_ev, lambda: EV.asof_prev_event(ev).count())
+    timed("funnel", n_ev, lambda: EV.funnel(ev).count())
+    timed("retention_cohorts", n_ev,
+          lambda: EV.retention_cohorts(ev).count())
+
     timed("cascade_k16", n_emb,
           lambda: cascade.cascade_train(emb, k=16)[1].count())
     timed("bagging_k16", n_emb,
