@@ -247,7 +247,7 @@ _QKEY_ORDER = [
     "salted_join_agg", "set_union", "set_except", "eval_confusion",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
-    "asof_join", "funnel", "retention_cohorts",
+    "sessionize_bucketed", "asof_join", "funnel", "retention_cohorts",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "resize_images",
     # text analysis
@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": lambda s, d: E.window_tumbling(load_table(s, d, "events")),
         "window_hopping": lambda s, d: E.window_hopping(load_table(s, d, "events")),
         "sessionize": lambda s, d: E.session_stats(load_table(s, d, "events")),
+        "sessionize_bucketed": lambda s, d: E.session_stats_from(
+            E.sessionize_bucketed(load_table(s, d, "events"))),
         "asof_join": lambda s, d: E.asof_prev_event(
             load_table(s, d, "events")),
         "funnel": lambda s, d: E.funnel(load_table(s, d, "events")),
@@ -807,29 +809,10 @@ SELECT window_start, event_type, COUNT(*) AS n_events,
        ROUND(SUM(value), 6) AS value_sum
 FROM x GROUP BY 1, 2
 """,
-        "sessionize": """
-WITH flagged AS (
-  SELECT user_id, ts, value,
-         CASE WHEN lag(ts) OVER w IS NULL THEN 1
-              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
-              ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-), sess AS (
-  SELECT user_id, ts, value,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_seq
-  FROM flagged
-), per_session AS (
-  SELECT user_id, session_seq, COUNT(*) AS n_events,
-         epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
-  FROM sess GROUP BY user_id, session_seq
-)
-SELECT user_id, COUNT(*) AS n_sessions,
-       CAST(SUM(n_events) AS BIGINT) AS n_events,
-       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
-FROM per_session GROUP BY user_id
-""",
+        "sessionize": _SESSIONIZE_ORACLE,
+        # value-identical by construction (equivalence-tested), so the
+        # bucketed variant shares the plain operator's oracle verbatim
+        "sessionize_bucketed": _SESSIONIZE_ORACLE,
         # funnel: first qualifying occurrence per stage, each within
         # 24 h of completing the prior stage — mirrors operators/
         # events.funnel(steps=(view, click, purchase), window_hours=24)
@@ -1012,6 +995,34 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM documents GROUP BY lang
 """,
     }
+
+
+# Per-user gap sessionization rollup — shared by the `sessionize` and
+# `sessionize_bucketed` qkeys (the bucketed operator is value-identical
+# by construction, asserted by equivalence tests)
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS duration_ms
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
+FROM per_session GROUP BY user_id
+"""
 
 
 # Exact n-gram Jaccard pairs (k=3, threshold 0.5) — oracle for BOTH

@@ -49,7 +49,7 @@ HEADLINE = [
     "repartition_stratified", "merge_pairs",
     # events (100k rows)
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
-    "funnel", "retention_cohorts",
+    "sessionize_bucketed", "funnel", "retention_cohorts",
     # documents (5k rows)
     "dedup_exact", "dedup_incremental", "simjoin_candidates",
     "dedup_minhash", "dedup_simhash",

@@ -87,19 +87,93 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Rollup over sessions (count / mean length) — the deterministic
-    observable for the sessionize qkey."""
-    s = sessionize(events, gap_minutes)
+def sessionize_bucketed(events: DataFrame, gap_minutes: int = 30,
+                        bucket: str = "week") -> DataFrame:
+    """Mega-user-safe sessionization, value-identical to
+    ``sessionize``: the plain operator's per-user window puts ALL of a
+    user's events in one task, so a user with billions of events pins
+    a single core for the whole stage (measured: a user owning 500k of
+    1M rows already costs ~1.5× wall-clock; at 100 TB it's a stage
+    killer). This variant:
+
+    1. sessionizes within (user, time-bucket) windows — a mega-user's
+       events spread over their active buckets, bounding any task at
+       one user-bucket of events;
+    2. merges sessions that straddle bucket boundaries with a second
+       lag/cumsum window over per-user SESSIONS — rows into this
+       residual window are sessions, not events (orders of magnitude
+       fewer; a pathological no-gap user contributes one session per
+       bucket).
+
+    Chain merges are transitive through the cumulative sum, so a
+    session spanning many buckets coalesces exactly. Output schema and
+    values match ``sessionize`` (same session_seq numbering, same 6-dp
+    value_sum), which is asserted by equivalence tests and lets the
+    qkey share the plain operator's DuckDB oracle verbatim.
+
+    Measured trade (local[32], 1M events, one user owning 500k): the
+    bucketed plan costs ~1.4× the plain one — the second exchange and
+    window are a real constant factor — while producing identical
+    output. Reach for it when a single user's event count exceeds what
+    one task should hold (the regime a local benchmark can't show),
+    not as a default.
+    """
+    gap_ms = gap_minutes * 60_000
+    ev = events.withColumn("bkt", F.date_trunc(bucket, F.col("ts")))
+    by_ub = W.partitionBy("user_id", "bkt").orderBy("ts")
+    prev = F.lag("ts").over(by_ub)
+    is_new = (F.unix_millis(F.col("ts")) - F.unix_millis(prev)
+              > gap_ms).cast("int")
+    per_bucket = (
+        ev.withColumn("new_sess", F.coalesce(is_new, F.lit(1)))
+        .withColumn("seq", F.sum("new_sess").over(
+            by_ub.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "bkt", "seq")
+        .agg(F.count("*").alias("n"),
+             F.min("ts").alias("s"),
+             F.max("ts").alias("e"),
+             F.sum("value").alias("v"))
+    )
+    # boundary merge: per-user window over sessions (small by
+    # construction), same gap rule applied between consecutive
+    # bucket-sessions
+    by_u = W.partitionBy("user_id").orderBy("s", "e")
+    prev_e = F.lag("e").over(by_u)
+    brk = F.coalesce(
+        (F.unix_millis(F.col("s")) - F.unix_millis(prev_e)
+         > gap_ms).cast("int"), F.lit(1))
+    return (
+        per_bucket
+        .withColumn("grp", F.sum(brk).over(
+            by_u.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", F.col("grp").alias("session_seq"))
+        .agg(F.sum("n").cast("long").alias("n_events"),
+             F.min("s").alias("session_start"),
+             F.max("e").alias("session_end"),
+             F.round(F.sum("v"), 6).alias("value_sum"))
+        .select("user_id", "session_seq", "n_events",
+                "session_start", "session_end", "value_sum")
+    )
+
+
+def session_stats_from(sessions: DataFrame) -> DataFrame:
+    """Per-user rollup over an already-sessionized frame (shared by
+    the plain and bucketed sessionize qkeys)."""
     dur = (F.unix_millis(F.col("session_end"))
            - F.unix_millis(F.col("session_start")))
     return (
-        s.withColumn("duration_ms", dur)
+        sessions.withColumn("duration_ms", dur)
         .groupBy("user_id")
         .agg(F.count("*").alias("n_sessions"),
              F.sum("n_events").alias("n_events"),
              F.sum("duration_ms").alias("total_duration_ms"))
     )
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Rollup over sessions (count / mean length) — the deterministic
+    observable for the sessionize qkey."""
+    return session_stats_from(sessionize(events, gap_minutes))
 
 
 def funnel(events: DataFrame,

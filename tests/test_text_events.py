@@ -268,3 +268,36 @@ def test_unigram_logprob_semantics(spark):
     assert got == {1: (3, want1), 2: (3, want2)}
     # rare-token doc scores strictly higher than common-token doc
     assert got[2][1] > got[1][1]
+
+
+def test_sessionize_bucketed_equals_plain_on_fixture(events):
+    plain = sorted(map(tuple, E.sessionize(events).collect()))
+    for bucket in ("week", "day"):
+        buck = sorted(map(tuple,
+                          E.sessionize_bucketed(events, bucket=bucket)
+                          .collect()))
+        assert buck == plain, bucket
+
+
+def test_sessionize_bucketed_boundary_straddle(spark):
+    from datetime import datetime, timedelta
+    # one session straddling three day-buckets: continuous activity
+    # every 10 min from 23:40 day1 through 00:20 day3 would be huge;
+    # use a compact straddle: 23:50, 00:05 (+1d), 23:58 (+1d), 00:07 (+2d)
+    t = datetime(2026, 3, 1, 23, 50, 0)
+    rows = [
+        (1, t, 7, "click", 1.0, "{}"),
+        (2, t + timedelta(minutes=15), 7, "click", 2.0, "{}"),   # day 2
+        (3, datetime(2026, 3, 2, 23, 58), 7, "click", 4.0, "{}"),
+        (4, datetime(2026, 3, 3, 0, 7), 7, "click", 8.0, "{}"),  # day 3
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    plain = sorted(map(tuple, E.sessionize(ev).collect()))
+    buck = sorted(map(tuple, E.sessionize_bucketed(ev, bucket="day")
+                      .collect()))
+    assert buck == plain
+    # two sessions: {1,2} and {3,4} (gap between is > 30 min), each
+    # straddling a midnight boundary
+    assert [r[2] for r in buck] == [2, 2]
