@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import analytics as AN
 from parallel_svms_spark.operators import dedup as D
 from parallel_svms_spark.operators import events as E
 from parallel_svms_spark.operators import relational as R
@@ -245,6 +246,9 @@ _QKEY_ORDER = [
     "dedup_anti", "repartition_balanced", "repartition_stratified",
     "agg_bucket_count", "merge_pairs", "exchange_identity",
     "salted_join_agg", "set_union", "set_except", "eval_confusion",
+    # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes
+    "pricing_summary", "top_revenue_orders", "revenue_by_nation",
+    "late_order_priority",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "funnel", "retention_cohorts",
@@ -326,6 +330,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "orders")),
         # §2.6 — evaluation-shaped aggregation
         "eval_confusion": lambda s, d: R.eval_confusion(load_table(s, d, "embeddings")),
+        # §2.9 relational analytics — decision-support join shapes
+        "pricing_summary": lambda s, d: AN.pricing_summary(
+            load_table(s, d, "lineitem")),
+        "top_revenue_orders": lambda s, d: AN.top_revenue_orders(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem")),
+        "revenue_by_nation": lambda s, d: AN.revenue_by_nation(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation"), load_table(s, d, "region")),
+        "late_order_priority": lambda s, d: AN.late_order_priority(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")),
         # §2.6 ML operators — rows-only (no SQL oracle: SMO training)
         "svm_train": _svm_train,
         "svm_linear_ovr": _svm_linear_ovr,
@@ -509,6 +525,68 @@ FROM k
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        # §2.9 relational analytics (TPC-H Q1/Q3/Q4/Q5 silhouettes);
+        # money aggregates as exact integer cents so sums are
+        # partition-order-independent, averages derived from the exact
+        # integers (see operators/analytics.py module docstring)
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(FLOOR(l_extendedprice*100)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(FLOOR(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+         AS sum_disc_cents,
+       CAST(SUM(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100)) AS BIGINT)
+         AS sum_charge_cents,
+       ROUND(CAST(SUM(l_quantity) AS BIGINT) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(FLOOR(l_extendedprice*100)) AS BIGINT)
+             / COUNT(*) / 100.0, 6) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "top_revenue_orders": """
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(FLOOR(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+         AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-30'
+  AND l_shipdate > TIMESTAMP '1997-06-30'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+""",
+        "revenue_by_nation": """
+SELECT n_name,
+       CAST(SUM(FLOOR(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+         AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+""",
+        "late_order_priority": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
         # §2.8 extension ops
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"

@@ -47,6 +47,10 @@ HEADLINE = [
     "filter_semijoin", "dedup_anti", "set_union", "set_except",
     "parse_project", "parse_sparse", "repartition_balanced",
     "repartition_stratified", "merge_pairs",
+    # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes over the
+    # full warehouse star (600k lineitem / 150k orders at sf0.1)
+    "pricing_summary", "top_revenue_orders", "revenue_by_nation",
+    "late_order_priority",
     # events (100k rows)
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "funnel", "retention_cohorts",

@@ -31,31 +31,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (S1 analog: the line-text scan of
     cascade_svm/Precascade1.java:10-14, columnar here).
 
-    ``events.ts`` is parquet ``timestamp[us]`` with NO timezone in the
-    current fixtures (verified with pyarrow.parquet.read_schema), which
-    Spark 4 loads as TIMESTAMP_NTZ. Time functions like ``unix_millis``
-    reject NTZ, so normalize to TIMESTAMP here; the session timezone is
-    pinned to UTC (session.py), making the cast value-identical to the
-    naive timestamps DuckDB's oracle sees. A nanos-as-long compatibility
-    branch is kept for older TIMESTAMP(NANOS) fixture layouts.
+    All fixture timestamp columns (``events.ts``, ``lineitem.l_shipdate``,
+    ``orders.o_orderdate``) are parquet ``timestamp[us]`` with NO timezone
+    (verified with pyarrow.parquet.read_schema), which Spark 4 loads as
+    TIMESTAMP_NTZ. Time functions like ``unix_millis`` reject NTZ, so
+    normalize EVERY timestamp_ntz column to TIMESTAMP here; the session
+    timezone is pinned to UTC (session.py), making the cast
+    value-identical to the naive timestamps DuckDB's oracle sees. A
+    nanos-as-long compatibility branch is kept for older
+    TIMESTAMP(NANOS) fixture layouts of ``events.ts``.
     """
     if name == "events":
         # runtime-settable; needed even when the caller's session was
         # not built by our session.py (e.g. the driver's own session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # legacy nanos-as-long: integer `div`, not float division —
-            # ns values exceed double's 2^53 precision and would round
-            # the microsecond off by one
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # legacy nanos-as-long: integer `div`, not float division —
+        # ns values exceed double's 2^53 precision and would round
+        # the microsecond off by one
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
             # UTC session tz ⇒ value-identical reinterpretation; keeps
-            # unix_millis/unix_micros/F.window legal and the result
-            # schema aligned with the DuckDB oracle comparison
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # unix_millis/unix_micros/F.window/INTERVAL arithmetic legal
+            # and the result schema aligned with the DuckDB oracle
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -1,0 +1,179 @@
+"""Relational analytics over the warehouse tables — multi-way join +
+aggregate dataflows in the classic decision-support shapes (TPC-H Q1 /
+Q3 / Q4 / Q5 silhouettes on the fixture schema).
+
+The reference's dataflows are single-table scans feeding counters
+(SURVEY §2.1-§2.3); a user replacing it with this engine also gets the
+join-heavy reporting side of an analytics stack. These four operators
+are the canonical scale shapes:
+
+- ``pricing_summary``  — scan + filter + low-cardinality group-by.
+  Map-side partial aggregation means the shuffle carries ≤ |RF×LS|
+  rows per task regardless of input size; the shipdate filter is a
+  pushed-down parquet predicate.
+- ``top_revenue_orders`` — 3-way join narrowed by selective dimension
+  filters, then a global top-k. The top-k is TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows), never a full sort.
+- ``revenue_by_nation`` — 6-way star join. The two genuinely tiny
+  dims (nation 25 / region 5 rows at EVERY scale factor) are
+  broadcast-hinted; the fact-fact joins stay shuffle joins keyed on
+  orderkey so AQE can re-plan on runtime sizes.
+- ``late_order_priority`` — EXISTS with a correlated inequality,
+  expressed as a left-semi join with a composite condition (never a
+  driver-side collect of the probe side).
+
+Determinism contract for the DuckDB oracle: every money aggregate is
+summed as exact integer cents (``floor(x*100)`` per row, LONG sum) so
+the result is independent of partition/summation order; derived
+averages divide exact integers, which is reproducible double math on
+both engines. (Raw ``SUM(double)`` would be summation-order-dependent
+and could differ in the last ulp across engines/partitionings.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents for a money-valued double column.
+
+    Both Spark and DuckDB evaluate ``floor(x * 100)`` on the identical
+    IEEE-754 double, so per-row values agree bit-for-bit; summing LONGs
+    is then associative and partition-order-independent.
+    """
+    return F.floor(col * 100).cast("long")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
+    """Q1 silhouette: pricing summary report.
+
+    Filter on ship date (pushed to the parquet scan), group by the two
+    low-cardinality flags, produce exact sums and derived averages.
+    At 100 TB this is the best case for Spark: a single narrow scan
+    stage with partial aggregation, a ≤|groups|-row shuffle, and a
+    final reduce — no operator materializes more than a handful of rows.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = (
+        lineitem
+        .filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # quantities are whole-valued; sum of integers ≤ 2^53 is exact
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+        "sum_disc_cents", "sum_charge_cents",
+        # derived from exact integers → deterministic double division
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_cents") / F.col("count_order") / 100.0, 6)
+         .alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def top_revenue_orders(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: str = "BUILDING",
+                       cutoff: str = "1997-06-30", k: int = 10) -> DataFrame:
+    """Q3 silhouette: unshipped-revenue top-k for one market segment.
+
+    The segment filter prunes customers before the join (Catalyst pushes
+    it below); orders/lineitem join on orderkey as a shuffle join that
+    AQE can demote to broadcast at small SFs. The final top-k compiles
+    to TakeOrderedAndProject — each partition keeps a k-row heap and the
+    driver merges k·p rows, so no global sort ever runs. Ties broken by
+    o_orderkey for cross-engine determinism.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cut) \
+                 .select("o_orderkey", "o_custkey", "o_orderdate")
+    items = lineitem.filter(F.col("l_shipdate") > cut) \
+                    .select("l_orderkey", "l_extendedprice", "l_discount")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        ords.join(cust, ords.o_custkey == cust.c_custkey, "inner")
+        .join(items, ords.o_orderkey == items.l_orderkey, "inner")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_cents(disc_price)).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def revenue_by_nation(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      region_name: str = "ASIA",
+                      year_start: str = "1996-01-01",
+                      year_end: str = "1997-01-01") -> DataFrame:
+    """Q5 silhouette: local-supplier revenue per nation in one region.
+
+    Join graph: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, plus
+    supplier with the "local" constraint s_nationkey = c_nationkey.
+    nation (25 rows) and region (5 rows) are constant-size at every
+    scale factor → explicit ``broadcast()``; supplier scales with SF so
+    it stays a shuffle join on suppkey (AQE broadcasts it when it fits).
+    The region filter reaches the nation join as a pre-broadcast filter,
+    shrinking the star before any fact-side shuffle.
+    """
+    reg = region.filter(F.col("r_name") == region_name).select("r_regionkey")
+    nat = (F.broadcast(nation.join(F.broadcast(reg),
+                                   nation.n_regionkey == reg.r_regionkey))
+           .select("n_nationkey", "n_name"))
+    cust = customer.join(nat, customer.c_nationkey == nat.n_nationkey) \
+                   .select("c_custkey", "c_nationkey", "n_name")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(year_end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(_cents(disc_price)).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("n_name"))
+    )
+
+
+def late_order_priority(orders: DataFrame, lineitem: DataFrame,
+                        start: str = "1996-01-01", end: str = "1996-07-01",
+                        grace_days: int = 90) -> DataFrame:
+    """Q4 silhouette: per-priority count of orders with a late line item.
+
+    EXISTS-with-inequality as a left-semi join: the probe side
+    (lineitem keys + shipdates) is never collected, and the composite
+    join condition keeps the inequality inside the join operator where
+    the hash build is still on the equi-key. Map-side partial count
+    after the semi-join → ≤|priorities| shuffle rows.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    items = lineitem.select("l_orderkey", "l_shipdate")
+    late = (ords.o_orderdate
+            + F.expr(f"INTERVAL {int(grace_days)} DAYS"))
+    return (
+        ords.join(items,
+                  (ords.o_orderkey == items.l_orderkey)
+                  & (items.l_shipdate > late),
+                  "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,95 @@
+"""Relational analytics family (operators/analytics.py): value sanity
+on the sf0.001 fixture plus physical-plan pins for the scale
+properties each shape was designed around (pushdown, broadcast of the
+constant-size dims, heap-based top-k). The sf0.01 value-vs-DuckDB
+comparison runs in tools/selfcheck.py / the driver gate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import analytics as AN
+
+
+def phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    names = ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def test_pricing_summary_values_and_pushdown(tables):
+    q = AN.pricing_summary(tables["lineitem"])
+    rows = q.collect()
+    assert 1 <= len(rows) <= 6  # ≤ |returnflag × linestatus|
+    for r in rows:
+        # discounting can only reduce; tax can only increase
+        assert r.sum_disc_cents <= r.sum_base_cents
+        assert r.sum_charge_cents >= r.sum_disc_cents
+        assert r.count_order > 0 and r.sum_qty > 0
+        assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-6
+    p = phys(q)
+    # shipdate filter must reach the parquet scan, and the scan must
+    # not read money columns it doesn't need beyond the 6 used
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+
+
+def test_pricing_summary_partial_aggregation(tables):
+    # partial (map-side) agg before the exchange: the shuffle carries
+    # ≤|groups| rows per task, the defining scale property of Q1
+    p = phys(AN.pricing_summary(tables["lineitem"]))
+    before_exchange = p.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in before_exchange
+
+
+def test_top_revenue_orders_topk_is_heap_not_sort(tables):
+    q = AN.top_revenue_orders(tables["customer"], tables["orders"],
+                              tables["lineitem"], k=5)
+    p = phys(q)
+    # global top-k compiles to TakeOrderedAndProject (per-partition
+    # k-row heap + driver merge), never a full Sort+Limit
+    assert "TakeOrderedAndProject" in p
+    rows = q.collect()
+    assert len(rows) <= 5
+    revs = [r.revenue_cents for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_revenue_by_nation_broadcasts_constant_dims(tables):
+    q = AN.revenue_by_nation(tables["customer"], tables["orders"],
+                             tables["lineitem"], tables["supplier"],
+                             tables["nation"], tables["region"])
+    p = phys(q)
+    # nation (25 rows) and region (5 rows) are constant at every SF —
+    # they must broadcast, and nothing may plan as a cartesian product
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    rows = q.collect()
+    # every ASIA nation possible; revenue strictly positive when present
+    assert all(r.revenue_cents > 0 for r in rows)
+    assert len(rows) <= 5
+
+
+def test_late_order_priority_is_semi_join(tables):
+    q = AN.late_order_priority(tables["orders"], tables["lineitem"])
+    p = phys(q)
+    assert "LeftSemi" in p
+    total = sum(r.order_count for r in q.collect())
+    # every counted order is in the date window by construction
+    window = tables["orders"].filter(
+        "o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1996-07-01'").count()
+    assert 0 < total <= window
+
+
+def test_ntz_normalization_covers_warehouse_tables(tables):
+    # the round-3 events breakage, generalized: every fixture timestamp
+    # column must load as TIMESTAMP (not NTZ) so INTERVAL arithmetic
+    # and unix_* functions stay legal
+    assert dict(tables["lineitem"].dtypes)["l_shipdate"] == "timestamp"
+    assert dict(tables["orders"].dtypes)["o_orderdate"] == "timestamp"
