@@ -246,9 +246,9 @@ _QKEY_ORDER = [
     "dedup_anti", "repartition_balanced", "repartition_stratified",
     "agg_bucket_count", "merge_pairs", "exchange_identity",
     "salted_join_agg", "set_union", "set_except", "eval_confusion",
-    # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes
+    # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes + rollup
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
-    "late_order_priority",
+    "late_order_priority", "sales_rollup", "sketch_profile",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "funnel", "retention_cohorts",
@@ -259,6 +259,7 @@ _QKEY_ORDER = [
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
     "doc_fingerprint", "token_count", "length_profile",
     "boilerplate_score", "quality_filter", "unigram_logprob",
+    "bigram_logprob",
     "jsonl_roundtrip",
     # dedup / corpus assembly
     "dedup_exact", "dedup_incremental", "dedup_clusters", "shard_pack",
@@ -342,6 +343,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "nation"), load_table(s, d, "region")),
         "late_order_priority": lambda s, d: AN.late_order_priority(
             load_table(s, d, "orders"), load_table(s, d, "lineitem")),
+        "sales_rollup": lambda s, d: AN.sales_rollup(
+            load_table(s, d, "lineitem")),
+        # rows-only by design: sketch estimates are engine-specific
+        # (HLL++/t-digest); error bounds pinned in tests/test_analytics.py
+        "sketch_profile": lambda s, d: AN.sketch_profile(
+            load_table(s, d, "events")),
         # §2.6 ML operators — rows-only (no SQL oracle: SMO training)
         "svm_train": _svm_train,
         "svm_linear_ovr": _svm_linear_ovr,
@@ -422,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": lambda s, d: TX.quality_filter(
             load_table(s, d, "documents"), keep_frac=0.5),
         "unigram_logprob": lambda s, d: TX.unigram_logprob(
+            load_table(s, d, "documents")),
+        "bigram_logprob": lambda s, d: TX.bigram_logprob(
             load_table(s, d, "documents")),
         # incremental ingest: re-add a batch overlapping the archive —
         # the overlapped slice must be dropped by digest anti-join
@@ -586,6 +595,13 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
                 AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+""",
+        "sales_rollup": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(FLOOR(l_extendedprice*100)) AS BIGINT) AS base_cents,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
         # §2.8 extension ops
         "dedup_exact": (
@@ -1002,6 +1018,27 @@ SELECT t.doc_id, COUNT(*) AS n_tokens,
        ROUND(AVG(-ln(f.cnt / tot.total)), 6) AS nll
 FROM tok t JOIN freq f USING (token), tot
 GROUP BY t.doc_id
+""",
+        # bigram_logprob: adjacent-pair extraction via zipping two
+        # parallel UNNESTs of offset list slices (DuckDB zips multiple
+        # unnests in one SELECT); p(w2|w1) from corpus counts
+        "bigram_logprob": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), b AS (
+  SELECT doc_id,
+         UNNEST(ts[1:len(ts)-1]) AS w1,
+         UNNEST(ts[2:len(ts)]) AS w2
+  FROM t
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM b GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1
+)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(-ln(c2.c2 / c1.c1)), 6) AS nll2
+FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY b.doc_id
 """,
         # dedup_incremental: ground-truth formulation over text
         # equality — hash-matching the Spark side's sha2-digest

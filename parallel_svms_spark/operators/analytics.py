@@ -177,3 +177,46 @@ def late_order_priority(orders: DataFrame, lineitem: DataFrame,
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def sales_rollup(lineitem: DataFrame) -> DataFrame:
+    """Hierarchical subtotals: revenue and item counts at
+    (returnflag, linestatus), per-returnflag, and grand-total levels in
+    ONE pass — ``ROLLUP``, the reporting shape dashboards ask for.
+
+    Spark plans rollup as Expand (one row fans out to one row per
+    grouping set) feeding a partial aggregation, so the shuffle still
+    carries ≤ Σ|grouping-set cardinalities| rows per task — subtotals
+    at 100 TB cost the same as the finest group-by. NULL group columns
+    mark subtotal rows (the fixture flags are non-null, so the marker
+    is unambiguous).
+    """
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("base_cents"),
+             F.count("*").alias("n_items"))
+    )
+
+
+def sketch_profile(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Bounded-memory corpus statistics via sketches: distinct users
+    (HyperLogLog++), value quantiles (approx_percentile's internal
+    histogram sketch), and an exact row count for reference.
+
+    THE 100 TB profiling path: exact COUNT(DISTINCT) shuffles every
+    distinct key and exact percentile buffers the full value multiset
+    per group, while both sketches are constant-size aggregation state
+    that merges associatively — one narrow scan, one ≤KB-per-task
+    shuffle, regardless of input size. No SQL oracle by design
+    (sketch estimates are engine-specific); tests pin the relative
+    error against the exact answers at fixture scale instead
+    (tests/test_analytics.py).
+    """
+    return events.agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.round(F.expr("approx_percentile(value, 0.5)"), 6)
+         .alias("approx_p50_value"),
+        F.round(F.expr("approx_percentile(value, 0.99)"), 6)
+         .alias("approx_p99_value"),
+    )

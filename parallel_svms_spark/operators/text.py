@@ -280,6 +280,41 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
                  F.round(F.avg(nll), 6).alias("nll")))
 
 
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Order-sensitive corpus-LM quality proxy: per doc, the mean
+    negative log CONDITIONAL probability of its adjacent token pairs,
+    p(w2|w1) = corpus_count(w1,w2) / corpus_count(w1,·). The bigram
+    upgrade of ``unigram_logprob``: scrambled or templated text that
+    fools a unigram model (common words, wrong order) scores badly
+    here. Scoring the corpus under itself means every observed bigram
+    has count ≥ 1, so no smoothing term is needed.
+
+    Scale shape: bigram extraction is pure JVM (``zip_with`` of two
+    array slices — no self-join, no Python); the context-count table is
+    two chained partial aggregations keyed on (w1,w2) then w1; the
+    probability join is an equi-join on (w1,w2) that AQE broadcasts
+    when the bigram vocabulary fits and shuffles otherwise (bigram
+    vocab grows ~quadratically in unigram vocab, so unlike
+    ``unigram_logprob`` it is NOT unconditionally broadcast); the
+    per-doc rollup partial-aggregates bigram rows map-side.
+    """
+    toks = tokens_col("text")
+    n = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.zip_with(F.slice(toks, 1, n), F.slice(toks, 2, n),
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bg = (ensure_parallelism(documents)
+          .select("doc_id", F.explode(pairs).alias("b"))
+          .select("doc_id", F.col("b.w1").alias("w1"),
+                  F.col("b.w2").alias("w2")))
+    cnt2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    nll = -F.log(F.col("c2") / F.col("c1"))
+    return (bg.join(cnt2.join(cnt1, "w1"), ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg(nll), 6).alias("nll2")))
+
+
 def quality_filter(documents: DataFrame, keep_frac: float = 0.5) -> DataFrame:
     """Per-source quality carving: keep each source's top
     ``keep_frac`` fraction of documents by the heuristic

@@ -87,6 +87,52 @@ def test_late_order_priority_is_semi_join(tables):
     assert 0 < total <= window
 
 
+def test_sales_rollup_levels_are_consistent(tables):
+    rows = AN.sales_rollup(tables["lineitem"]).collect()
+    fine = [r for r in rows
+            if r.l_returnflag is not None and r.l_linestatus is not None]
+    subtotal = {r.l_returnflag: r for r in rows
+                if r.l_returnflag is not None and r.l_linestatus is None}
+    grand = [r for r in rows
+             if r.l_returnflag is None and r.l_linestatus is None]
+    assert len(grand) == 1
+    # each rollup level must sum exactly to the level above (exact
+    # integer cents make this equality precise, not approximate)
+    assert grand[0].n_items == sum(r.n_items for r in fine)
+    assert grand[0].base_cents == sum(r.base_cents for r in fine)
+    for flag, sub in subtotal.items():
+        assert sub.base_cents == sum(
+            r.base_cents for r in fine if r.l_returnflag == flag)
+
+
+def test_sketch_profile_error_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+    events = load_table(spark, sf_dir, "events")
+    got = AN.sketch_profile(events).collect()[0]
+    exact = events.agg(
+        F.countDistinct("user_id").alias("users"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.99)").alias("p99")).collect()[0]
+    assert got.n_rows == events.count()
+    # HLL++ at rsd=0.05: generous 3x envelope to stay flake-free
+    assert abs(got.approx_users - exact.users) <= max(3, 0.15 * exact.users)
+    # approx_percentile defaults to 10k-bucket accuracy: near-exact here
+    spread = max(1e-9, exact.p99 - exact.p50)
+    assert abs(got.approx_p50_value - exact.p50) <= 0.1 * spread
+    assert abs(got.approx_p99_value - exact.p99) <= 0.1 * spread
+
+
+def test_bigram_logprob_shape(spark, sf_dir):
+    from parallel_svms_spark.operators.text import bigram_logprob
+    docs = load_table(spark, sf_dir, "documents")
+    rows = bigram_logprob(docs).collect()
+    # every fixture doc has ≥ 2 tokens → one output row per doc
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.nll2 >= 0.0  # -ln(p), p ≤ 1
+
+
 def test_ntz_normalization_covers_warehouse_tables(tables):
     # the round-3 events breakage, generalized: every fixture timestamp
     # column must load as TIMESTAMP (not NTZ) so INTERVAL arithmetic
