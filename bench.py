@@ -212,6 +212,26 @@ def run_stress() -> dict:
               lambda: EV.asof_prev_event(ev).count())
         timed("funnel",
               lambda: EV.funnel(ev).count())
+        # warehouse analytics at 10× facts (6M lineitem / 1.5M orders,
+        # dims kept at sf0.1 size — the real-warehouse scale shape)
+        from parallel_svms_spark.io.sources import load_table
+        from parallel_svms_spark.operators import analytics as AN
+        li_path, or_path = stress_mod.build_warehouse(spark, mult_docs)
+        li = spark.read.parquet(li_path)
+        orr = spark.read.parquet(or_path)
+        dims = {t: load_table(spark, stress_mod.SF_DIR, t)
+                for t in ("customer", "supplier", "nation", "region")}
+        timed("pricing_summary",
+              lambda: AN.pricing_summary(li).count())
+        timed("revenue_by_nation",
+              lambda: AN.revenue_by_nation(
+                  dims["customer"], orr, li, dims["supplier"],
+                  dims["nation"], dims["region"]).count())
+        timed("late_order_priority",
+              lambda: AN.late_order_priority(orr, li).count())
+        timed("top_revenue_orders",
+              lambda: AN.top_revenue_orders(
+                  dims["customer"], orr, li).count())
         return {"mult_docs": mult_docs, "mult_emb": mult_emb,
                 "rows_docs": n_docs, "rows_emb": n_emb, "ops": ops}
     finally:

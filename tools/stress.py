@@ -89,6 +89,42 @@ def build_events(spark, mult: int) -> str:
     return path
 
 
+def build_warehouse(spark, mult: int) -> tuple[str, str]:
+    """Replicate lineitem+orders mult× with CONSISTENT orderkey
+    offsets (copy r shifts both sides by r*base), so the star joins
+    stay referentially intact while the fact tables grow mult×.
+    Dimension tables (customer/supplier/nation/region) are left at
+    sf0.1 size — exactly the scale shape of a real warehouse, where
+    facts outgrow dims. Timestamps are normalized to TIMESTAMP before
+    writing so readers need no NTZ branch."""
+    li_path = str(SCRATCH / f"lineitem_x{mult}.parquet")
+    or_path = str(SCRATCH / f"orders_x{mult}.parquet")
+    copies = spark.range(mult).select(F.col("id").alias("r"))
+    if not (Path(li_path).exists() and Path(or_path).exists()):
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        base = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        (orders.crossJoin(copies)
+               .select((F.col("o_orderkey") + F.col("r") * base)
+                       .alias("o_orderkey"),
+                       "o_custkey", "o_orderstatus", "o_totalprice",
+                       F.col("o_orderdate").cast("timestamp")
+                       .alias("o_orderdate"),
+                       "o_orderpriority")
+               .repartition(32)
+               .write.mode("overwrite").parquet(or_path))
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        (li.crossJoin(copies)
+           .select((F.col("l_orderkey") + F.col("r") * base)
+                   .alias("l_orderkey"),
+                   "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                   "l_extendedprice", "l_discount", "l_tax",
+                   "l_returnflag", "l_linestatus",
+                   F.col("l_shipdate").cast("timestamp").alias("l_shipdate"))
+           .repartition(32)
+           .write.mode("overwrite").parquet(li_path))
+    return li_path, or_path
+
+
 def timed(name: str, rows_in: int, fn) -> None:
     t0 = time.monotonic()
     out = fn()
