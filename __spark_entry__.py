@@ -243,7 +243,8 @@ _QKEY_ORDER = [
     # relational core — milliseconds each
     "scan_count", "agg_count", "agg_groupby_count", "agg_error_sum",
     "proj_label", "parse_project", "parse_sparse", "filter_semijoin",
-    "dedup_anti", "repartition_balanced", "repartition_stratified",
+    "dedup_anti", "merge_upsert", "repartition_balanced",
+    "repartition_stratified",
     "agg_bucket_count", "merge_pairs", "exchange_identity",
     "salted_join_agg", "set_union", "set_except", "eval_confusion",
     # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes + rollup
@@ -251,7 +252,8 @@ _QKEY_ORDER = [
     "late_order_priority", "sales_rollup", "sketch_profile",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
-    "sessionize_bucketed", "asof_join", "funnel", "retention_cohorts",
+    "sessionize_bucketed", "asof_join", "interval_join", "funnel",
+    "retention_cohorts",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "resize_images",
     # text analysis
@@ -298,6 +300,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "orders")),
         "dedup_anti": lambda s, d: R.dedup_anti(
             load_table(s, d, "customer"), load_table(s, d, "orders")),
+        # CDC upsert: every 7th doc arrives re-ingested with a bumped
+        # n_chars; the update must win, everything else pass through
+        "merge_upsert": lambda s, d: (lambda docs: R.merge_upsert(
+            docs, docs.filter("doc_id % 7 = 0")
+                      .withColumn("n_chars", F.col("n_chars") + 1000))
+            .select("doc_id", "lang", "source", "n_chars"))(
+                load_table(s, d, "documents")),
         # §2.4 — partitioning / exchange / cascade merge
         "repartition_balanced": lambda s, d: X.balanced_buckets(
             load_table(s, d, "embeddings"), K_BUCKETS).select("vec_id", "bucket"),
@@ -420,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_bucketed": lambda s, d: E.session_stats_from(
             E.sessionize_bucketed(load_table(s, d, "events"))),
         "asof_join": lambda s, d: E.asof_prev_event(
+            load_table(s, d, "events")),
+        "interval_join": lambda s, d: E.sessions_containing(
             load_table(s, d, "events")),
         "funnel": lambda s, d: E.funnel(load_table(s, d, "events")),
         "retention_cohorts": lambda s, d: E.retention_cohorts(
@@ -907,6 +918,14 @@ FROM x GROUP BY 1, 2
         # value-identical by construction (equivalence-tested), so the
         # bucketed variant shares the plain operator's oracle verbatim
         "sessionize_bucketed": _SESSIONIZE_ORACLE,
+        "interval_join": _INTERVAL_JOIN_ORACLE,
+        "merge_upsert": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE doc_id % 7 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id, lang, source, n_chars + 1000 AS n_chars "
+            "FROM documents WHERE doc_id % 7 = 0"
+        ),
         # funnel: first qualifying occurrence per stage, each within
         # 24 h of completing the prior stage — mirrors operators/
         # events.funnel(steps=(view, click, purchase), window_hours=24)
@@ -1115,6 +1134,31 @@ FROM documents GROUP BY lang
 # Per-user gap sessionization rollup — shared by the `sessionize` and
 # `sessionize_bucketed` qkeys (the bucketed operator is value-identical
 # by construction, asserted by equivalence tests)
+_INTERVAL_JOIN_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), bounds AS (
+  SELECT user_id, session_seq,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT e.event_id, b.user_id, b.session_seq
+FROM events e
+JOIN bounds b ON e.ts BETWEEN b.session_start AND b.session_end
+WHERE e.event_type = 'error'
+"""
+
+
 _SESSIONIZE_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts, value,

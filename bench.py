@@ -44,7 +44,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # relational core over lineitem/orders (600k rows at sf0.1)
     "scan_count", "agg_groupby_count", "agg_error_sum",
-    "filter_semijoin", "dedup_anti", "set_union", "set_except",
+    "filter_semijoin", "dedup_anti", "merge_upsert", "set_union",
+    "set_except",
     "parse_project", "parse_sparse", "repartition_balanced",
     "repartition_stratified", "merge_pairs",
     # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes over the
@@ -53,7 +54,7 @@ HEADLINE = [
     "late_order_priority", "sales_rollup", "sketch_profile",
     # events (100k rows)
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
-    "sessionize_bucketed", "funnel", "retention_cohorts",
+    "sessionize_bucketed", "interval_join", "funnel", "retention_cohorts",
     # documents (5k rows)
     "dedup_exact", "dedup_incremental", "simjoin_candidates",
     "dedup_minhash", "dedup_simhash",

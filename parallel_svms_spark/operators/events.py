@@ -272,3 +272,55 @@ def asof_prev_event(events: DataFrame, left_type: str = "error",
                     "prev_ts",
                     (F.unix_micros(F.col("ts"))
                      - F.unix_micros(F.col("prev_ts"))).alias("gap_us")))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  ts_col: str = "ts",
+                  start_col: str = "session_start",
+                  end_col: str = "session_end",
+                  bucket_minutes: int = 360) -> DataFrame:
+    """Time-range (interval containment) join: each point row matched
+    to every interval row with start ≤ ts ≤ end — the operator behind
+    "which sessions / deploys / experiments was this event inside?".
+
+    A naive theta-join plans as BroadcastNestedLoop or a cartesian
+    product — O(N·M) and a 100 TB stage killer. This is the bucketized
+    equi-join formulation (the same trick as Databricks' range-join bin
+    hints): quantize time into fixed-width buckets, explode each
+    interval into the buckets it spans, equi-join points on bucket,
+    then refine with the exact range predicate. Each (point, interval)
+    match is produced exactly once (the point's bucket is unique), so
+    no post-join dedup is needed. Cost: |points| + Σ(interval spans /
+    bucket) join rows, hash-exchanged on bucket — pick bucket_minutes
+    near the TYPICAL interval length so most intervals explode to 1-2
+    buckets; far-outlier intervals only add rows linearly.
+
+    Callers pass pre-projected frames with disjoint column names.
+    """
+    bms = int(bucket_minutes) * 60_000
+    p = points.withColumn(
+        "__b", F.expr(f"unix_millis({ts_col}) div {bms}"))
+    i = intervals.withColumn(
+        "__b", F.explode(F.sequence(
+            F.expr(f"unix_millis({start_col}) div {bms}"),
+            F.expr(f"unix_millis({end_col}) div {bms}"))))
+    return (p.join(i, "__b")
+            .filter((F.col(ts_col) >= F.col(start_col))
+                    & (F.col(ts_col) <= F.col(end_col)))
+            .drop("__b"))
+
+
+def sessions_containing(events: DataFrame,
+                        point_type: str = "error") -> DataFrame:
+    """interval_join demo dataflow: every ``point_type`` event joined
+    to ALL sessions (any user's) whose [start, end] span contains it —
+    the concurrent-sessions-at-incident-time question. Deliberately
+    key-free: this is the hard case a per-user equi-join can't express,
+    which is exactly what the bucketized formulation is for.
+    """
+    sess = sessionize(events).select(
+        "user_id", "session_seq", "session_start", "session_end")
+    pts = (events.filter(F.col("event_type") == point_type)
+           .select("event_id", "ts"))
+    return (interval_join(pts, sess)
+            .select("event_id", "user_id", "session_seq"))

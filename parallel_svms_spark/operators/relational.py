@@ -185,3 +185,27 @@ def eval_confusion(embeddings: DataFrame) -> DataFrame:
         embeddings.select(F.col("label").alias("label"), pred.alias("pred"))
         .groupBy("label", "pred").agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC merge (lakehouse MERGE INTO, the insert/update subset)
+# ---------------------------------------------------------------------------
+
+def merge_upsert(target: DataFrame, updates: DataFrame,
+                 key: str = "doc_id") -> DataFrame:
+    """Upsert merge: on key collision the updates row wins, surviving
+    target rows pass through, brand-new update keys insert — MERGE
+    INTO's WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT, expressed as
+    left-anti + UNION ALL so it runs on any DataFrame source.
+
+    Scale shape: ONE shuffle (the anti join on key; broadcast when the
+    update batch is small — the common CDC case, and AQE picks that
+    automatically); the union is a zero-exchange merge of the two
+    legs. Writing the result back with a partitioned sink +
+    dynamic-partition-overwrite touches only partitions containing
+    updated keys. The reference analog is Itergsv's contains()-guarded
+    global-SV append (Iterative_svm/Itergsv.java:102-108) — same
+    keep-newest-wins semantics, distributed.
+    """
+    survivors = target.join(updates.select(key), on=key, how="left_anti")
+    return survivors.unionByName(updates.select(*target.columns))

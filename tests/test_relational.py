@@ -123,3 +123,21 @@ def test_balanced_buckets_stratified_per_class_balance(spark, sf_dir):
     assert len(hist) == emb.select("label").distinct().count()
     for r in hist:
         assert r.mx - r.mn <= 1, f"label {r.label}: {r.mn}..{r.mx}"
+
+
+def test_merge_upsert_semantics(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    updates = (docs.filter("doc_id % 7 = 0")
+               .withColumn("n_chars", F.col("n_chars") + 1000))
+    new_row = (docs.limit(1)
+               .withColumn("doc_id", F.lit(10_000_000).cast("long")))
+    merged = R.merge_upsert(docs, updates.unionByName(new_row))
+    assert merged.count() == n + 1  # updates replace, the new key inserts
+    # every updated key carries the update's value, not the target's
+    bumped = merged.filter("doc_id % 7 = 0 AND doc_id < 10000000")
+    orig = docs.filter("doc_id % 7 = 0").agg(F.sum("n_chars")).collect()[0][0]
+    got = bumped.agg(F.sum("n_chars")).collect()[0][0]
+    assert got == orig + 1000 * bumped.count()
+    # keys must stay unique after the merge
+    assert merged.select("doc_id").distinct().count() == n + 1

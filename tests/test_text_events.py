@@ -301,3 +301,37 @@ def test_sessionize_bucketed_boundary_straddle(spark):
     # two sessions: {1,2} and {3,4} (gap between is > 30 min), each
     # straddling a midnight boundary
     assert [r[2] for r in buck] == [2, 2]
+
+
+def test_interval_join_never_nested_loop(events):
+    from parallel_svms_spark.operators.events import sessions_containing
+    q = sessions_containing(events)
+    p = q._jdf.queryExecution().executedPlan().toString()
+    # the entire point of the bucketized formulation: a range join that
+    # plans as an equi-join, never O(N*M)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_interval_join_boundaries_and_exactly_once(spark):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.operators.events import interval_join
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # one interval spanning MANY buckets (bucket_minutes=1 forces the
+    # multi-bucket explode path), points at start, inside, end, outside
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(10))], "iv int, session_start timestamp, session_end timestamp")
+    points = spark.createDataFrame(
+        [(100, ts(0)), (101, ts(5)), (102, ts(10)), (103, ts(11))],
+        "event_id int, ts timestamp")
+    got = interval_join(points, intervals, bucket_minutes=1) \
+        .select("event_id", "iv").collect()
+    matched = sorted(r.event_id for r in got)
+    # inclusive on both ends, outside point excluded, and — despite the
+    # interval exploding into 11 buckets — each match appears ONCE
+    assert matched == [100, 101, 102]
