@@ -250,6 +250,7 @@ _QKEY_ORDER = [
     # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes + rollup
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
+    "pivot_counts",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
@@ -260,8 +261,8 @@ _QKEY_ORDER = [
     "text_token_stats", "vocab_topk", "ngram_topk", "scrub_text",
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
     "doc_fingerprint", "token_count", "length_profile",
-    "boilerplate_score", "quality_filter", "unigram_logprob",
-    "bigram_logprob",
+    "boilerplate_score", "quality_filter", "quality_deciles",
+    "unigram_logprob", "bigram_logprob",
     "jsonl_roundtrip",
     # dedup / corpus assembly
     "dedup_exact", "dedup_incremental", "dedup_clusters", "shard_pack",
@@ -358,6 +359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (HLL++/t-digest); error bounds pinned in tests/test_analytics.py
         "sketch_profile": lambda s, d: AN.sketch_profile(
             load_table(s, d, "events")),
+        "pivot_counts": lambda s, d: AN.pivot_counts(
+            load_table(s, d, "documents")),
         # §2.6 ML operators — rows-only (no SQL oracle: SMO training)
         "svm_train": _svm_train,
         "svm_linear_ovr": _svm_linear_ovr,
@@ -439,6 +442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "quality_filter": lambda s, d: TX.quality_filter(
             load_table(s, d, "documents"), keep_frac=0.5),
+        "quality_deciles": lambda s, d: TX.quality_deciles(
+            load_table(s, d, "documents")),
         "unigram_logprob": lambda s, d: TX.unigram_logprob(
             load_table(s, d, "documents")),
         "bigram_logprob": lambda s, d: TX.bigram_logprob(
@@ -607,6 +612,14 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
+        "pivot_counts": (
+            "SELECT source, "
+            + ", ".join(
+                f"CAST(SUM(CASE WHEN lang = '{v}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS {v}"
+                for v in ("de", "en", "es", "fr", "zh"))
+            + " FROM documents GROUP BY source"
+        ),
         "sales_rollup": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(FLOOR(l_extendedprice*100)) AS BIGINT) AS base_cents,
@@ -762,6 +775,31 @@ SELECT doc_id, n_tokens, ROUND(mtl, 6) AS mean_token_len,
              + 0.3 * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END),
              6) AS quality
 FROM y
+""",
+        # quality_deciles: literal NTILE window over the same quality
+        # CTE — must hash-match the two-pass distributed rank
+        "quality_deciles": f"""
+WITH x AS (
+  SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nc
+  FROM documents
+), y AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(nc - len(t) + 1 AS DOUBLE) / len(t) AS mtl,
+         CAST(len(list_intersect(list_distinct(t),
+              {TX.STOPWORDS!r})) AS DOUBLE) / {len(TX.STOPWORDS)} AS sr
+  FROM x
+), q AS (
+  SELECT doc_id,
+         ROUND(0.4 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * ROUND(sr, 6)
+               + 0.3 * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END),
+               6) AS quality
+  FROM y
+)
+SELECT doc_id, quality,
+       CAST(NTILE(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile
+FROM q
 """,
         "lang_id": _LANG_ID_ORACLE,
         "vocab_topk": """

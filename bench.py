@@ -52,6 +52,7 @@ HEADLINE = [
     # full warehouse star (600k lineitem / 150k orders at sf0.1)
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
+    "pivot_counts",
     # events (100k rows)
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "interval_join", "funnel", "retention_cohorts",
@@ -66,7 +67,8 @@ HEADLINE = [
     "asof_join",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "token_count", "boilerplate_score", "quality_filter",
-    "unigram_logprob", "bigram_logprob", "jsonl_roundtrip",
+    "quality_deciles", "unigram_logprob", "bigram_logprob",
+    "jsonl_roundtrip",
     "multimodal_features", "frame_sample", "resize_images",
     # embeddings (2k rows, 64-dim)
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",

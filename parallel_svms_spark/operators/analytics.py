@@ -220,3 +220,25 @@ def sketch_profile(events: DataFrame, rsd: float = 0.05) -> DataFrame:
         F.round(F.expr("approx_percentile(value, 0.99)"), 6)
          .alias("approx_p99_value"),
     )
+
+
+def pivot_counts(df: DataFrame, row_key: str = "source",
+                 col_key: str = "lang",
+                 values: tuple[str, ...] = ("de", "en", "es", "fr", "zh")
+                 ) -> DataFrame:
+    """Cross-tab pivot: one row per ``row_key``, one LONG count column
+    per enumerated ``col_key`` value — the corpus composition matrix
+    (source × language) every curation report opens with.
+
+    Passing ``values`` explicitly matters at scale: without it Spark
+    runs an extra full scan just to discover the pivot columns (and
+    caps them at spark.sql.pivotMaxValues). With the list given, the
+    plan is a single partial-aggregated groupBy — shuffle rows ≤
+    |row_key| × |values|. Missing combinations surface as 0, not
+    null, matching the SQL CASE-sum formulation.
+    """
+    out = df.groupBy(row_key).pivot(col_key, list(values)).count()
+    return out.select(
+        row_key,
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(v)
+          for v in values])

@@ -136,3 +136,85 @@ def salted_join(big: DataFrame, dim: DataFrame, key: str,
     return (salted_big
             .join(salted_dim.hint("shuffle_hash"), [key, "__salt"])
             .drop("__salt"))
+
+
+def global_ntile(df: DataFrame, order_cols: list[str], k: int = 10,
+                 out_col: str = "bucket") -> DataFrame:
+    """Exact global NTILE(k) over ``order_cols`` WITHOUT the
+    single-task global window Spark would otherwise plan (an
+    un-partitioned ``F.ntile(k).over(Window.orderBy(...))`` sorts the
+    whole input in ONE task — dead at 100 TB).
+
+    Two-pass distributed rank, the same decomposition as
+    sharding.pack_shards' prefix sum but counting rows:
+
+    1. range-partition on order_cols (Spark samples bounds; P
+       parallel partitions, each internally sorted);
+    2. per-partition row counts → driver (P longs), exclusive prefix
+       offsets broadcast back;
+    3. each partition computes local position + offset in one Arrow
+       pass; bucket follows SQL NTILE exactly — with base = n div k
+       and rem = n mod k, the first rem buckets hold base+1 rows and
+       the rest hold base (NOT the floor(rank·k/n) proportional split,
+       which differs whenever k does not divide n).
+
+    Callers must include a tiebreaker column in order_cols (e.g. a
+    unique id) — NTILE over a non-total order is engine-dependent.
+    The DuckDB oracle runs the literal NTILE window and must
+    hash-match, locking in the equivalence.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    k = int(k)
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+              .sortWithinPartitions(*order_cols)
+              .localCheckpoint())
+    parts = (ranged.groupBy(F.spark_partition_id().alias("pid"))
+             .agg(F.count("*").alias("cnt"),
+                  F.min(F.struct(*order_cols)).alias("min_key"))
+             .collect())
+    # order by min_key, not pid: range partitions are key-ordered but
+    # pid numbering need not follow the range order
+    parts.sort(key=lambda r: tuple(r["min_key"]))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in parts:
+        offsets[r["pid"]] = acc
+        acc += int(r["cnt"])
+    n_total = acc
+    if n_total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("long")).limit(0)
+    bc = spark.sparkContext.broadcast(offsets)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())])
+    base, rem = divmod(n_total, k)
+    cut = rem * (base + 1)  # global rank where the base+1 buckets end
+
+    def assign(it):
+        import numpy as np
+        offs = bc.value
+        pos = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offs.get(int(pdf["__pid"].iloc[0]), 0)
+            pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+            r0 = np.arange(pos, pos + len(pdf), dtype="int64")
+            pos += len(pdf)
+            if base == 0:  # n < k: one row per bucket, buckets 1..n
+                bucket = r0 + 1
+            else:
+                bucket = np.where(
+                    r0 < cut,
+                    r0 // (base + 1) + 1,
+                    rem + (r0 - cut) // base + 1)
+            out = pdf.drop(columns="__pid").reset_index(drop=True)
+            out[out_col] = bucket.astype("int64")
+            yield out
+
+    return (ranged.withColumn("__pid", F.spark_partition_id())
+            .mapInPandas(assign, schema=out_schema))

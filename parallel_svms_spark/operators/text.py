@@ -405,3 +405,22 @@ def scrub_text(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", out.alias("clean_text"),
         F.length(out).alias("clean_chars"))
+
+
+def quality_deciles(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Corpus-wide quality decile per document: NTILE(k) over
+    (quality, doc_id) — the binning step behind "train on the top-3
+    deciles" curation policies.
+
+    Uses partitioning.global_ntile's two-pass distributed rank, NOT a
+    global window: an un-partitioned NTILE sorts the corpus in one
+    task. The DuckDB oracle runs the literal NTILE window over the
+    shared quality CTE and must hash-match — the distributed
+    decomposition is value-identical (the quality score is rounded to
+    6 dp before ordering, and doc_id breaks ties, so the order is
+    total and engine-reproducible).
+    """
+    from parallel_svms_spark.operators.partitioning import global_ntile
+    q = quality_score(documents).select("doc_id", "quality")
+    return (global_ntile(q, ["quality", "doc_id"], k=k, out_col="decile")
+            .select("doc_id", "quality", "decile"))

@@ -139,3 +139,43 @@ def test_ntz_normalization_covers_warehouse_tables(tables):
     # and unix_* functions stay legal
     assert dict(tables["lineitem"].dtypes)["l_shipdate"] == "timestamp"
     assert dict(tables["orders"].dtypes)["o_orderdate"] == "timestamp"
+
+
+def test_pivot_counts_zero_fill_and_row_sums(spark, sf_dir):
+    from pyspark.sql import functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    pv = AN.pivot_counts(docs)
+    rows = pv.collect()
+    per_source = dict(docs.groupBy("source").count().collect())
+    langs = ("de", "en", "es", "fr", "zh")
+    for r in rows:
+        # pivot cells must be non-null longs summing to the group count
+        vals = [getattr(r, v) for v in langs]
+        assert all(v is not None and v >= 0 for v in vals)
+        assert sum(vals) == per_source[r.source]
+
+
+def test_global_ntile_matches_sql_ntile_split(spark):
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.operators.partitioning import global_ntile
+    # n=23, k=5 → first 3 buckets get 5, last 2 get 4 (SQL NTILE split)
+    df = spark.range(23).select(F.col("id").alias("v"))
+    out = global_ntile(df, ["v"], k=5, out_col="b")
+    sizes = {r.b: r.n for r in
+             out.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {1: 5, 2: 5, 3: 5, 4: 4, 5: 4}
+    # ordering: bucket must be monotone in v
+    rows = sorted(out.collect(), key=lambda r: r.v)
+    bs = [r.b for r in rows]
+    assert bs == sorted(bs)
+
+
+def test_global_ntile_small_and_empty(spark):
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.operators.partitioning import global_ntile
+    tiny = spark.range(3).select(F.col("id").alias("v"))
+    out = global_ntile(tiny, ["v"], k=10, out_col="b").collect()
+    # n < k: each row its own bucket, buckets 1..n
+    assert sorted(r.b for r in out) == [1, 2, 3]
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    assert global_ntile(empty, ["v"], k=4, out_col="b").count() == 0
