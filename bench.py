@@ -215,6 +215,8 @@ def run_stress() -> dict:
               lambda: EV.asof_prev_event(ev).count())
         timed("funnel",
               lambda: EV.funnel(ev).count())
+        timed("interval_join",
+              lambda: EV.sessions_containing(ev).count())
         # warehouse analytics at 10× facts (6M lineitem / 1.5M orders,
         # dims kept at sf0.1 size — the real-warehouse scale shape)
         from parallel_svms_spark.io.sources import load_table

@@ -321,3 +321,36 @@ def run_stream_to_memory(agg: DataFrame, query_name: str = "stream_out",
     q.processAllAvailable()
     q.stop()
     return query_name
+
+
+def streaming_interval_join(stream_points: DataFrame, intervals: DataFrame,
+                            ts_col: str = "ts",
+                            start_col: str = "session_start",
+                            end_col: str = "session_end",
+                            bucket_minutes: int = 360) -> DataFrame:
+    """Streaming twin of ``events.interval_join``: arriving point
+    events matched against a STATIC interval table (deploy windows,
+    experiment spans, session history) — "which live context did this
+    event land in?" at ingest time.
+
+    Same bucketized formulation as the batch operator — the static
+    side explodes into spanned buckets once, the stream side derives
+    its bucket per row — so the stream-static join is an EQUI-join on
+    bucket. That matters twice at scale: Spark disallows/degrades
+    stream-static theta joins (full interval scan per micro-batch),
+    and the equi-form means each micro-batch probes only its buckets'
+    hash partitions. Stateless: stream-static inner joins keep no
+    watermark state, and each match still occurs exactly once (the
+    point's bucket is unique).
+    """
+    bms = int(bucket_minutes) * 60_000
+    i = intervals.withColumn(
+        "__b", F.explode(F.sequence(
+            F.expr(f"unix_millis({start_col}) div {bms}"),
+            F.expr(f"unix_millis({end_col}) div {bms}"))))
+    p = stream_points.withColumn(
+        "__b", F.expr(f"unix_millis({ts_col}) div {bms}"))
+    return (p.join(i, "__b")
+            .filter((F.col(ts_col) >= F.col(start_col))
+                    & (F.col(ts_col) <= F.col(end_col)))
+            .drop("__b"))

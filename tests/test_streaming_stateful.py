@@ -308,3 +308,33 @@ def test_streaming_quality_screen_matches_batch(spark, sf_dir):
                spark.sql(f"SELECT doc_id, quality FROM {name}").collect()}
     assert got == batch
     assert got  # fixture must exercise the screen non-trivially
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """The stream-static interval join must produce exactly the batch
+    interval_join's matches on the fixture (stateless equi-join: no
+    watermark needed, every match emitted in its arrival micro-batch)."""
+    import os
+    import shutil
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import events as E
+
+    events = load_table(spark, sf_dir, "events")
+    sess = (E.sessionize(events)
+            .select("user_id", "session_seq", "session_start", "session_end")
+            .localCheckpoint())
+    batch = {(r.event_id, r.user_id, r.session_seq)
+             for r in E.sessions_containing(events).collect()}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/0000.parquet")
+        os.utime(f"{tmp}/0000.parquet", (1000, 1000))
+        stream = (SW.stream_events_from_dir(spark, tmp)
+                  .filter("event_type = 'error'").select("event_id", "ts"))
+        j = SW.streaming_interval_join(stream, sess) \
+            .select("event_id", "user_id", "session_seq")
+        name = SW.run_stream_to_memory(j, "interval_join_eq")
+        got = {(r.event_id, r.user_id, r.session_seq)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == batch and len(got) > 0
