@@ -203,6 +203,28 @@ def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC codec round trip: documents → ORC sink → ORC source →
+    per-lang rollup, hash-matched against the parquet-side oracle —
+    the same losslessness proof as ``jsonl_roundtrip`` for the other
+    columnar interchange format (schema travels in the ORC footer, so
+    unlike JSONL no explicit schema is needed on read-back)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.io.sources import read_orc, write_orc
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    write_orc(docs, tmp)
+    back = read_orc(spark, tmp)
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.length("text")).alias("total_text_chars"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
 def _parse_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: reference sparse-line codec round trip — encode embeddings
     as ``label,i1,v1,...`` lines (|v| ≥ 0.05 kept), parse back with
@@ -263,7 +285,7 @@ _QKEY_ORDER = [
     "doc_fingerprint", "token_count", "length_profile",
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob",
-    "jsonl_roundtrip",
+    "jsonl_roundtrip", "orc_roundtrip",
     # dedup / corpus assembly
     "dedup_exact", "dedup_incremental", "dedup_clusters", "shard_pack",
     "sample_stratified",
@@ -456,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents").filter("doc_id < 400"),
             load_table(s, d, "documents").filter("doc_id >= 300")),
         "jsonl_roundtrip": _jsonl_roundtrip,
+        "orc_roundtrip": _orc_roundtrip,
         "pipeline_curate": _pipeline_curate,
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
@@ -1160,6 +1183,15 @@ FROM mix
         # hash-matching proves the Spark-side JSONL write+read was
         # lossless
         "jsonl_roundtrip": """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY lang
+""",
+        # identical rollup: the ORC round trip must be value-lossless
+        # for the same corpus surface the JSONL one certifies
+        "orc_roundtrip": """
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(length(text)) AS BIGINT) AS total_text_chars,

@@ -68,7 +68,7 @@ HEADLINE = [
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "token_count", "boilerplate_score", "quality_filter",
     "quality_deciles", "unigram_logprob", "bigram_logprob",
-    "jsonl_roundtrip",
+    "jsonl_roundtrip", "orc_roundtrip",
     "multimodal_features", "frame_sample", "resize_images",
     # embeddings (2k rows, 64-dim)
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",

@@ -261,3 +261,19 @@ def read_jsonl(spark: SparkSession, path: str,
     pins column types so a malformed line becomes a null row
     (columnNameOfCorruptRecord semantics) instead of a type flip."""
     return spark.read.schema(schema or DOCUMENTS_SCHEMA).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other columnar interchange format warehouse
+    stacks (Hive/Trino) still hand over. Spark's native ORC writer:
+    vectorized, predicate-pushdown-capable on read-back, splits by
+    partition like parquet. Kept as a thin wrapper so the engine's IO
+    surface names every supported format explicitly."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source. Schema travels in the file footer (no inference
+    scan needed, unlike JSONL); vectorized read + pushdown apply as
+    with parquet."""
+    return spark.read.orc(path)

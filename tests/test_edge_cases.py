@@ -116,3 +116,58 @@ def test_ivf_near_dup_single_vector_and_tiny_input(spark):
     got = {(r.vec_a, r.vec_b) for r in
            S.cosine_near_dup_ivf(few, threshold=0.99).collect()}
     assert got == {(0, 1)}
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 60), st.integers(1, 12))
+def test_global_ntile_property_vs_sql_window(spark, n, k):
+    """global_ntile's two-pass distributed rank must equal the literal
+    single-task NTILE window for EVERY (n, k) — including n < k, n = k,
+    and every non-divisible split."""
+    from pyspark.sql import Window
+    from parallel_svms_spark.operators.partitioning import global_ntile
+    df = spark.range(n).select(F.col("id").alias("v"))
+    got = {r.v: r.b for r in global_ntile(df, ["v"], k=k, out_col="b").collect()}
+    want = {r.v: r.b for r in df.select(
+        "v", F.ntile(k).over(Window.orderBy("v")).alias("b")).collect()}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=0, max_size=12),
+    st.lists(st.tuples(st.integers(0, 500), st.integers(0, 80)),
+             min_size=0, max_size=6),
+    st.sampled_from([1, 3, 7]),
+)
+def test_interval_join_property_vs_naive(spark, points, spans, bucket_min):
+    """Bucketized interval_join must equal the naive theta join for
+    arbitrary point/interval layouts and bucket widths — exactly once
+    per containment, no boundary drift, no duplicate from multi-bucket
+    spans."""
+    import datetime as dt
+    from parallel_svms_spark.operators.events import interval_join
+    t0 = dt.datetime(2021, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    pts = spark.createDataFrame(
+        [(i, ts(m)) for i, m in enumerate(points)] or
+        [(0, ts(0))], "event_id int, ts timestamp")
+    if not points:
+        pts = pts.limit(0)
+    ivs = spark.createDataFrame(
+        [(i, ts(s), ts(s + d)) for i, (s, d) in enumerate(spans)] or
+        [(0, ts(0), ts(0))],
+        "iv int, session_start timestamp, session_end timestamp")
+    if not spans:
+        ivs = ivs.limit(0)
+    got = sorted((r.event_id, r.iv) for r in interval_join(
+        pts, ivs, bucket_minutes=bucket_min).collect())
+    want = sorted(
+        (pi, ii)
+        for pi, pm in enumerate(points)
+        for ii, (s, d) in enumerate(spans)
+        if s <= pm <= s + d)
+    assert got == want
