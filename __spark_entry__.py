@@ -272,7 +272,7 @@ _QKEY_ORDER = [
     # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes + rollup
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
-    "pivot_counts",
+    "pivot_counts", "daily_revenue_window",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
@@ -383,6 +383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         "pivot_counts": lambda s, d: AN.pivot_counts(
             load_table(s, d, "documents")),
+        "daily_revenue_window": lambda s, d: AN.daily_revenue_window(
+            load_table(s, d, "lineitem")),
         # §2.6 ML operators — rows-only (no SQL oracle: SMO training)
         "svm_train": _svm_train,
         "svm_linear_ovr": _svm_linear_ovr,
@@ -643,6 +645,22 @@ ORDER BY o_orderpriority
                 for v in ("de", "en", "es", "fr", "zh"))
             + " FROM documents GROUP BY source"
         ),
+        "daily_revenue_window": """
+WITH daily AS (
+  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_day,
+         CAST(SUM(FLOOR(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+)
+SELECT l_returnflag, ship_day, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY l_returnflag
+              ORDER BY ship_day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_revenue_cents,
+       ROUND(AVG(revenue_cents) OVER (PARTITION BY l_returnflag
+              ORDER BY ship_day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS trailing_avg_cents
+FROM daily
+""",
         "sales_rollup": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(FLOOR(l_extendedprice*100)) AS BIGINT) AS base_cents,

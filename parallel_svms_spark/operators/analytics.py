@@ -222,6 +222,42 @@ def sketch_profile(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def daily_revenue_window(lineitem: DataFrame,
+                         trail_days: int = 7) -> DataFrame:
+    """Time-series window analytics: per (returnflag, ship-day)
+    revenue with a running cumulative total and a trailing
+    ``trail_days``-row moving average — the SUM/AVG OVER shapes every
+    reporting layer runs.
+
+    Scale shape: the pre-aggregation collapses the fact table to
+    ≤ |flags| × |days| rows BEFORE any window runs (at 100 TB that is
+    the difference between windowing billions of rows and a few
+    thousand), and the windows are PARTITIONED by returnflag — each
+    flag's day series sorts in its own task, never a global window.
+    Determinism: windows order by day within flag (unique after the
+    pre-agg), revenue is exact integer cents, and the moving average
+    divides exact integers.
+    """
+    # DATE, not date_trunc: DuckDB's date_trunc('day') yields DATE while
+    # Spark's yields TIMESTAMP — a plain date cast agrees on both engines
+    day = F.col("l_shipdate").cast("date").alias("ship_day")
+    daily = (lineitem
+             .groupBy(F.col("l_returnflag"), day)
+             .agg(F.sum(_cents(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                  .alias("revenue_cents")))
+    from pyspark.sql import Window as W
+    by_flag = W.partitionBy("l_returnflag").orderBy("ship_day")
+    running = by_flag.rowsBetween(W.unboundedPreceding, W.currentRow)
+    trailing = by_flag.rowsBetween(-(int(trail_days) - 1), W.currentRow)
+    return daily.select(
+        "l_returnflag", "ship_day", "revenue_cents",
+        F.sum("revenue_cents").over(running).alias("cum_revenue_cents"),
+        F.round(F.avg("revenue_cents").over(trailing), 6)
+         .alias("trailing_avg_cents"),
+    )
+
+
 def pivot_counts(df: DataFrame, row_key: str = "source",
                  col_key: str = "lang",
                  values: tuple[str, ...] = ("de", "en", "es", "fr", "zh")

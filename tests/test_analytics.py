@@ -179,3 +179,21 @@ def test_global_ntile_small_and_empty(spark):
     assert sorted(r.b for r in out) == [1, 2, 3]
     empty = spark.range(0).select(F.col("id").alias("v"))
     assert global_ntile(empty, ["v"], k=4, out_col="b").count() == 0
+
+
+def test_daily_revenue_window_invariants(tables):
+    from pyspark.sql import functions as F
+    q = AN.daily_revenue_window(tables["lineitem"])
+    p = phys(q)
+    # the window must be PARTITIONED (per-flag sort), never a single
+    # global-sort task: every Window's required ordering includes the
+    # partition key before ship_day
+    assert "Window" in p
+    assert "SinglePartition" not in p.split("Window")[1][:400]
+    rows = q.orderBy("l_returnflag", "ship_day").collect()
+    by_flag = {}
+    for r in rows:
+        run = by_flag.get(r.l_returnflag, 0) + r.revenue_cents
+        by_flag[r.l_returnflag] = run
+        assert r.cum_revenue_cents == run  # exact cents: equality, not ≈
+        assert r.trailing_avg_cents > 0
