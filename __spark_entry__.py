@@ -272,7 +272,8 @@ _QKEY_ORDER = [
     # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes + rollup
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
-    "pivot_counts", "daily_revenue_window",
+    "pivot_counts", "daily_revenue_window", "orders_reconcile",
+    "corr_profile",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
@@ -385,6 +386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "daily_revenue_window": lambda s, d: AN.daily_revenue_window(
             load_table(s, d, "lineitem")),
+        "orders_reconcile": lambda s, d: AN.orders_reconcile(
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")),
+        "corr_profile": lambda s, d: AN.corr_profile(
+            load_table(s, d, "documents")),
         # §2.6 ML operators — rows-only (no SQL oracle: SMO training)
         "svm_train": _svm_train,
         "svm_linear_ovr": _svm_linear_ovr,
@@ -645,6 +650,34 @@ ORDER BY o_orderpriority
                 for v in ("de", "en", "es", "fr", "zh"))
             + " FROM documents GROUP BY source"
         ),
+        "orders_reconcile": """
+WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+     li AS (SELECT DISTINCT l_orderkey AS k2 FROM lineitem)
+SELECT CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 'matched'
+            WHEN k IS NOT NULL THEN 'order_only'
+            ELSE 'items_only' END AS status,
+       COUNT(*) AS n_keys
+FROM o FULL OUTER JOIN li ON k = k2
+GROUP BY 1
+""",
+        # corr from the five exact integer sums — NOT corr(): streaming
+        # covariance differs in the last ulp across engines
+        "corr_profile": """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM (SELECT CAST(length(text) AS BIGINT) AS x,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+        FROM documents)
+)
+SELECT n,
+       ROUND((sxy*n - sx*sy) /
+             SQRT(CAST(sxx*n - sx*sx AS DOUBLE)
+                  * CAST(syy*n - sy*sy AS DOUBLE)), 6)
+         AS corr_chars_tokens
+FROM s
+""",
         "daily_revenue_window": """
 WITH daily AS (
   SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_day,

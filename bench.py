@@ -52,7 +52,8 @@ HEADLINE = [
     # full warehouse star (600k lineitem / 150k orders at sf0.1)
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
-    "pivot_counts", "daily_revenue_window",
+    "pivot_counts", "daily_revenue_window", "orders_reconcile",
+    "corr_profile",
     # events (100k rows)
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "interval_join", "funnel", "retention_cohorts",

@@ -258,6 +258,64 @@ def daily_revenue_window(lineitem: DataFrame,
     )
 
 
+def orders_reconcile(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Full-outer reconciliation: classify every orderkey seen on
+    either side of the orders↔lineitem relationship as matched /
+    order-only / items-only, with per-class counts — the data-quality
+    audit query every ingest pipeline runs (and the full-outer member
+    of the join-type matrix: inner/semi/anti are exercised elsewhere).
+
+    Scale shape: both sides collapse to DISTINCT keys before the join
+    (map-side partial dedup), so the full-outer join exchanges keys
+    only — never fact rows; the classification is a null-pattern CASE
+    and the rollup is a ≤3-row aggregate.
+    """
+    o = orders.select(F.col("o_orderkey").alias("k")).distinct()
+    li = lineitem.select(F.col("l_orderkey").alias("k2")).distinct()
+    j = o.join(li, o.k == li.k2, "full_outer")
+    status = (F.when(F.col("k").isNotNull() & F.col("k2").isNotNull(),
+                     F.lit("matched"))
+              .when(F.col("k").isNotNull(), F.lit("order_only"))
+              .otherwise(F.lit("items_only")))
+    return (j.select(status.alias("status"))
+            .groupBy("status").agg(F.count("*").alias("n_keys")))
+
+
+def corr_profile(documents: DataFrame) -> DataFrame:
+    """Pearson correlation between document length in characters and
+    in whitespace tokens — the sanity statistic behind length-based
+    quality cuts (they should correlate strongly; a weak corr flags a
+    tokenizer or ingest bug).
+
+    NOT ``F.corr``: streaming-covariance aggregates accumulate doubles
+    in partition order, so Spark's and DuckDB's results can differ in
+    the last ulp and break the value-hash. Both engines instead
+    compute the five EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy² —
+    all LONG, associative, order-independent) and derive r from them
+    with the identical closed-form expression: deterministic double
+    math on identical inputs. Also the right scale shape — one
+    map-side-partial aggregate, six longs on the wire.
+    """
+    x = F.length("text").cast("long")
+    y = F.size(F.split(F.col("text"), " ")).cast("long")
+    agg = documents.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") * n - sx * sy
+    vx = F.col("sxx") * n - sx * sx
+    vy = F.col("syy") * n - sy * sy
+    # vx*vy would overflow LONG (each ~1e13 at sf0.1) — cast the exact
+    # longs to double first; they're < 2^53 so the conversion is exact
+    # on both engines (past ~1e15 per-term switch to a scaled variant)
+    return agg.select(
+        "n",
+        F.round(cov / F.sqrt(vx.cast("double") * vy.cast("double")), 6)
+         .alias("corr_chars_tokens"))
+
+
 def pivot_counts(df: DataFrame, row_key: str = "source",
                  col_key: str = "lang",
                  values: tuple[str, ...] = ("de", "en", "es", "fr", "zh")

@@ -197,3 +197,31 @@ def test_daily_revenue_window_invariants(tables):
         by_flag[r.l_returnflag] = run
         assert r.cum_revenue_cents == run  # exact cents: equality, not ≈
         assert r.trailing_avg_cents > 0
+
+
+def test_orders_reconcile_accounts_for_every_key(tables):
+    rows = {r.status: r.n_keys
+            for r in AN.orders_reconcile(tables["orders"],
+                                         tables["lineitem"]).collect()}
+    n_orders = tables["orders"].select("o_orderkey").distinct().count()
+    n_items = tables["lineitem"].select("l_orderkey").distinct().count()
+    matched = rows.get("matched", 0)
+    # full-outer accounting identities: each side's distinct keys are
+    # exactly matched + its own orphans
+    assert matched + rows.get("order_only", 0) == n_orders
+    assert matched + rows.get("items_only", 0) == n_items
+
+
+def test_corr_profile_matches_builtin_corr(spark, sf_dir):
+    from pyspark.sql import functions as F
+    docs = load_table(spark, sf_dir, "documents")
+    got = AN.corr_profile(docs).collect()[0]
+    ref = docs.select(F.corr(
+        F.length("text").cast("double"),
+        F.size(F.split(F.col("text"), " ")).cast("double"))
+        .alias("c")).collect()[0].c
+    # exact-sums formulation must agree with the streaming estimator
+    # to float precision, and chars↔tokens must correlate strongly
+    assert abs(got.corr_chars_tokens - ref) < 1e-6
+    assert got.corr_chars_tokens > 0.8
+    assert got.n == docs.count()
