@@ -171,3 +171,28 @@ def test_interval_join_property_vs_naive(spark, points, spans, bucket_min):
         for ii, (s, d) in enumerate(spans)
         if s <= pm <= s + d)
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.sets(st.integers(0, 30), max_size=12),
+    st.sets(st.integers(0, 30), max_size=12),
+)
+def test_merge_upsert_property(spark, target_keys, update_keys):
+    """MERGE semantics for arbitrary key overlaps: result keys =
+    target ∪ updates, updates win on collision, survivors untouched,
+    no duplicates."""
+    from parallel_svms_spark.operators.relational import merge_upsert
+    t = spark.createDataFrame(
+        [(k, "old") for k in sorted(target_keys)] or [(0, "old")],
+        "doc_id long, v string")
+    if not target_keys:
+        t = t.limit(0)
+    u = spark.createDataFrame(
+        [(k, "new") for k in sorted(update_keys)] or [(0, "new")],
+        "doc_id long, v string")
+    if not update_keys:
+        u = u.limit(0)
+    got = {r.doc_id: r.v for r in merge_upsert(t, u).collect()}
+    want = {k: "old" for k in target_keys} | {k: "new" for k in update_keys}
+    assert got == want
