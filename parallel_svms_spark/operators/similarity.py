@@ -144,14 +144,18 @@ def ann_lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     H = _hyperplanes(dim, n_bits, seed)
     qbits = (H @ q) > 0
     qbucket = int(qbits @ (1 << np.arange(n_bits, dtype=np.int64)))
+    # all buckets within hamming distance n_probe_bits — generic
+    # expansion (an earlier version hardcoded distances 1 and 2, so
+    # n_probe_bits=3 silently behaved as 2; caught by the recall sweep
+    # plateauing across probe_bits 2→3)
+    from itertools import combinations
     probes = {qbucket}
-    if n_probe_bits >= 1:
-        for i in range(n_bits):
-            probes.add(qbucket ^ (1 << i))
-    if n_probe_bits >= 2:
-        for i in range(n_bits):
-            for j in range(i + 1, n_bits):
-                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    for dist in range(1, int(n_probe_bits) + 1):
+        for idxs in combinations(range(n_bits), dist):
+            mask = 0
+            for i in idxs:
+                mask |= 1 << i
+            probes.add(qbucket ^ mask)
     bucketed = lsh_bucketize(embeddings, n_bits, seed, features_col)
     cand = bucketed.filter(F.col("lsh_bucket").isin(list(probes)))
     return topk_cosine(cand, [float(x) for x in q], k,

