@@ -273,7 +273,7 @@ _QKEY_ORDER = [
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
     "pivot_counts", "daily_revenue_window", "orders_reconcile",
-    "corr_profile",
+    "corr_profile", "promo_revenue_share",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders"), load_table(s, d, "lineitem")),
         "corr_profile": lambda s, d: AN.corr_profile(
             load_table(s, d, "documents")),
+        "promo_revenue_share": lambda s, d: AN.promo_revenue_share(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")),
         # §2.6 ML operators — rows-only (no SQL oracle: SMO training)
         "svm_train": _svm_train,
         "svm_linear_ovr": _svm_linear_ovr,
@@ -650,6 +652,21 @@ ORDER BY o_orderpriority
                 for v in ("de", "en", "es", "fr", "zh"))
             + " FROM documents GROUP BY source"
         ),
+        "promo_revenue_share": """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN FLOOR(l_extendedprice*(1-l_discount)*100)
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(FLOOR(l_extendedprice*(1-l_discount)*100)) AS BIGINT)
+         AS total_cents,
+       ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN FLOOR(l_extendedprice*(1-l_discount)*100)
+                              ELSE 0 END)
+             / SUM(FLOOR(l_extendedprice*(1-l_discount)*100)), 6)
+         AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
         "orders_reconcile": """
 WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),
      li AS (SELECT DISTINCT l_orderkey AS k2 FROM lineitem)

@@ -53,7 +53,7 @@ HEADLINE = [
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
     "pivot_counts", "daily_revenue_window", "orders_reconcile",
-    "corr_profile",
+    "corr_profile", "promo_revenue_share",
     # events (100k rows)
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "interval_join", "funnel", "retention_cohorts",

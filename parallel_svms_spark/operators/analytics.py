@@ -179,6 +179,35 @@ def late_order_priority(orders: DataFrame, lineitem: DataFrame,
     )
 
 
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame,
+                        month_start: str = "1996-03-01",
+                        month_end: str = "1996-04-01") -> DataFrame:
+    """Q14 silhouette: share of one month's revenue from promo parts —
+    a conditional-aggregate ratio over a fact⋈dim join.
+
+    Scale shape: the shipdate filter prunes the fact scan to one month
+    BEFORE the join; the part join is a plain equi-join on partkey (AQE
+    broadcasts part when it fits — it scales with SF, so no forced
+    hint); numerator and denominator are one pass of conditional exact
+    cents, and the ratio divides two exact longs — deterministic across
+    engines, unlike a SUM(double)/SUM(double) quotient.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(month_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(month_end).cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    disc_cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", disc_cents).otherwise(F.lit(0))
+    agg = (li.join(part.select("p_partkey", "p_type"),
+                   li.l_partkey == F.col("p_partkey"))
+           .agg(F.sum(promo).alias("promo_cents"),
+                F.sum(disc_cents).alias("total_cents")))
+    return agg.select(
+        "promo_cents", "total_cents",
+        F.round(F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 6)
+         .alias("promo_share_pct"))
+
+
 def sales_rollup(lineitem: DataFrame) -> DataFrame:
     """Hierarchical subtotals: revenue and item counts at
     (returnflag, linestatus), per-returnflag, and grand-total levels in

@@ -225,3 +225,13 @@ def test_corr_profile_matches_builtin_corr(spark, sf_dir):
     assert abs(got.corr_chars_tokens - ref) < 1e-6
     assert got.corr_chars_tokens > 0.8
     assert got.n == docs.count()
+
+
+def test_promo_revenue_share_bounds(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    r = AN.promo_revenue_share(lineitem, part).collect()[0]
+    assert 0 <= r.promo_cents <= r.total_cents
+    assert 0.0 <= r.promo_share_pct <= 100.0
+    assert abs(r.promo_share_pct
+               - 100.0 * r.promo_cents / r.total_cents) < 1e-6
