@@ -102,3 +102,39 @@ def test_model_parquet_roundtrip(spark, tmp_path):
     assert m2.kernel == m.kernel and m2.gamma == m.gamma and m2.C == m.C
     np.testing.assert_allclose(m2.X_sv, m.X_sv)
     assert (m2.predict(X) == m.predict(X)).all()
+
+
+def test_upsert_partitioned_touches_only_updated_partitions(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.io.sources import (load_table,
+                                                upsert_partitioned,
+                                                write_partitioned)
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "parts")
+    write_partitioned(docs, path, "source")
+
+    def listing(src):
+        d = f"{path}/source={src}"
+        return {f: os.path.getmtime(f"{d}/{f}") for f in os.listdir(d)
+                if f.endswith(".parquet")}
+
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    untouched_src = sorted(s for s in sources if s != "src0")[0]
+    before_untouched = listing(untouched_src)
+    before_touched = listing("src0")
+
+    updates = (docs.filter("source = 'src0'").limit(2)
+               .withColumn("n_chars", F.col("n_chars") + 9999))
+    touched = upsert_partitioned(spark, path, updates, "doc_id", "source")
+    assert touched == ["src0"]
+    # dynamic overwrite: untouched partition directory byte-identical,
+    # touched partition rewritten
+    assert listing(untouched_src) == before_untouched
+    assert listing("src0") != before_touched
+    # and the data merged correctly: bumped rows present, count stable
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.filter("n_chars > 9000").count() == \
+        updates.count()
