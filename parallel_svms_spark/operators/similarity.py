@@ -499,3 +499,114 @@ def cosine_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine").distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN — product quantization (PQ, Jégou/Douze/Schmid 2011: "Product
+# Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1))
+# ---------------------------------------------------------------------------
+
+def pq_train(sample: np.ndarray, m: int = 8, ks: int = 64,
+             seed: int = 42) -> np.ndarray:
+    """Train PQ codebooks on a driver-local sample: split the dim into
+    ``m`` contiguous subspaces, run seeded k-means (``ks`` centroids)
+    in each. Returns (m, ks, dim/m) codebooks. Like the IVF build, the
+    sample is fixed-size regardless of table size."""
+    n, dim = sample.shape
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    dsub = dim // m
+    return np.stack([
+        _kmeans_lite(np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub]),
+                     ks, seed=seed + j)
+        for j in range(m)])
+
+
+def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
+              features_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Encode every vector as ``m`` one-byte-ish codes (nearest
+    sub-centroid per subspace): (id, pq_codes array<int>).
+
+    THE compression story: a 64-dim float vector is 256 B; its m=8
+    code is 8 B — 32×. At 100 TB of embeddings the code table fits
+    where the vectors never would, and the candidate scan reads ONLY
+    the code column (column pruning). One broadcast (codebooks) + one
+    Arrow pass; no shuffle.
+    """
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(it):
+        C = bc.value  # (m, ks, dsub)
+        m, _, dsub = C.shape
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[features_col]])
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                sub = X[:, j * dsub:(j + 1) * dsub]
+                # (n, ks) distances via ||a-b||² = ||a||²-2ab+||b||²
+                d = (sub * sub).sum(1)[:, None] \
+                    - 2.0 * sub @ C[j].T \
+                    + (C[j] * C[j]).sum(1)[None, :]
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "pq_codes": list(codes)})
+
+    return embeddings.select(id_col, features_col).mapInPandas(
+        encode, schema=f"{id_col} long, pq_codes array<bigint>")
+
+
+def pq_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+            m: int = 8, ks: int = 64, n_candidates: int = 200,
+            seed: int = 42, sample_rows: int = 4096,
+            features_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """PQ ANN top-k with asymmetric distance (ADC) + exact rerank:
+
+    1. codebooks from the same deterministic md5-ordered sample the
+       IVF build uses;
+    2. corpus encoded to m-byte codes (one Arrow pass, no shuffle);
+    3. query → (m, ks) look-up table of exact sub-distances; each
+       row's approximate distance is m LUT gathers + a sum — no
+       original vectors touched (this is the stage that scans 32×
+       less data at scale);
+    4. top ``n_candidates`` by ADC distance (TakeOrdered heap);
+    5. exact cosine rerank of the candidates only.
+
+    Approximation is confined to CANDIDATE SELECTION — returned
+    scores are exact cosines, so precision is 1.0 and recall is the
+    only trade (measured in tools/recall_sweep.py / RECALL.md).
+    """
+    sample = (embeddings
+              .select(F.col(id_col).alias("_id"), F.col(features_col),
+                      F.md5(F.col(id_col).cast("string")).alias("_h"))
+              .orderBy("_h", "_id").limit(int(sample_rows))
+              .collect())
+    X = np.asarray([np.asarray(r[features_col], dtype=np.float64)
+                    for r in sorted(sample, key=lambda r: (r["_h"], r["_id"]))])
+    C = pq_train(X, m=m, ks=ks, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dsub = C.shape[2]
+    lut = np.stack([((C[j] - q[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(1)
+                    for j in range(C.shape[0])])  # (m, ks)
+
+    coded = pq_encode(embeddings, C, features_col, id_col)
+    spark = embeddings.sparkSession
+    bc_lut = spark.sparkContext.broadcast(lut)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        L = bc_lut.value
+        cs = np.asarray(list(codes), dtype=np.int64)  # (n, m)
+        return pd.Series(L[np.arange(L.shape[0])[None, :], cs].sum(1))
+
+    cand = (coded.withColumn("adc_dist", adc(F.col("pq_codes")))
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+            .limit(int(n_candidates))
+            .select(id_col))
+    survivors = embeddings.join(F.broadcast(cand), id_col, "left_semi")
+    return topk_cosine(survivors, [float(x) for x in q], k,
+                       features_col=features_col)

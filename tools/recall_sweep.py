@@ -94,6 +94,11 @@ def main() -> int:
          sum(math.comb(12, i) for i in range(b + 1)) / 2 ** 12)
         for b in (0, 1, 2, 3)]
 
+    pq_cfg = [
+        (f"PQ m=8 ks=64 cand={c}", {"m": 8, "ks": 64, "n_candidates": c},
+         c / n_rows)
+        for c in (50, 100, 200, 400)]
+
     results = {}
     for regime, table in (("isotropic fixture", emb),
                           ("10-cluster blobs", blobs)):
@@ -105,7 +110,8 @@ def main() -> int:
         brute_sec = time.monotonic() - t0
         results[regime] = (
             sweep(table, truth, queries, S.ivf_topk, ivf_cfg)
-            + sweep(table, truth, queries, S.ann_lsh_topk, lsh_cfg),
+            + sweep(table, truth, queries, S.ann_lsh_topk, lsh_cfg)
+            + sweep(table, truth, queries, S.pq_topk, pq_cfg),
             brute_sec / len(queries))
 
     lines = [
@@ -133,6 +139,10 @@ def main() -> int:
             lines.append(
                 f"| {label} | {frac:.3f} | {rec:.3f} | {sec:.2f} |")
     lines += [
+        "",
+        "(PQ's `scan frac` is the exact-rerank fraction; its ADC",
+        "candidate stage reads every row's 8-byte code — 1/32nd the",
+        "bytes of the vectors it replaces.)",
         "",
         "Reading: on the ISOTROPIC fixture (near-orthogonal random",
         "vectors, top-10 at cosine ≈ 0.3) no sub-linear index can",
