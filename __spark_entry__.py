@@ -129,6 +129,16 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, [float(x) for x in qvec], k=10)
 
 
+def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 scale path (IVFADC): IVF pruning x PQ compressed-domain
+    ranking x exact rerank (rows-only; planted-neighbor recall and
+    exact-score contract pinned in tests)."""
+    from parallel_svms_spark.operators.similarity import ivfpq_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    return ivfpq_topk(emb, [float(x) for x in qvec], k=10)
+
+
 def _topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3 batch variant: top-10 per query for 5 query vectors in ONE
     pass (broadcast queries, per-partition numpy top-k, window cut)."""
@@ -306,7 +316,8 @@ _QKEY_ORDER = [
     "mixture_sample_hash", "pipeline_curate",
     # similarity / ANN
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_pq_topk", "dedup_embedding", "dedup_embedding_ivf",
+    "ann_pq_topk", "ann_ivfpq_topk", "dedup_embedding",
+    "dedup_embedding_ivf",
     # ML training — most expensive, rows-only (no SQL oracle): last
     "svm_train", "svm_linear_ovr", "cascade_svm", "bagging_svm",
     "iterative_svm",
@@ -446,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_pq_topk": _ann_pq_topk,
+        "ann_ivfpq_topk": _ann_ivfpq_topk,
         "dedup_embedding": lambda s, d: __import__(
             "parallel_svms_spark.operators.similarity",
             fromlist=["x"]).cosine_near_dup_blocked(

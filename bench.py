@@ -73,7 +73,7 @@ HEADLINE = [
     "multimodal_features", "frame_sample", "resize_images",
     # embeddings (2k rows, 64-dim)
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_pq_topk",
+    "ann_pq_topk", "ann_ivfpq_topk",
     "dedup_embedding", "dedup_embedding_ivf",
     # the three reference dataflows (the ML payload) + linear path
     "svm_train", "eval_confusion", "cascade_svm", "bagging_svm",

@@ -267,3 +267,24 @@ def test_pq_topk_exact_rerank_scores(spark, emb, qvec):
              for r in S.topk_cosine(emb, qvec, k=2000).collect()}
     for r in S.pq_topk(emb, qvec, k=10).collect():
         assert abs(r.cosine - brute[r.vec_id]) < 1e-9
+
+
+def test_ivfpq_topk_planted_neighbors_and_exact_scores(spark, emb, qvec):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    q = np.asarray(qvec)
+    near = []
+    for i in range(5):
+        v = q + 0.05 * rng.standard_normal(len(q))
+        near.append((int(4000 + i), (v / np.linalg.norm(v)).tolist(), 0))
+    with_near = emb.unionByName(spark.createDataFrame(
+        near, "vec_id long, embedding array<float>, label int"))
+    got = {r.vec_id: r.cosine
+           for r in S.ivfpq_topk(with_near, qvec, k=6).collect()}
+    assert 0 in got
+    assert len(set(got) & {4000, 4001, 4002, 4003, 4004}) >= 4
+    # scores exact for whatever ids survive both pruning stages
+    brute = {r.vec_id: r.cosine
+             for r in S.topk_cosine(with_near, qvec, k=2005).collect()}
+    for vid, c in got.items():
+        assert abs(c - brute[vid]) < 1e-9
