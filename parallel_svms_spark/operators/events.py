@@ -176,6 +176,28 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return session_stats_from(sessionize(events, gap_minutes))
 
 
+def funnel_conversions(events: DataFrame,
+                       steps: tuple[str, ...] = ("view", "click",
+                                                 "purchase"),
+                       window_hours: int = 24) -> DataFrame:
+    """The funnel recurrence's final stage as rows: (user_id,
+    converted_ts) for every user completing ALL steps in order, each
+    within the window of the prior — the WHO behind ``funnel``'s
+    counts, and the batch twin of
+    ``streaming.windows.funnel_stateful`` (equivalence-tested)."""
+    e = events.select("user_id", "event_type", "ts")
+    cur = (e.filter(F.col("event_type") == steps[0])
+           .groupBy("user_id").agg(F.min("ts").alias("t")))
+    for step in steps[1:]:
+        deadline = F.col("t") + F.expr(f"INTERVAL {int(window_hours)} HOURS")
+        cur = (e.filter(F.col("event_type") == step)
+               .join(cur, "user_id")
+               .filter((F.col("ts") > F.col("t"))
+                       & (F.col("ts") <= deadline))
+               .groupBy("user_id").agg(F.min("ts").alias("t")))
+    return cur.select("user_id", F.col("t").alias("converted_ts"))
+
+
 def funnel(events: DataFrame,
            steps: tuple[str, ...] = ("view", "click", "purchase"),
            window_hours: int = 24) -> DataFrame:

@@ -354,3 +354,77 @@ def streaming_interval_join(stream_points: DataFrame, intervals: DataFrame,
             .filter((F.col(ts_col) >= F.col(start_col))
                     & (F.col(ts_col) <= F.col(end_col)))
             .drop("__b"))
+
+
+_FUNNEL_STATE_SCHEMA = T.StructType([
+    T.StructField("stage", T.IntegerType()),
+    T.StructField("t_us", T.LongType()),
+])
+
+FUNNEL_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("converted_ts", T.TimestampType()),
+])
+
+
+def funnel_stateful(stream: DataFrame,
+                    steps: tuple[str, ...] = ("view", "click", "purchase"),
+                    window_hours: int = 24) -> DataFrame:
+    """Streaming twin of ``operators.events.funnel``'s conversion
+    test: per user, advance through ``steps`` greedily (first
+    qualifying occurrence, each within ``window_hours`` of completing
+    the prior step) and emit ONE (user_id, converted_ts) row the
+    moment the final step completes — batch funnel tells you how many
+    converted, this tells you WHO, as it happens.
+
+    State per user is two scalars (stage index + last completion µs) —
+    O(users) regardless of event volume, and terminal after
+    conversion so duplicates can't re-emit. Greedy first-match equals
+    the batch operator's min-qualifying-per-stage recurrence when
+    events are processed in event-time order: within a micro-batch we
+    sort by ts, across micro-batches a time-ordered source is assumed
+    (the usual log-ingest contract; the fixture-equivalence test
+    feeds ordered chunks). A late event behind the watermark can
+    therefore miss a conversion the batch operator would count —
+    the standard streaming-lateness trade, same as the sessionizer's.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    window_us = int(window_hours) * 3_600_000_000
+    n_steps = len(steps)
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        (user_id,) = key
+        events = pd.concat(list(pdfs)).sort_values("ts")
+        stage, t_us = state.get if state.exists else (0, -1)
+        if stage >= n_steps:  # terminal: already converted
+            state.update((stage, t_us))
+            return
+        out = []
+        for ts, etype in zip(events["ts"], events["event_type"]):
+            idx = step_of.get(etype)
+            if idx != stage:
+                continue
+            t = ts.value // 1_000  # ns → µs
+            if stage > 0 and not (t_us < t <= t_us + window_us):
+                continue
+            stage, t_us = stage + 1, t
+            if stage == n_steps:
+                out.append(t)
+                break
+        state.update((stage, t_us))
+        if out:
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "converted_ts": [pd.Timestamp(out[0], unit="us")]})
+
+    return (stream
+            .filter(F.col("event_type").isin(list(steps)))
+            .select("user_id", "ts", "event_type")
+            .withWatermark("ts", f"{int(window_hours)} hours")
+            .groupBy("user_id").applyInPandasWithState(
+                fn, FUNNEL_OUT_SCHEMA, _FUNNEL_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

@@ -338,3 +338,77 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
         got = {(r.event_id, r.user_id, r.session_seq)
                for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_funnel_stateful_matches_batch_conversions(spark, sf_dir):
+    """Streaming funnel must emit exactly the users (and conversion
+    timestamps) the batch funnel recurrence counts at its final
+    stage, given a time-ordered source."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import events as E
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.user_id, r.converted_ts)
+             for r in E.funnel_conversions(events).collect()}
+    assert batch  # fixture must actually convert someone
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        n = tbl.num_rows
+        for i, c in enumerate([tbl.slice(0, n // 3),
+                               tbl.slice(n // 3, n // 3),
+                               tbl.slice(2 * (n // 3))]):
+            p = f"{tmp}/{i:04d}.parquet"
+            pq.write_table(c, p)
+            os.utime(p, (1000 + i, 1000 + i))
+        stream = SW.stream_events_from_dir(spark, tmp, max_files_per_trigger=1)
+        conv = SW.funnel_stateful(stream)
+        name = SW.run_stream_to_memory(conv, "funnel_eq")
+        got = {(r.user_id, r.converted_ts)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == batch
+
+
+def test_funnel_stateful_order_window_and_single_emit(spark):
+    """Out-of-order steps don't convert; conversions emit exactly once
+    even when later qualifying events arrive in later batches."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def tbl(rows):
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([datetime(2020, 1, 1) + timedelta(hours=r[1])
+                            for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        })
+
+    # user 1 converts (view→click→purchase within windows); user 2 has
+    # purchase BEFORE click (no conversion); user 3's click comes 30h
+    # after view (outside the 24h window — no conversion); user 1 gets
+    # a second purchase in batch 2 (must not re-emit)
+    batch1 = tbl([(1, 0, 1, "view"), (2, 1, 1, "click"),
+                  (3, 2, 1, "purchase"),
+                  (4, 0, 2, "view"), (5, 1, 2, "purchase"),
+                  (6, 2, 2, "click"),
+                  (7, 0, 3, "view"), (8, 30, 3, "click")])
+    batch2 = tbl([(9, 3, 1, "purchase"), (10, 31, 3, "purchase")])
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, t in enumerate((batch1, batch2)):
+            p = f"{tmp}/{i:04d}.parquet"
+            pq.write_table(t, p)
+            os.utime(p, (1000 + i, 1000 + i))
+        stream = SW.stream_events_from_dir(spark, tmp, max_files_per_trigger=1)
+        name = SW.run_stream_to_memory(SW.funnel_stateful(stream),
+                                       "funnel_edges")
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert [(r.user_id, r.converted_ts.hour) for r in rows] == [(1, 2)]
