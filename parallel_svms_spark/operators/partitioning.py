@@ -126,6 +126,13 @@ def salted_join(big: DataFrame, dim: DataFrame, key: str,
     broadcast and AQE's coarser skew-split. The dim side is hinted
     ``shuffle_hash`` so Spark never degrades to a sort-merge whose
     sort re-concentrates the hot key.
+
+    MEASURED guidance (tools/skew_bench.py → SKEW.md): with a 2M-row
+    dim, AQE's own skew split beat this rewrite at every tested scale
+    — the n_salt× dim replication is a real fixed cost. Reach for
+    salted_join only when AQE can't see the skew (pre-AQE engines,
+    skew under aggregation with no join) or the dim is small enough
+    that replication is trivial; leave AQE skew handling ON otherwise.
     """
     n_salt = int(n_salt)
     salt_src = F.col(row_col) if row_col else F.monotonically_increasing_id()
