@@ -40,6 +40,11 @@ def norm_rows(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # the IVF-family oracles rebuild their centroids from parquet at
+    # oracle-construction time; point that rebuild at the SAME sf_dir
+    # being compared (the driver's own gate runs at the default sf0.01)
+    import os
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
