@@ -41,9 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos-as-long compatibility branch is kept for older
     TIMESTAMP(NANOS) fixture layouts of ``events.ts``.
     """
+    # runtime-settable confs; needed even when the caller's session was
+    # not built by our session.py (e.g. the driver's own session). The
+    # UTC pin matters on any non-UTC host: the NTZ→TIMESTAMP cast below
+    # reinterprets wall-clock values in the SESSION zone, and only UTC
+    # makes that value-identical to the naive timestamps DuckDB sees.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # runtime-settable; needed even when the caller's session was
-        # not built by our session.py (e.g. the driver's own session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
