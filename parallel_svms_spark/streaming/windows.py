@@ -428,3 +428,65 @@ def funnel_stateful(stream: DataFrame,
             .groupBy("user_id").applyInPandasWithState(
                 fn, FUNNEL_OUT_SCHEMA, _FUNNEL_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+_RETENTION_STATE_SCHEMA = "cohort_days long, seen string"
+
+RETENTION_OUT_SCHEMA = ("user_id long, cohort_week date, "
+                        "week_offset int")
+
+
+def retention_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.events.retention_cohorts``'s
+    per-user substrate: emit one (user_id, cohort_week, week_offset)
+    row the FIRST time each user is active in each week — the
+    incremental feed a live retention triangle aggregates, where the
+    batch operator recomputes the triangle from scratch.
+
+    State per user: cohort week (one long, set on first sight) plus
+    the set of already-emitted week offsets (comma string — a user
+    active every single week for a decade is ~2 KB). Exactly-once per
+    user-week by construction: an offset is emitted only on set
+    insertion. Cohort correctness assumes event-time-ordered arrival
+    (the log-ingest contract; the fixture-equivalence test feeds
+    ordered chunks) — a late FIRST event behind the stream head would
+    pin the cohort a week late, the same lateness trade the other
+    stateful twins document.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        (user_id,) = key
+        events = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            cohort_days, seen_s = state.get
+            seen = set(int(x) for x in seen_s.split(",") if x != "")
+        else:
+            cohort_days, seen = -1, set()
+        out = []
+        for ts in events["ts"]:
+            # Monday-start week, as F.date_trunc("week") computes
+            day = ts.normalize() - pd.Timedelta(days=int(ts.weekday()))
+            days = day.value // 86_400_000_000_000  # ns → days
+            if cohort_days < 0:
+                cohort_days = days
+            off = (days - cohort_days) // 7
+            if off not in seen:
+                seen.add(off)
+                out.append(off)
+        state.update((cohort_days,
+                      ",".join(str(x) for x in sorted(seen))))
+        if out:
+            cohort = pd.Timestamp(cohort_days * 86_400_000_000_000)
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(out),
+                "cohort_week": [cohort.date()] * len(out),
+                "week_offset": [int(o) for o in out]})
+
+    return (stream.select("user_id", "ts")
+            .withWatermark("ts", "7 days")
+            .groupBy("user_id").applyInPandasWithState(
+                fn, RETENTION_OUT_SCHEMA, _RETENTION_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

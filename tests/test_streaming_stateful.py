@@ -412,3 +412,38 @@ def test_funnel_stateful_order_window_and_single_emit(spark):
                                        "funnel_edges")
         rows = spark.sql(f"SELECT * FROM {name}").collect()
     assert [(r.user_id, r.converted_ts.hour) for r in rows] == [(1, 2)]
+
+
+def test_retention_stateful_matches_batch_triangle(spark, sf_dir):
+    """Aggregating the streaming per-user-week feed must reproduce the
+    batch retention triangle exactly (cohorts, offsets, counts)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import events as E
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.cohort_week, r.week_offset): r.n_users
+             for r in E.retention_cohorts(events).collect()}
+    assert batch
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        n = tbl.num_rows
+        for i, c in enumerate([tbl.slice(0, n // 2), tbl.slice(n // 2)]):
+            p = f"{tmp}/{i:04d}.parquet"
+            pq.write_table(c, p)
+            os.utime(p, (1000 + i, 1000 + i))
+        stream = SW.stream_events_from_dir(spark, tmp, max_files_per_trigger=1)
+        name = SW.run_stream_to_memory(SW.retention_stateful(stream),
+                                       "retention_eq")
+        got_rows = spark.sql(f"SELECT * FROM {name}")
+        # exactly-once per user-week: no duplicates in the feed
+        assert got_rows.count() == got_rows.distinct().count()
+        got = {(r.cohort_week, r.week_offset): r.n
+               for r in got_rows.groupBy("cohort_week", "week_offset")
+               .agg(F.count("*").alias("n")).collect()}
+    assert got == batch
