@@ -22,7 +22,9 @@ from parallel_svms_spark.operators import events as E
 from parallel_svms_spark.operators import relational as R
 from parallel_svms_spark.operators import partitioning as X
 from parallel_svms_spark.operators import sharding as SH
+from parallel_svms_spark.operators import similarity as SIM
 from parallel_svms_spark.operators import text as TX
+from parallel_svms_spark.operators import timeseries as TS
 
 K_BUCKETS = 8  # reference runs k ∈ {2,4,8,16} (PDF slide 23); 8 is the middle
 SVM_K = 4      # bucket count for the ML qkeys (500-row embeddings at sf0.01)
@@ -289,16 +291,18 @@ _QKEY_ORDER = [
     "dedup_anti", "merge_upsert", "repartition_balanced",
     "repartition_stratified",
     "agg_bucket_count", "merge_pairs", "exchange_identity",
-    "salted_join_agg", "set_union", "set_except", "eval_confusion",
+    "salted_join_agg", "set_union", "set_except", "set_intersect",
+    "eval_confusion",
     # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes + rollup
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
     "pivot_counts", "daily_revenue_window", "orders_reconcile",
-    "corr_profile", "promo_revenue_share",
+    "corr_profile", "promo_revenue_share", "segment_top_orders",
+    "supplier_diversity", "small_qty_revenue",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
-    "retention_cohorts",
+    "retention_cohorts", "gap_fill_daily", "activity_streaks",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "resize_images",
     # text analysis
@@ -315,6 +319,7 @@ _QKEY_ORDER = [
     "dedup_keep_canonical", "decontaminate", "mixture_sample",
     "mixture_sample_hash", "pipeline_curate",
     # similarity / ANN
+    "label_centroids",
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivfpq_topk", "dedup_embedding",
     "dedup_embedding_ivf",
@@ -493,6 +498,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": lambda s, d: E.funnel(load_table(s, d, "events")),
         "retention_cohorts": lambda s, d: E.retention_cohorts(
             load_table(s, d, "events")),
+        "gap_fill_daily": lambda s, d: TS.gap_fill_daily(
+            load_table(s, d, "events")),
+        "activity_streaks": lambda s, d: TS.activity_streaks(
+            load_table(s, d, "events")),
+        "set_intersect": lambda s, d: R.set_intersect(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders")),
+        "segment_top_orders": lambda s, d: AN.segment_top_orders(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem")),
+        "supplier_diversity": lambda s, d: AN.supplier_diversity(
+            load_table(s, d, "lineitem"), load_table(s, d, "part"),
+            load_table(s, d, "supplier")),
+        "small_qty_revenue": lambda s, d: AN.small_quantity_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")),
+        "label_centroids": lambda s, d: SIM.label_centroids(
+            load_table(s, d, "embeddings")),
         "boilerplate_score": lambda s, d: TX.boilerplate_score(
             load_table(s, d, "documents")),
         "quality_filter": lambda s, d: TX.quality_filter(
@@ -690,6 +711,104 @@ SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+        # literal one-window form; Spark runs the two-phase
+        # local-heap + bounded-final-window rewrite and must match
+        "segment_top_orders": """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT c.c_mktsegment, o.o_orderkey, r.revenue_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN rev r ON r.l_orderkey = o.o_orderkey),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY revenue_cents DESC, o_orderkey) AS rk
+  FROM j)
+SELECT c_mktsegment, o_orderkey, revenue_cents, CAST(rk AS INT) AS rnk
+FROM rk WHERE rk <= 3
+""",
+        "supplier_diversity": """
+SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 10
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY 1, 2
+""",
+        # the correlated scalar subquery in its literal decorrelated
+        # form; fixture quantities are integral so avg_qty is exact
+        "small_qty_revenue": """
+WITH pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS small_revenue_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * pa.avg_qty
+""",
+        # close-of-day = value at max (ts, event_id); serial
+        # row_number + IGNORE NULLS window is the oracle twin of the
+        # user-partitioned carry-forward
+        "gap_fill_daily": """
+WITH ranked AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, value,
+         row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+daily AS (SELECT user_id, day, value AS day_close FROM ranked WHERE rn = 1),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         FROM daily GROUP BY 1),
+grid AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span)
+SELECT g.user_id, g.day,
+       last_value(d.day_close IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+""",
+        "activity_streaks": """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+              FROM events),
+isl AS (
+  SELECT user_id, day,
+         CAST(day AS TIMESTAMP)
+           - INTERVAL (row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day)) DAY AS grp
+  FROM days),
+streaks AS (SELECT user_id, grp, count(*) AS len
+            FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+       count(*) AS n_streaks
+FROM streaks GROUP BY 1
+""",
+        "set_intersect": (
+            "SELECT l_orderkey AS okey FROM lineitem "
+            "INTERSECT "
+            "SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        # exact integer-scaled component sums (see
+        # similarity.label_centroids determinism contract)
+        "label_centroids": """
+WITH ex AS (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_scaled,
+       CAST(count(*) AS BIGINT) AS n
+FROM ex GROUP BY 1, 2
 """,
         "orders_reconcile": """
 WITH o AS (SELECT DISTINCT o_orderkey AS k FROM orders),

@@ -53,10 +53,12 @@ HEADLINE = [
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
     "pivot_counts", "daily_revenue_window", "orders_reconcile",
-    "corr_profile", "promo_revenue_share",
+    "corr_profile", "promo_revenue_share", "segment_top_orders",
+    "supplier_diversity", "small_qty_revenue", "set_intersect",
     # events (100k rows)
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "interval_join", "funnel", "retention_cohorts",
+    "gap_fill_daily", "activity_streaks",
     # documents (5k rows)
     "dedup_exact", "dedup_incremental", "simjoin_candidates",
     "dedup_minhash", "dedup_simhash",
@@ -74,7 +76,7 @@ HEADLINE = [
     # embeddings (2k rows, 64-dim)
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivfpq_topk",
-    "dedup_embedding", "dedup_embedding_ivf",
+    "dedup_embedding", "dedup_embedding_ivf", "label_centroids",
     # the three reference dataflows (the ML payload) + linear path
     "svm_train", "eval_confusion", "cascade_svm", "bagging_svm",
     "iterative_svm", "svm_linear_ovr",

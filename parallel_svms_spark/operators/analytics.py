@@ -365,3 +365,92 @@ def pivot_counts(df: DataFrame, row_key: str = "source",
         row_key,
         *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(v)
           for v in values])
+
+
+def segment_top_orders(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k orders by revenue within every market segment.
+
+    Per-group top-k is THE reporting shape a plain global top-k
+    (``top_revenue_orders``) doesn't cover. Revenue is pre-aggregated
+    per order first (map-side combinable, shuffle keyed on orderkey),
+    the segment arrives via the orders⋈customer join, and the ranking
+    runs through ``partitioning.topk_per_group`` — the two-phase local
+    heap + bounded final window, never a per-segment global sort (5
+    segments over 1.5 B orders would otherwise be 5 giant sort tasks).
+
+    Total order for the rank: (revenue DESC, orderkey ASC) — orderkey
+    is unique, so the k boundary is deterministic and the DuckDB
+    one-window oracle must hash-match.
+    """
+    from .partitioning import topk_per_group
+
+    rev = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum(_cents(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))))
+                .cast("long").alias("revenue_cents")))
+    j = (orders.select("o_orderkey", "o_custkey")
+         .join(customer.select("c_custkey", "c_mktsegment"),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(rev, F.col("l_orderkey") == F.col("o_orderkey")))
+    return topk_per_group(
+        j.select("c_mktsegment", "o_orderkey", "revenue_cents"),
+        ["c_mktsegment"],
+        [F.desc("revenue_cents"), F.asc("o_orderkey")], k)
+
+
+def supplier_diversity(lineitem: DataFrame, part: DataFrame,
+                       supplier: DataFrame, max_size: int = 10) -> DataFrame:
+    """Q16 silhouette: distinct-supplier count per (brand, type) for
+    small parts, excluding blacklisted suppliers.
+
+    The scale-defining pieces: the blacklist (suppliers with negative
+    balance — Q16's complaint predicate on the fixture schema) is a
+    tiny filtered dim, broadcast as a left-anti join so the fact side
+    never exchanges for the exclusion; ``countDistinct`` plans as
+    Spark's two-stage distinct aggregate — partial (brand, type,
+    suppkey) dedup before the count shuffle, so the second exchange
+    carries at most |groups|×|suppliers| rows, not the fact table.
+    The part join stays a shuffle join for AQE to re-plan (at 100 TB
+    part is not constant-size like nation/region).
+    """
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = (lineitem.select("l_partkey", "l_suppkey")
+          .join(F.broadcast(bad),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"))
+    pj = (part.filter(F.col("p_size") <= max_size)
+          .select("p_partkey", "p_brand", "p_type"))
+    return (li.join(pj, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                           brand: str = "Brand#1",
+                           frac: float = 0.5) -> DataFrame:
+    """Q17 silhouette: revenue from lineitems whose quantity is below
+    ``frac`` × that part's average quantity, for one brand.
+
+    The correlated scalar subquery (``l_quantity < 0.5 * (SELECT
+    avg(l_quantity) ... WHERE l_partkey = ...)``) is decorrelated the
+    way Catalyst would: pre-aggregate avg quantity per part (partial
+    agg, one ≤|parts|-row shuffle), then a key join back to the fact —
+    never a per-row subquery re-execution. The brand filter prunes the
+    part side to a broadcastable sliver; the per-part average is
+    computed over ALL lineitems of the part (Q17 semantics), so the
+    avg aggregate cannot be pushed under the brand filter.
+
+    Determinism: fixture quantities are integral doubles, so
+    sum/count — and therefore the avg and the ``frac×avg`` threshold —
+    are exact and engine-identical; revenue sums exact cents.
+    """
+    pa = (lineitem.groupBy("l_partkey")
+          .agg(F.avg("l_quantity").alias("avg_qty")))
+    pk = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    return (lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+            .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+            .join(pa, "l_partkey")
+            .filter(F.col("l_quantity") < frac * F.col("avg_qty"))
+            .agg(F.count("*").alias("n_small"),
+                 F.sum(_cents(F.col("l_extendedprice")))
+                 .cast("long").alias("small_revenue_cents")))

@@ -225,3 +225,38 @@ def global_ntile(df: DataFrame, order_cols: list[str], k: int = 10,
 
     return (ranged.withColumn("__pid", F.spark_partition_id())
             .mapInPandas(assign, schema=out_schema))
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_cols,
+                   k: int, rank_col: str = "rnk") -> DataFrame:
+    """Top-k rows per group WITHOUT a per-group global sort.
+
+    The naive ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    puts every row of a group through one task — for low-cardinality
+    groups (market segments, languages, sources: single digits of
+    groups over billions of rows) that is a handful of tasks each
+    sorting ~n/|groups| rows, i.e. a disguised global sort. Two-phase
+    instead:
+
+    1. local: rank within (group, input-partition) and keep ≤ k rows —
+       runs where the data already sits, no exchange, heap-sized sort;
+    2. global: rank the survivors within group and keep k. The final
+       window's per-group input is ≤ k × P rows (P = input
+       partitions) — bounded by the plan, not the data.
+
+    ``order_cols`` must define a TOTAL order (include a unique
+    tiebreaker) — phase 1 discards rows, so ties at the k boundary
+    would otherwise make the result partition-dependent. The rank
+    column is emitted (INT, 1-based) so callers/oracles can pin the
+    order. Value-identical to the one-window form, which is exactly
+    what the DuckDB oracle runs.
+    """
+    order_cols = list(order_cols)
+    local = W.partitionBy(*group_cols, F.spark_partition_id()) \
+                  .orderBy(*order_cols)
+    survivors = (df.withColumn("__lr", F.row_number().over(local))
+                 .filter(F.col("__lr") <= k).drop("__lr"))
+    final = W.partitionBy(*group_cols).orderBy(*order_cols)
+    return (survivors.withColumn(rank_col,
+                                 F.row_number().over(final).cast("int"))
+            .filter(F.col(rank_col) <= k))

@@ -209,3 +209,17 @@ def merge_upsert(target: DataFrame, updates: DataFrame,
     """
     survivors = target.join(updates.select(key), on=key, how="left_anti")
     return survivors.unionByName(updates.select(*target.columns))
+
+
+def set_intersect(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """U3: intersect — keys present on BOTH sides (SURVEY §2.9 lists
+    INTERSECT as absent from the reference; this names the
+    free-from-Spark rewrite as a checked qkey like U1/U2). INTERSECT
+    DISTINCT: Spark plans it as a distinct + left-semi hash join —
+    both sides collapse to distinct keys before the exchange, so the
+    shuffle carries keys only.
+    """
+    shipped = lineitem.select(F.col("l_orderkey").alias("okey"))
+    finished = orders.filter(F.col("o_orderstatus") == "F") \
+                     .select(F.col("o_orderkey").alias("okey"))
+    return shipped.intersect(finished)

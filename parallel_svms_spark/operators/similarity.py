@@ -641,3 +641,35 @@ def ivfpq_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return pq_topk(pruned, [float(x) for x in q], k=k, m=m, ks=ks,
                    n_candidates=n_candidates, seed=seed,
                    features_col=features_col, id_col=id_col)
+
+
+def label_centroids(embeddings: DataFrame,
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid of the embedding column, as exact
+    integer-scaled component sums: (label, dim, sum_scaled, n).
+
+    The curation primitive behind class prototypes, per-cluster means
+    and drift monitors. ``posexplode`` flattens to (label, dim, v)
+    rows — a ×dims linear blowup, but ``groupBy(label, dim)`` is
+    map-side combinable, so the one shuffle carries ≤ |labels|×dims
+    rows per task regardless of corpus size; no vector ever crosses
+    the wire whole and nothing collects to the driver. (An elementwise
+    array-sum UDAF would save the explode but puts a Python aggregator
+    in the hot path; the explode stays whole-stage-codegen JVM.)
+
+    Determinism contract (the corr_profile/_cents trick applied to
+    vectors): each float32 casts exactly to double, ``floor(v·10⁶)``
+    is identical per element on both engines, and LONG sums are
+    associative — so the result is partition-order-independent and
+    DuckDB-hashable, unlike a float mean. Callers recover the centroid
+    as sum_scaled / (10⁶ · n), an exact-integer division both engines
+    reproduce bit-for-bit.
+    """
+    ex = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "v"))
+    return (ex.groupBy("label", "dim")
+            .agg(F.sum(F.floor(F.col("v").cast("double") * 1000000)
+                       .cast("long")).alias("sum_scaled"),
+                 F.count("*").alias("n")))

@@ -235,3 +235,56 @@ def test_promo_revenue_share_bounds(spark, sf_dir):
     assert 0.0 <= r.promo_share_pct <= 100.0
     assert abs(r.promo_share_pct
                - 100.0 * r.promo_cents / r.total_cents) < 1e-6
+
+
+def test_supplier_diversity_excludes_blacklist(spark, sf_dir):
+    from pyspark.sql import functions as F
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    out = AN.supplier_diversity(li, part, supp)
+    n_ok = supp.filter(F.col("s_acctbal") >= 0).count()
+    rows = out.collect()
+    assert rows and all(1 <= r.supplier_cnt <= n_ok for r in rows)
+    # distinct-agg must plan the two-stage partial dedup (an Expand or
+    # a pre-shuffle HashAggregate on the distinct key), never a naive
+    # single-stage global distinct
+    p = phys(out)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_small_qty_revenue_threshold_semantics(spark, sf_dir):
+    from pyspark.sql import functions as F
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    r = AN.small_quantity_revenue(li, part).collect()[0]
+    # recompute serially for the filtered brand
+    pk = {x.p_partkey for x in
+          part.filter("p_brand = 'Brand#1'").collect()}
+    pa = {x.l_partkey: x.avg_qty for x in
+          li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+          .collect()}
+    import math
+    n = rev = 0
+    for x in li.select("l_partkey", "l_quantity", "l_extendedprice").collect():
+        if x.l_partkey in pk and x.l_quantity < 0.5 * pa[x.l_partkey]:
+            n += 1
+            rev += math.floor(x.l_extendedprice * 100)
+    assert (r.n_small, r.small_revenue_cents) == (n, rev)
+
+
+def test_segment_top_orders_rank_contract(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = AN.segment_top_orders(cust, orders, li, k=3).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        # ranked by revenue desc, orderkey tiebreak
+        for a, b in zip(rs, rs[1:]):
+            assert (a.revenue_cents, -a.o_orderkey) >= \
+                (b.revenue_cents, -b.o_orderkey)

@@ -1,0 +1,160 @@
+"""Time-series resampling family (operators/timeseries.py) and the
+two-phase per-group top-k (partitioning.topk_per_group): hand-built
+edge cases, fixture invariants, and the plan pins for the no-global-
+sort claims. Value-vs-DuckDB runs in tools/selfcheck.py / the driver.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import timeseries as TS
+from parallel_svms_spark.operators.partitioning import topk_per_group
+
+
+def phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, 'YYYY-MM-DD HH:MM:SS', user_id, value)"""
+    return spark.createDataFrame(
+        [(i, datetime.datetime.fromisoformat(t), u, float(v))
+         for i, t, u, v in rows],
+        "event_id long, ts timestamp, user_id long, value double")
+
+
+def test_gap_fill_fills_gaps_with_last_close(spark):
+    ev = _mk_events(spark, [
+        (1, "2024-01-01 09:00:00", 7, 10.0),
+        (2, "2024-01-01 17:00:00", 7, 11.0),   # close of Jan 1
+        # Jan 2-3 silent
+        (3, "2024-01-04 08:00:00", 7, 20.0),
+        (4, "2024-01-04 08:00:00", 7, 21.0),   # same ts: event_id wins
+    ])
+    out = {r["day"].isoformat(): r["value_ff"]
+           for r in TS.gap_fill_daily(ev).collect()}
+    assert out == {
+        "2024-01-01": 11.0,   # last ts of the day
+        "2024-01-02": 11.0,   # filled
+        "2024-01-03": 11.0,   # filled
+        "2024-01-04": 21.0,   # (ts, event_id) tie → higher event_id
+    }
+
+
+def test_gap_fill_span_is_per_user_not_global(spark):
+    ev = _mk_events(spark, [
+        (1, "2024-01-01 09:00:00", 1, 1.0),
+        (2, "2024-01-09 09:00:00", 1, 2.0),
+        (3, "2024-01-05 09:00:00", 2, 3.0),    # user 2 exists one day
+    ])
+    rows = TS.gap_fill_daily(ev).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 9 and len(by_user[2]) == 1
+    # no rows invented outside a user's own [first, last] span
+    assert min(r["day"] for r in by_user[2]) == datetime.date(2024, 1, 5)
+
+
+def test_gap_fill_fixture_invariants(events):
+    out = TS.gap_fill_daily(events)
+    rows = out.collect()
+    assert all(r["value_ff"] is not None for r in rows)
+    # grid is dense: per user, row count == span days
+    spans = (out.groupBy("user_id")
+             .agg(F.count("*").alias("n"),
+                  (F.datediff(F.max("day"), F.min("day")) + 1).alias("span"))
+             .collect())
+    assert spans and all(r["n"] == r["span"] for r in spans)
+
+
+def test_gap_fill_windows_are_user_partitioned(events):
+    # the forward-fill window must be partitioned (never a global
+    # single-partition sort — the 100 TB killer)
+    p = phys(TS.gap_fill_daily(events))
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_streaks_hand_case(spark):
+    ev = _mk_events(spark, [
+        # user 1: Jan 1,2,3 + Jan 10  → streaks {3, 1}
+        (1, "2024-01-01 09:00:00", 1, 0.0),
+        (2, "2024-01-02 09:00:00", 1, 0.0),
+        (3, "2024-01-02 18:00:00", 1, 0.0),   # same day, collapses
+        (4, "2024-01-03 09:00:00", 1, 0.0),
+        (5, "2024-01-10 09:00:00", 1, 0.0),
+        # user 2: a single day
+        (6, "2024-01-05 09:00:00", 2, 0.0),
+    ])
+    out = {r["user_id"]: (r["longest_streak"], r["n_streaks"])
+           for r in TS.activity_streaks(ev).collect()}
+    assert out == {1: (3, 2), 2: (1, 1)}
+
+
+def test_streaks_fixture_bounds(events):
+    rows = TS.activity_streaks(events).collect()
+    n_days = events.select(F.to_date("ts")).distinct().count()
+    for r in rows:
+        assert 1 <= r["longest_streak"] <= n_days
+        assert 1 <= r["n_streaks"] <= n_days
+        # streaks × min length can't exceed the calendar
+        assert r["longest_streak"] + (r["n_streaks"] - 1) <= n_days
+
+
+def test_topk_per_group_matches_single_window(events):
+    df = events.select("user_id", "event_type", "value", "event_id")
+    got = topk_per_group(
+        df, ["event_type"], [F.desc("value"), F.asc("event_id")], k=5)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    want = (df.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= 5))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_topk_per_group_stable_under_repartition(events):
+    # phase-1 pruning must not depend on the input layout: any total
+    # order survivor set is identical whatever the partitioning
+    df = events.select("user_id", "event_type", "value", "event_id")
+    order = [F.desc("value"), F.asc("event_id")]
+    a = topk_per_group(df, ["event_type"], order, k=3).collect()
+    b = topk_per_group(df.repartition(17), ["event_type"], order,
+                       k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_topk_per_group_k_exceeds_group(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "v int, g string")
+    out = topk_per_group(df, ["g"], [F.desc("v")], k=10).collect()
+    assert len(out) == 3  # whole input survives, ranked
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from parallel_svms_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {(r["label"], r["dim"]): (r["sum_scaled"], r["n"])
+           for r in label_centroids(emb).collect()}
+    pdf = emb.toPandas()
+    for lbl, grp in pdf.groupby("label"):
+        mat = np.stack(grp["embedding"].to_numpy()).astype("float64")
+        for d in range(mat.shape[1]):
+            want = int(sum(math.floor(v * 1000000) for v in mat[:, d]))
+            assert got[(int(lbl), d)] == (want, len(grp))
