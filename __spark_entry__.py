@@ -19,6 +19,7 @@ from parallel_svms_spark.io.sources import load_table
 from parallel_svms_spark.operators import analytics as AN
 from parallel_svms_spark.operators import dedup as D
 from parallel_svms_spark.operators import events as E
+from parallel_svms_spark.operators import fuzzy as FZ
 from parallel_svms_spark.operators import relational as R
 from parallel_svms_spark.operators import partitioning as X
 from parallel_svms_spark.operators import sharding as SH
@@ -298,11 +299,13 @@ _QKEY_ORDER = [
     "late_order_priority", "sales_rollup", "sketch_profile",
     "pivot_counts", "daily_revenue_window", "orders_reconcile",
     "corr_profile", "promo_revenue_share", "segment_top_orders",
-    "supplier_diversity", "small_qty_revenue",
+    "supplier_diversity", "small_qty_revenue", "sales_cube",
+    "profile_table", "fuzzy_name_pairs",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
     "retention_cohorts", "gap_fill_daily", "activity_streaks",
+    "value_histogram",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "resize_images",
     # text analysis
@@ -514,6 +517,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "part")),
         "label_centroids": lambda s, d: SIM.label_centroids(
             load_table(s, d, "embeddings")),
+        "sales_cube": lambda s, d: AN.sales_cube(
+            load_table(s, d, "lineitem")),
+        "profile_table": lambda s, d: AN.profile_table(
+            load_table(s, d, "documents")),
+        "fuzzy_name_pairs": lambda s, d: FZ.fuzzy_name_pairs(
+            load_table(s, d, "part")),
+        "value_histogram": lambda s, d: E.value_histogram(
+            load_table(s, d, "events")),
         "boilerplate_score": lambda s, d: TX.boilerplate_score(
             load_table(s, d, "documents")),
         "quality_filter": lambda s, d: TX.quality_filter(
@@ -797,6 +808,58 @@ FROM streaks GROUP BY 1
             "INTERSECT "
             "SELECT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F'"
         ),
+        # GROUPING() bit order: first column = MSB in both engines
+        "sales_cube": """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       count(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        # min/max on the NATIVE type, cast to VARCHAR after — matches
+        # the Spark operator's uniform-schema contract
+        "profile_table": """
+SELECT 'doc_id' AS "column", count(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_val,
+       CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+UNION ALL
+SELECT 'text', count(*),
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT text), CAST(min(text) AS VARCHAR),
+       CAST(max(text) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'lang', count(*),
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+       CAST(max(lang) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'source', count(*),
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT source), CAST(min(source) AS VARCHAR),
+       CAST(max(source) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*),
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+       CAST(max(n_chars) AS VARCHAR) FROM documents
+""",
+        # literal cross-join-with-filter form; Spark runs the exact
+        # length-band equi-join rewrite and must match
+        "fuzzy_name_pairs": """
+WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM n a JOIN n b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
+""",
+        "value_histogram": """
+SELECT CAST(FLOOR(value / 50.0) AS INT) AS bucket,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1
+""",
         # exact integer-scaled component sums (see
         # similarity.label_centroids determinism contract)
         "label_centroids": """

@@ -454,3 +454,62 @@ def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
             .agg(F.count("*").alias("n_small"),
                  F.sum(_cents(F.col("l_extendedprice")))
                  .cast("long").alias("small_revenue_cents")))
+
+
+def sales_cube(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every subtotal combination
+    plus the grand total in one pass — the grouping-sets completion of
+    ``sales_rollup`` (ROLLUP emits only the prefix hierarchy).
+
+    Spark plans CUBE as one Expand (×4 grouping sets here) feeding the
+    SAME partial-aggregate pipeline as a plain group-by, so the
+    shuffle still carries ≤ Σ|set cardinalities| rows — subtotals cost
+    the expand factor on the map side, never a second scan.
+    ``grouping_id`` (bit i set ⇔ column i rolled up, first column =
+    MSB in both engines) disambiguates a rolled-up NULL from a data
+    NULL and pins the grouping-set semantics in the oracle hash.
+    """
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count("*").alias("n"),
+             F.sum(_cents(F.col("l_extendedprice")))
+             .cast("long").alias("rev_cents"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "rev_cents")
+    )
+
+
+def profile_table(documents: DataFrame) -> DataFrame:
+    """Per-column data-profiling snapshot: row count, null count,
+    exact distinct count, min and max (as strings for a uniform
+    schema), one output row per column — the ingest-time sanity
+    screen every pipeline runs before trusting a new drop.
+
+    One aggregation over one scan: the multi-column distinct counts
+    plan as a single multi-distinct aggregate (Catalyst rewrites k
+    distinct aggs into one Expand ×k + two-stage agg — k× map-side
+    rows, never k scans). min/max are computed on the NATIVE type and
+    cast to string after (lexicographic min of a numeric column would
+    be wrong). Exact distincts are the fixture-correctness twin; the
+    bounded-state billion-row path is approx_count_distinct, the same
+    trade recorded for sketch_profile/length_profile.
+    """
+    cols = documents.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = documents.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column, n_nulls, n_distinct, min_val, max_val)",
+        "__n AS n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct",
+             "min_val", "max_val")

@@ -346,3 +346,22 @@ def sessions_containing(events: DataFrame,
            .select("event_id", "ts"))
     return (interval_join(pts, sess)
             .select("event_id", "user_id", "session_seq"))
+
+
+def value_histogram(events: DataFrame, width: float = 50.0) -> DataFrame:
+    """Fixed-width histogram of the value column: bucket ordinal,
+    count, and the exact min/max observed inside each bucket.
+
+    ``floor(value / width)`` is one deterministic double op per row
+    (identical on any engine), the group-by is map-side combinable, so
+    the shuffle carries ≤ |buckets| rows per task — the degenerate-
+    cheap profiling shape that should NEVER be implemented by
+    collecting values to the driver. min/max are selections of
+    existing doubles (no accumulation), so they are partition-order-
+    independent and oracle-safe.
+    """
+    b = F.floor(F.col("value") / F.lit(width)).cast("int").alias("bucket")
+    return (events.groupBy(b)
+            .agg(F.count("*").alias("n"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))

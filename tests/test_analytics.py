@@ -288,3 +288,41 @@ def test_segment_top_orders_rank_contract(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert (a.revenue_cents, -a.o_orderkey) >= \
                 (b.revenue_cents, -b.o_orderkey)
+
+
+def test_sales_cube_levels_reconcile(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = AN.sales_cube(li).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    # gid 0 = finest cells, 3 = grand total; every level sums to it
+    grand = by_gid[3][0]
+    for gid in (0, 1, 2):
+        assert sum(r.n for r in by_gid[gid]) == grand.n
+        assert sum(r.rev_cents for r in by_gid[gid]) == grand.rev_cents
+    # rolled-up dimensions are NULL exactly per the grouping bits
+    for r in rows:
+        assert (r.l_returnflag is None) == bool(r.gid & 2)
+        assert (r.l_linestatus is None) == bool(r.gid & 1)
+
+
+def test_profile_table_matches_direct_queries(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    prof = {r.column: r for r in AN.profile_table(docs).collect()}
+    assert set(prof) == set(docs.columns)
+    n = docs.count()
+    for c in docs.columns:
+        assert prof[c].n_rows == n
+        assert prof[c].n_nulls == docs.filter(f"{c} IS NULL").count()
+        assert prof[c].n_distinct == docs.select(c).distinct().count()
+    assert prof["doc_id"].min_val == "0"  # native min, cast after
+
+
+def test_value_histogram_partitions_all_rows(spark, sf_dir):
+    from parallel_svms_spark.operators.events import value_histogram
+    ev = load_table(spark, sf_dir, "events")
+    rows = value_histogram(ev).collect()
+    assert sum(r.n for r in rows) == ev.count()
+    for r in rows:
+        assert r.bucket * 50.0 <= r.min_value <= r.max_value < (r.bucket + 1) * 50.0

@@ -158,3 +158,37 @@ def test_label_centroids_match_numpy(spark, sf_dir):
         for d in range(mat.shape[1]):
             want = int(sum(math.floor(v * 1000000) for v in mat[:, d]))
             assert got[(int(lbl), d)] == (want, len(grp))
+
+
+def test_fuzzy_pairs_hand_case(spark):
+    from parallel_svms_spark.operators.fuzzy import fuzzy_name_pairs
+    df = spark.createDataFrame(
+        [("red widget",), ("red widgets",), ("red widget",),
+         ("blue bolt",), ("bolt",)], "p_name string")
+    got = {(r.name_a, r.name_b): r.dist
+           for r in fuzzy_name_pairs(df, max_dist=2).collect()}
+    # duplicate "red widget" collapses; "blue bolt"↔"bolt" is dist 5
+    assert got == {("red widget", "red widgets"): 1}
+
+
+def test_fuzzy_pairs_plan_is_hash_join_not_nested_loop(spark, sf_dir):
+    from parallel_svms_spark.operators.fuzzy import fuzzy_name_pairs
+    part = load_table(spark, sf_dir, "part")
+    p = phys(fuzzy_name_pairs(part))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_fuzzy_pairs_length_band_is_lossless(spark, sf_dir):
+    # the blocked rewrite must equal the literal all-pairs filter
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.operators.fuzzy import fuzzy_name_pairs
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    a = names.select(F.col("name").alias("name_a"))
+    b = names.select(F.col("name").alias("name_b"))
+    naive = (a.crossJoin(b)
+             .filter(F.col("name_a") < F.col("name_b"))
+             .withColumn("dist", F.levenshtein("name_a", "name_b"))
+             .filter(F.col("dist") <= 2))
+    assert sorted(map(tuple, fuzzy_name_pairs(part).collect())) == \
+        sorted(map(tuple, naive.collect()))

@@ -186,6 +186,40 @@ def main() -> None:
     timed("funnel", n_ev, lambda: EV.funnel(ev).count())
     timed("retention_cohorts", n_ev,
           lambda: EV.retention_cohorts(ev).count())
+    timed("interval_join", n_ev,
+          lambda: EV.sessions_containing(ev).count())
+    timed("value_histogram", n_ev,
+          lambda: EV.value_histogram(ev).count())
+    from parallel_svms_spark.operators import timeseries as TSOP
+    timed("gap_fill_daily", n_ev,
+          lambda: TSOP.gap_fill_daily(ev).count())
+    timed("activity_streaks", n_ev,
+          lambda: TSOP.activity_streaks(ev).count())
+
+    # warehouse star at mult× facts, dims at sf0.1 size
+    from parallel_svms_spark.operators import analytics as AN
+    li_path, or_path = build_warehouse(spark, mult_docs)
+    li = spark.read.parquet(li_path)
+    orders = spark.read.parquet(or_path)
+    for c, t in li.dtypes:
+        if t == "timestamp_ntz":
+            li = li.withColumn(c, F.col(c).cast("timestamp"))
+    for c, t in orders.dtypes:
+        if t == "timestamp_ntz":
+            orders = orders.withColumn(c, F.col(c).cast("timestamp"))
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    n_li = li.count()
+    timed("pricing_summary", n_li,
+          lambda: AN.pricing_summary(li).count())
+    timed("sales_cube", n_li, lambda: AN.sales_cube(li).count())
+    timed("segment_top_orders", n_li,
+          lambda: AN.segment_top_orders(cust, orders, li).count())
+    timed("supplier_diversity", n_li,
+          lambda: AN.supplier_diversity(li, part, supp).count())
+    timed("small_qty_revenue", n_li,
+          lambda: AN.small_quantity_revenue(li, part).count())
 
     if mult_emb <= 25:
         timed("cascade_k16", n_emb,
