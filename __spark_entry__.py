@@ -300,12 +300,13 @@ _QKEY_ORDER = [
     "pivot_counts", "daily_revenue_window", "orders_reconcile",
     "corr_profile", "promo_revenue_share", "segment_top_orders",
     "supplier_diversity", "small_qty_revenue", "sales_cube",
-    "profile_table", "fuzzy_name_pairs",
+    "profile_table", "fuzzy_name_pairs", "agg_incremental",
+    "snapshot_diff",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
     "retention_cohorts", "gap_fill_daily", "activity_streaks",
-    "value_histogram",
+    "value_histogram", "outlier_events",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "resize_images",
     # text analysis
@@ -525,6 +526,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "part")),
         "value_histogram": lambda s, d: E.value_histogram(
             load_table(s, d, "events")),
+        "outlier_events": lambda s, d: E.outlier_events(
+            load_table(s, d, "events")),
+        # merge-vs-recompute: archive/delta split on shipdate; the
+        # oracle aggregates the UNSPLIT table — hash equality proves
+        # the partial states merge exactly
+        "agg_incremental": lambda s, d: (lambda li: AN.agg_incremental(
+            li.filter("l_shipdate < TIMESTAMP '1996-07-01'"),
+            li.filter("l_shipdate >= TIMESTAMP '1996-07-01'")))(
+                load_table(s, d, "lineitem")),
+        # CDC diff: old = first 480 docs; new drops the first 20,
+        # adds 480+, and bumps every 7th doc's n_chars
+        "snapshot_diff": lambda s, d: (lambda docs: AN.snapshot_diff(
+            docs.filter("doc_id < 480"),
+            docs.filter("doc_id >= 20").withColumn(
+                "n_chars",
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.col("n_chars") + 1000)
+                .otherwise(F.col("n_chars")))))(
+                    load_table(s, d, "documents")),
         "boilerplate_score": lambda s, d: TX.boilerplate_score(
             load_table(s, d, "documents")),
         "quality_filter": lambda s, d: TX.quality_filter(
@@ -859,6 +879,45 @@ WHERE levenshtein(a.name, b.name) <= 2
 SELECT CAST(FLOOR(value / 50.0) AS INT) AS bucket,
        count(*) AS n, min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 1
+""",
+        # exact percentile ↔ quantile_cont (length_profile's proven
+        # bit-match), rounded to 6 dp BEFORE the boundary compare
+        "outlier_events": """
+WITH thr AS (SELECT event_type, count(*) AS n_events,
+                    ROUND(quantile_cont(value, 0.99), 6) AS p_thr
+             FROM events GROUP BY 1),
+above AS (SELECT e.event_type, count(*) AS n_outliers
+          FROM events e JOIN thr USING (event_type)
+          WHERE e.value > thr.p_thr GROUP BY 1)
+SELECT t.event_type, t.n_events, t.p_thr,
+       CAST(COALESCE(a.n_outliers, 0) AS BIGINT) AS n_outliers
+FROM thr t LEFT JOIN above a USING (event_type)
+""",
+        # the UNSPLIT recompute — equality proves the archive+delta
+        # partial states merge exactly
+        "agg_incremental": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_cents,
+       CAST(max(l_shipdate) AS DATE) AS max_ship_day
+FROM lineitem GROUP BY 1, 2
+""",
+        # direct column comparison; agreement with Spark's digest
+        # classification proves digest equality ⇔ value equality
+        "snapshot_diff": """
+WITH old AS (SELECT * FROM documents WHERE doc_id < 480),
+new AS (SELECT doc_id, text, lang, source,
+               CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id >= 20),
+j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.text = n.text AND o.lang = n.lang
+                       AND o.source = n.source
+                       AND o.n_chars = n.n_chars THEN 'same'
+                  ELSE 'changed' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT status, count(*) AS n_keys FROM j GROUP BY 1
 """,
         # exact integer-scaled component sums (see
         # similarity.label_centroids determinism contract)

@@ -56,10 +56,12 @@ HEADLINE = [
     "corr_profile", "promo_revenue_share", "segment_top_orders",
     "supplier_diversity", "small_qty_revenue", "set_intersect",
     "sales_cube", "profile_table", "fuzzy_name_pairs",
+    "agg_incremental", "snapshot_diff",
     # events (100k rows)
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "interval_join", "funnel", "retention_cohorts",
     "gap_fill_daily", "activity_streaks", "value_histogram",
+    "outlier_events",
     # documents (5k rows)
     "dedup_exact", "dedup_incremental", "simjoin_candidates",
     "dedup_minhash", "dedup_simhash",

@@ -513,3 +513,67 @@ def profile_table(documents: DataFrame) -> DataFrame:
         "__n AS n_rows",
     ).select("column", "n_rows", "n_nulls", "n_distinct",
              "min_val", "max_val")
+
+
+def agg_incremental(archive: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental aggregate maintenance: merge a pre-aggregated
+    archive state with a fresh delta batch and get EXACTLY the
+    full-recompute answer — the contract that lets a 100 TB nightly
+    ETL touch only the new day's partition instead of re-scanning
+    history.
+
+    Works because every statistic kept is a mergeable partial state:
+    counts and exact-cents sums add; min/max combine. (An avg would be
+    kept as (sum, n), never as the finished ratio.) Both inputs
+    collapse to ≤|groups| rows before the union, so the merge step is
+    constant-size regardless of history length.
+
+    Returns per (returnflag, linestatus): n_items, rev_cents,
+    max_ship_day. The qkey feeds a shipdate-split lineitem through
+    this and the oracle computes the UNSPLIT aggregate — hash equality
+    IS the merge-correctness proof.
+    """
+    def partial(df: DataFrame) -> DataFrame:
+        return (df.groupBy("l_returnflag", "l_linestatus")
+                .agg(F.count("*").alias("n_items"),
+                     F.sum(_cents(F.col("l_extendedprice")))
+                     .cast("long").alias("rev_cents"),
+                     F.max(F.to_date("l_shipdate")).alias("max_ship_day")))
+
+    return (partial(archive).unionByName(partial(delta))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("n_items").cast("long").alias("n_items"),
+                 F.sum("rev_cents").cast("long").alias("rev_cents"),
+                 F.max("max_ship_day").alias("max_ship_day")))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key: str = "doc_id") -> DataFrame:
+    """CDC snapshot diff: classify every key across two table versions
+    as added / removed / changed / same and count each class — the
+    audit step between merge_upsert (which applies changes) and
+    orders_reconcile (which only checks key presence).
+
+    Both sides collapse to (key, row_digest) BEFORE the full-outer
+    join — ~40 bytes per row on the wire however wide the table — and
+    the digest comparison classifies changes without shipping
+    payloads. xxhash64 over the concatenated row is engine-specific,
+    so the qkey pins the CLASSIFICATION (which compares digests only
+    within one engine); the oracle classifies via direct column
+    comparison — agreement proves digest equality ⇔ value equality on
+    the fixture.
+    """
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        payload = [c for c in df.columns if c != key]
+        return df.select(
+            F.col(key),
+            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
+                         for c in payload]).alias(f"sig_{tag}"))
+
+    j = keyed(old, "old").join(keyed(new, "new"), key, "full_outer")
+    status = (F.when(F.col("sig_old").isNull(), "added")
+              .when(F.col("sig_new").isNull(), "removed")
+              .when(F.col("sig_old") == F.col("sig_new"), "same")
+              .otherwise("changed"))
+    return (j.select(status.alias("status"))
+            .groupBy("status").agg(F.count("*").alias("n_keys")))

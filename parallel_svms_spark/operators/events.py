@@ -365,3 +365,38 @@ def value_histogram(events: DataFrame, width: float = 50.0) -> DataFrame:
             .agg(F.count("*").alias("n"),
                  F.min("value").alias("min_value"),
                  F.max("value").alias("max_value")))
+
+
+def outlier_events(events: DataFrame, q: float = 0.99,
+                   approx: bool = False) -> DataFrame:
+    """Per-type tail-outlier screen: the exact q-quantile of value per
+    event_type, and how many events exceed it — the robust anomaly
+    gate (a fixed z-score would chase the mean; a quantile threshold
+    is distribution-free).
+
+    Two aggregations over the events, both keyed by event_type: the
+    threshold pass (exact ``percentile`` by default — value-multiset
+    state, the oracle-checkable twin; ``approx=True`` flips to
+    t-digest ``approx_percentile``, the bounded-state 100 TB path,
+    same schema) and the count-above pass. The per-type threshold
+    table is tiny (|event types| rows) and broadcast back, so the
+    second pass is a narrow scan + map-side-combinable count — the
+    events never shuffle for the comparison.
+
+    The threshold is rounded to 6 dp BEFORE the comparison on both
+    engines, so the boundary predicate is evaluated on identical
+    doubles (same contract as length_profile's rounded percentiles).
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    thr = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr(f"{fn}(value, {q})"), 6).alias("p_thr"))
+    above = (events.join(F.broadcast(thr.select("event_type", "p_thr")),
+                         "event_type")
+             .filter(F.col("value") > F.col("p_thr"))
+             .groupBy("event_type")
+             .agg(F.count("*").alias("n_outliers")))
+    return (thr.join(above, "event_type", "left")
+            .select("event_type", "n_events", "p_thr",
+                    F.coalesce(F.col("n_outliers"), F.lit(0))
+                    .cast("long").alias("n_outliers")))

@@ -326,3 +326,55 @@ def test_value_histogram_partitions_all_rows(spark, sf_dir):
     assert sum(r.n for r in rows) == ev.count()
     for r in rows:
         assert r.bucket * 50.0 <= r.min_value <= r.max_value < (r.bucket + 1) * 50.0
+
+
+def test_agg_incremental_equals_recompute(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = "l_shipdate < TIMESTAMP '1996-07-01'"
+    merged = AN.agg_incremental(li.filter(cut), li.filter(f"NOT ({cut})"))
+    full = AN.agg_incremental(li, li.limit(0))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # any other split must merge to the same answer (associativity)
+    a = li.filter("l_orderkey % 3 = 0")
+    bc = li.filter("l_orderkey % 3 != 0")
+    m3 = AN.agg_incremental(a, bc)
+    assert sorted(map(tuple, m3.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+def test_snapshot_diff_hand_case(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "doc_id long, text string, n_chars long")
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)],
+        "doc_id long, text string, n_chars long")
+    got = {r.status: r.n_keys
+           for r in AN.snapshot_diff(old, new).collect()}
+    assert got == {"removed": 1, "same": 1, "changed": 1, "added": 1}
+
+
+def test_snapshot_diff_null_payloads_differ_from_sentinel(spark):
+    # NULL in a payload column must not collide with a real value or
+    # make identical rows look changed
+    old = spark.createDataFrame([(1, None), (2, "x")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(1, None), (2, None)],
+                                "doc_id long, text string")
+    got = {r.status: r.n_keys
+           for r in AN.snapshot_diff(old, new).collect()}
+    assert got == {"same": 1, "changed": 1}
+
+
+def test_outlier_events_threshold_semantics(spark, sf_dir):
+    from parallel_svms_spark.operators.events import outlier_events
+    ev = load_table(spark, sf_dir, "events")
+    rows = outlier_events(ev).collect()
+    assert rows
+    for r in rows:
+        # ~1% of events exceed an exact p99 (ties/interp may shave a few)
+        assert 0 <= r.n_outliers <= max(3, int(r.n_events * 0.02))
+        direct = ev.filter(
+            (ev.event_type == r.event_type) & (ev.value > r.p_thr)).count()
+        assert direct == r.n_outliers
