@@ -490,3 +490,48 @@ def retention_stateful(stream: DataFrame) -> DataFrame:
             .groupBy("user_id").applyInPandasWithState(
                 fn, RETENTION_OUT_SCHEMA, _RETENTION_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_value_histogram(stream: DataFrame, width: float = 50.0,
+                              watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``events.value_histogram``: the same
+    fixed-width binning as a continuously-maintained aggregate.
+
+    State is ≤ |buckets| rows TOTAL (the bin expression is identical
+    to the batch operator's; buckets are value-range-bounded, not
+    time-bounded), so unlike windowed counts there is no per-window
+    state growth — the watermark exists only to let the sink run in
+    update/complete mode with late-data semantics. Aggregating the
+    update feed's latest row per bucket reproduces the batch
+    histogram's n exactly (equivalence-tested on the fixture).
+    min/max per bucket are monotone under accumulation, so the twin
+    carries them too.
+    """
+    b = F.floor(F.col("value") / F.lit(width)).cast("int").alias("bucket")
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(b)
+            .agg(F.count("*").alias("n"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))
+
+
+def streaming_outlier_screen(stream: DataFrame, thresholds: DataFrame,
+                             ) -> DataFrame:
+    """Streaming twin of ``events.outlier_events``'s screening half:
+    flag arriving events whose value exceeds the per-type threshold
+    profiled OFFLINE by the batch operator (the standard split — the
+    quantile itself needs the history, the screen must run on the
+    live stream).
+
+    STATELESS: a stream-static broadcast join against the tiny
+    (|event types|)-row threshold table and a filter — plans like the
+    quality gate. Emits each outlier exactly once, as it arrives.
+    Threshold rows come straight from ``outlier_events`` output
+    (event_type, p_thr), so batch and stream agree on the boundary by
+    construction (same rounded double, equivalence-tested).
+    """
+    thr = F.broadcast(thresholds.select("event_type", "p_thr"))
+    return (stream.join(thr, "event_type")
+            .filter(F.col("value") > F.col("p_thr"))
+            .select("event_id", "ts", "user_id", "event_type", "value",
+                    "p_thr"))

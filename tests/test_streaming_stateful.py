@@ -447,3 +447,57 @@ def test_retention_stateful_matches_batch_triangle(spark, sf_dir):
                for r in got_rows.groupBy("cohort_week", "week_offset")
                .agg(F.count("*").alias("n")).collect()}
     assert got == batch
+
+
+def test_streaming_value_histogram_matches_batch(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import value_histogram
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {r.bucket: (r.n, r.min_value, r.max_value)
+             for r in value_histogram(events).collect()}
+
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        n = tbl.num_rows
+        for i, c in enumerate([tbl.slice(0, n // 2), tbl.slice(n // 2)]):
+            pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+        stream = SW.stream_events_from_dir(spark, tmp)
+        hist = SW.streaming_value_histogram(stream)
+        q = (hist.writeStream.outputMode("complete")
+             .format("memory").queryName("stream_hist").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {r.bucket: (r.n, r.min_value, r.max_value)
+               for r in spark.sql("SELECT * FROM stream_hist").collect()}
+    assert got == batch
+
+
+def test_streaming_outlier_screen_matches_batch_boundary(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import outlier_events
+
+    events = load_table(spark, sf_dir, "events")
+    thresholds = outlier_events(events)
+    # batch view of the same screen: events above their type's p_thr
+    want = {r.event_id for r in
+            events.join(thresholds.select("event_type", "p_thr"),
+                        "event_type")
+            .filter("value > p_thr").collect()}
+    n_thr = thresholds.count()
+
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(tbl, f"{tmp}/0000.parquet")
+        stream = SW.stream_events_from_dir(spark, tmp)
+        flagged = SW.streaming_outlier_screen(stream, thresholds)
+        q = (flagged.writeStream.outputMode("append")
+             .format("memory").queryName("stream_outliers").start())
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql("SELECT * FROM stream_outliers").collect()
+    assert {r.event_id for r in rows} == want
+    assert len(rows) == len(want)  # exactly-once per outlier
+    assert n_thr >= 1 and all(r.value > r.p_thr for r in rows)
