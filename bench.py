@@ -259,10 +259,22 @@ def main() -> int:
 
     probe = calibration_probe()
     n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+    # wall budget: a slow/stolen host must degrade the artifact
+    # (fewer sessions, stress skipped), never lose it to an external
+    # timeout — the r3 lesson, applied to wall-clock
+    budget_s = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+    t_start = time.monotonic()
     per_session: list[dict[str, float]] = []
     env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
     errors: dict[str, str] = {}
+    sessions_run = 0
     for i in range(n_sessions):
+        if i > 0 and time.monotonic() - t_start > budget_s * 0.6:
+            print(f"-- budget: skipping session {i + 1}+ "
+                  f"({round(time.monotonic() - t_start)}s elapsed)",
+                  file=sys.stderr)
+            break
+        sessions_run += 1
         print(f"-- session {i + 1}/{n_sessions}", file=sys.stderr)
         # a dead/garbled child loses one session, never the artifact
         try:
@@ -289,11 +301,17 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "probe_sec": probe,
-        "sessions": n_sessions,
+        "sessions": sessions_run,
     }
     if errors:
         out["errors"] = errors
-    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") == "1":
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "1":
+        pass
+    elif time.monotonic() - t_start > budget_s:
+        out["stress"] = {"skipped": f"wall budget {budget_s}s exceeded "
+                         f"({round(time.monotonic() - t_start)}s) — "
+                         "see tools/stress.py runs in BASELINE.md"}
+    else:
         out["stress"] = run_stress()
     print(json.dumps(out))
     return 0

@@ -196,3 +196,119 @@ def test_merge_upsert_property(spark, target_keys, update_keys):
     got = {r.doc_id: r.v for r in merge_upsert(t, u).collect()}
     want = {k: "old" for k in target_keys} | {k: "new" for k in update_keys}
     assert got == want
+
+
+def test_new_r4_operators_handle_empty_input(spark):
+    from parallel_svms_spark.operators import timeseries as TSO
+    from parallel_svms_spark.operators.analytics import (profile_table,
+                                                         snapshot_diff)
+    from parallel_svms_spark.operators.events import (outlier_events,
+                                                      value_histogram)
+    from parallel_svms_spark.operators.fuzzy import fuzzy_name_pairs
+
+    no_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+    assert TSO.gap_fill_daily(no_events).count() == 0
+    assert TSO.activity_streaks(no_events).count() == 0
+    assert value_histogram(no_events).count() == 0
+    assert outlier_events(no_events).count() == 0
+
+    no_docs = spark.createDataFrame(
+        [], "doc_id long, text string, n_chars long")
+    prof = {r.column: r for r in profile_table(no_docs).collect()}
+    assert set(prof) == {"doc_id", "text", "n_chars"}
+    assert all(r.n_rows == 0 and r.n_distinct == 0
+               and r.min_val is None for r in prof.values())
+    some = spark.createDataFrame([(1, "a", 1)],
+                                 "doc_id long, text string, n_chars long")
+    got = {r.status: r.n_keys
+           for r in snapshot_diff(no_docs, some).collect()}
+    assert got == {"added": 1}
+    assert fuzzy_name_pairs(
+        spark.createDataFrame([], "p_name string")).count() == 0
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 2),      # user
+              st.integers(0, 14),     # day offset
+              st.integers(0, 1)),     # intra-day slot
+    min_size=1, max_size=25))
+def test_gap_fill_property_vs_serial(spark, raw):
+    """gap_fill_daily must equal a serial forward-fill for arbitrary
+    sparse activity patterns (multi-user, same-day ties broken by
+    (ts, event_id))."""
+    import datetime as dt
+
+    from parallel_svms_spark.operators.timeseries import gap_fill_daily
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base + dt.timedelta(days=d, hours=slot), u, float(i))
+            for i, (u, d, slot) in enumerate(raw)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {(r.user_id, r.day.isoformat()): r.value_ff
+           for r in gap_fill_daily(df).collect()}
+    # serial oracle
+    want = {}
+    by_user = {}
+    for eid, ts, u, v in rows:
+        by_user.setdefault(u, []).append((ts, eid, v))
+    for u, evs in by_user.items():
+        closes = {}
+        for ts, eid, v in sorted(evs):
+            closes[ts.date()] = v  # sorted by (ts, eid): last wins
+        d0, d1 = min(closes), max(closes)
+        last = None
+        d = d0
+        while d <= d1:
+            if d in closes:
+                last = closes[d]
+            want[(u, d.isoformat())] = last
+            d += dt.timedelta(days=1)
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                min_size=0, max_size=30),
+       st.sampled_from([1, 2, 5]))
+def test_topk_per_group_property_vs_window(spark, rows, k):
+    from pyspark.sql import Window
+    from parallel_svms_spark.operators.partitioning import topk_per_group
+    if not rows:
+        df = spark.createDataFrame([], "g int, v int, uid long")
+        assert topk_per_group(df, ["g"], [F.desc("v"), F.asc("uid")],
+                              k).count() == 0
+        return
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g int, v int, uid long")
+    order = [F.desc("v"), F.asc("uid")]
+    got = sorted(map(tuple, topk_per_group(df, ["g"], order, k).collect()))
+    w = Window.partitionBy("g").orderBy(*order)
+    want = sorted(map(tuple, df.withColumn(
+        "rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k).collect()))
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.sets(st.integers(0, 15), max_size=10),
+       st.sets(st.integers(0, 15), max_size=10),
+       st.sets(st.integers(0, 15), max_size=10))
+def test_snapshot_diff_property(spark, old_keys, new_keys, changed):
+    from parallel_svms_spark.operators.analytics import snapshot_diff
+    old = spark.createDataFrame([(k, 0) for k in old_keys] or [],
+                                "doc_id long, payload long")
+    new = spark.createDataFrame(
+        [(k, 1 if k in changed else 0) for k in new_keys] or [],
+        "doc_id long, payload long")
+    got = {r.status: r.n_keys
+           for r in snapshot_diff(old, new).collect()}
+    want = {
+        "added": len(new_keys - old_keys),
+        "removed": len(old_keys - new_keys),
+        "changed": len(old_keys & new_keys & changed),
+        "same": len(old_keys & new_keys - changed),
+    }
+    assert got == {k: v for k, v in want.items() if v}
