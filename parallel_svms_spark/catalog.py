@@ -1,0 +1,68 @@
+"""SQL surface: register the fixture tables and the engine's derived
+relations as temp views, so everything the DataFrame API computes is
+equally reachable from ``spark.sql``.
+
+The reference has no query language at all (SURVEY §2.9: "no SQL or
+expression language of any kind"); Spark gives a full ANSI SQL front
+end for free ONCE the relations are in the catalog. This module is
+that registration: after ``register(spark, sf_dir)`` a user writes
+
+    spark.sql("SELECT s.user_id, q.quality
+               FROM event_sessions s JOIN doc_quality q ON ...")
+
+and Catalyst plans straight through the view definitions — views are
+lazy logical plans, not materializations, so predicate pushdown and
+column pruning cross the view boundary (e.g. a filter on
+``event_sessions.user_id`` reaches the events parquet scan).
+
+Only cheap, universally-useful derived relations are registered as
+views (quality/session/dedup-keys shapes). The expensive operators
+(near-dup joins, ANN, training) stay function-calls — a view that
+hides a 50-minute self-join behind a SELECT is a footgun, not UX.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parallel_svms_spark.io.sources import TABLES, load_table
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    prefix: str = "") -> list[str]:
+    """One temp view per fixture table (timestamps normalized by
+    load_table, so SQL users never see the NTZ quirk)."""
+    names = []
+    for name in TABLES:
+        load_table(spark, sf_dir, name) \
+            .createOrReplaceTempView(prefix + name)
+        names.append(prefix + name)
+    return names
+
+
+def register_views(spark: SparkSession) -> list[str]:
+    """Derived relations over the registered tables. Each is a lazy
+    logical plan built by the SAME operator functions the qkeys use —
+    one definition, two surfaces."""
+    from parallel_svms_spark.operators import events as E
+    from parallel_svms_spark.operators import text as TX
+    from parallel_svms_spark.operators.dedup import exact_dedup_keys
+
+    views: dict[str, DataFrame] = {
+        # per-doc quality heuristics + language id
+        "doc_quality": TX.quality_score(spark.table("documents")),
+        # gap-based sessions (the operator's full session rows)
+        "event_sessions": E.sessionize(spark.table("events")),
+        # canonical doc id per exact-duplicate text group
+        "dedup_keys": exact_dedup_keys(spark.table("documents")),
+        # per-type tail thresholds for ad-hoc anomaly SQL
+        "event_outliers": E.outlier_events(spark.table("events")),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)
+
+
+def register(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Tables + derived views; returns everything registered."""
+    return register_tables(spark, sf_dir) + register_views(spark)

@@ -1,0 +1,64 @@
+"""SQL-surface registration (catalog.py): tables + operator-derived
+views reachable from spark.sql, with optimization crossing the view
+boundary (pushdown through views)."""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_svms_spark import catalog
+
+
+@pytest.fixture(scope="module")
+def registered(spark, sf_dir):
+    return catalog.register(spark, sf_dir)
+
+
+def test_all_tables_and_views_registered(spark, registered):
+    assert set(registered) >= {
+        "lineitem", "orders", "documents", "events",
+        "doc_quality", "event_sessions", "dedup_keys", "event_outliers"}
+    for name in registered:
+        assert spark.sql(f"SELECT * FROM {name} LIMIT 1").count() >= 0
+
+
+def test_sql_joins_across_operator_views(spark, registered):
+    # sessions joined to outlier thresholds — two operator views in
+    # one SQL statement, planned as one DAG
+    rows = spark.sql("""
+        SELECT s.user_id, count(*) AS n_sessions
+        FROM event_sessions s
+        WHERE s.n_events >= 2
+        GROUP BY s.user_id
+        ORDER BY n_sessions DESC, user_id LIMIT 5
+    """).collect()
+    assert rows and all(r.n_sessions >= 1 for r in rows)
+    joined = spark.sql("""
+        SELECT o.event_type, o.n_outliers, q.n_docs
+        FROM event_outliers o
+        CROSS JOIN (SELECT count(*) AS n_docs FROM doc_quality) q
+    """).collect()
+    assert len(joined) == 5
+
+
+def test_view_results_match_operator_calls(spark, sf_dir, registered):
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import outlier_events
+    direct = sorted(map(tuple,
+                        outlier_events(load_table(spark, sf_dir,
+                                                  "events")).collect()))
+    via_sql = sorted(map(tuple,
+                         spark.sql("SELECT * FROM event_outliers")
+                         .collect()))
+    assert direct == via_sql
+
+
+def test_pushdown_crosses_view_boundary(spark, registered):
+    # a filter applied in SQL above the view must reach the parquet
+    # scan below it
+    q = spark.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_shipdate > "
+        "TIMESTAMP '2001-01-01'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in \
+        plan.split("PushedFilters")[1][:300]
