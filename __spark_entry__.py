@@ -301,7 +301,9 @@ _QKEY_ORDER = [
     "corr_profile", "promo_revenue_share", "segment_top_orders",
     "supplier_diversity", "small_qty_revenue", "sales_cube",
     "profile_table", "fuzzy_name_pairs", "agg_incremental",
-    "snapshot_diff",
+    "snapshot_diff", "big_spender_orders", "returned_revenue_by_customer",
+    "nation_trade_flows", "best_supplier_per_part", "disjunctive_revenue",
+    "market_share",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
@@ -524,6 +526,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "fuzzy_name_pairs": lambda s, d: FZ.fuzzy_name_pairs(
             load_table(s, d, "part")),
+        "big_spender_orders": lambda s, d: AN.big_spender_orders(
+            load_table(s, d, "customer"), load_table(s, d, "orders"),
+            load_table(s, d, "lineitem")),
+        "returned_revenue_by_customer": lambda s, d:
+            AN.returned_revenue_by_customer(
+                load_table(s, d, "customer"), load_table(s, d, "orders"),
+                load_table(s, d, "lineitem")),
+        "nation_trade_flows": lambda s, d: AN.nation_trade_flows(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders"),
+            load_table(s, d, "customer"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation")),
+        "best_supplier_per_part": lambda s, d: AN.best_supplier_per_part(
+            load_table(s, d, "lineitem"), load_table(s, d, "part"),
+            load_table(s, d, "supplier")),
+        "disjunctive_revenue": lambda s, d: AN.disjunctive_revenue(
+            load_table(s, d, "lineitem"), load_table(s, d, "part")),
+        "market_share": lambda s, d: AN.market_share(
+            load_table(s, d, "lineitem"), load_table(s, d, "orders"),
+            load_table(s, d, "customer"), load_table(s, d, "supplier"),
+            load_table(s, d, "nation"), load_table(s, d, "region")),
         "value_histogram": lambda s, d: E.value_histogram(
             load_table(s, d, "events")),
         "outlier_events": lambda s, d: E.outlier_events(
@@ -901,6 +923,87 @@ SELECT l_returnflag, l_linestatus, count(*) AS n_items,
          AS rev_cents,
        CAST(max(l_shipdate) AS DATE) AS max_ship_day
 FROM lineitem GROUP BY 1, 2
+""",
+        "big_spender_orders": """
+WITH q AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 200)
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_day,
+       CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       q.total_qty
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY q.total_qty DESC, o.o_orderkey LIMIT 20
+""",
+        "returned_revenue_by_customer": """
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, rev.revenue_cents
+FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+""",
+        "nation_trade_flows": """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+   OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+        "best_supplier_per_part": """
+WITH ps AS (
+  SELECT DISTINCT l.l_partkey, l.l_suppkey FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey WHERE p.p_size <= 5),
+ranked AS (
+  SELECT ps.l_partkey AS p_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+         row_number() OVER (PARTITION BY ps.l_partkey
+                            ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+  FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey)
+SELECT p_partkey, s_suppkey, s_name, s_acctbal FROM ranked WHERE rn = 1
+""",
+        "disjunctive_revenue": """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity <= 10)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_type = 'PROMO' AND l.l_quantity >= 30)
+""",
+        "market_share": """
+WITH base AS (
+  SELECT year(o.o_orderdate) AS yr,
+         CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+SELECT CAST(yr AS INT) AS yr,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents
+                     ELSE 0 END) AS BIGINT) AS nation_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       ROUND(1.0 * SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents
+                            ELSE 0 END) / SUM(cents), 6) AS share
+FROM base GROUP BY 1
 """,
         # direct column comparison; agreement with Spark's digest
         # classification proves digest equality ⇔ value equality

@@ -56,7 +56,9 @@ HEADLINE = [
     "corr_profile", "promo_revenue_share", "segment_top_orders",
     "supplier_diversity", "small_qty_revenue", "set_intersect",
     "sales_cube", "profile_table", "fuzzy_name_pairs",
-    "agg_incremental", "snapshot_diff",
+    "agg_incremental", "snapshot_diff", "big_spender_orders",
+    "returned_revenue_by_customer", "nation_trade_flows",
+    "best_supplier_per_part", "disjunctive_revenue", "market_share",
     # events (100k rows)
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "interval_join", "funnel", "retention_cohorts",

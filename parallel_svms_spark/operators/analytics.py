@@ -32,7 +32,7 @@ and could differ in the last ulp across engines/partitionings.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -577,3 +577,204 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
               .otherwise("changed"))
     return (j.select(status.alias("status"))
             .groupBy("status").agg(F.count("*").alias("n_keys")))
+
+
+def big_spender_orders(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, min_qty: float = 200.0,
+                       k: int = 20) -> DataFrame:
+    """Q18 silhouette: large-volume orders — the HAVING-on-aggregate
+    shape (``sum(quantity) > T``) feeding a join back to the order and
+    customer rows.
+
+    The aggregate-then-filter runs FIRST (partial agg, one
+    ≤|orders|-row shuffle, then a selective filter), so the joins see
+    only qualifying orderkeys — Catalyst cannot push a HAVING below
+    its aggregate, but expressing the plan this way keeps the
+    expensive fact-fact join on the post-filter sliver. Final top-k is
+    TakeOrderedAndProject on (total_qty DESC, orderkey), never a full
+    sort. Quantities are integral doubles → the LONG cast is exact.
+    """
+    q = (lineitem.groupBy("l_orderkey")
+         .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+         .filter(F.col("total_qty") > min_qty))
+    return (q.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_name", "o_custkey", "o_orderkey",
+                    F.to_date("o_orderdate").alias("order_day"),
+                    _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+                    "total_qty")
+            .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+            .limit(k))
+
+
+def returned_revenue_by_customer(customer: DataFrame, orders: DataFrame,
+                                 lineitem: DataFrame,
+                                 start: str = "1997-01-01",
+                                 end: str = "1997-07-01",
+                                 k: int = 20) -> DataFrame:
+    """Q10 silhouette: returned-item revenue per customer in a date
+    window, top-k offenders.
+
+    Date filter prunes the orders scan (pushed), the returnflag filter
+    prunes lineitem (pushed), revenue pre-aggregates per customer
+    BEFORE the customer join — the dimension join touches ≤|customers|
+    rows however large the facts. Top-k is the heap, tie-broken by
+    custkey.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = (lineitem.filter(F.col("l_returnflag") == "R")
+                .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (returned.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_custkey")
+           .agg(F.sum(_cents(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))))
+                .cast("long").alias("revenue_cents")))
+    return (rev.join(customer.select("c_custkey", "c_name"),
+                     F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey", "c_name", "revenue_cents")
+            .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+            .limit(k))
+
+
+def nation_trade_flows(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, supplier: DataFrame,
+                       nation: DataFrame, n1: str = "NATION_1",
+                       n2: str = "NATION_2") -> DataFrame:
+    """Q7 silhouette: bilateral trade volume between two nations per
+    ship year — the two-role dimension join (nation joins the star
+    TWICE, once through the customer and once through the supplier)
+    with a disjunctive cross-pair predicate.
+
+    Both nation roles are constant-size and broadcast; filtering each
+    role to the two named nations BEFORE the broadcast makes the
+    disjunction a cheap post-join filter on two tiny columns. Facts
+    join on their natural keys and never see a cartesian.
+    """
+    pair = F.broadcast(
+        nation.filter(F.col("n_name").isin(n1, n2)))
+    cn = pair.select(F.col("n_nationkey").alias("c_nk"),
+                     F.col("n_name").alias("cust_nation"))
+    sn = pair.select(F.col("n_nationkey").alias("s_nk"),
+                     F.col("n_name").alias("supp_nation"))
+    return (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate",
+                        "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(cn, F.col("c_nationkey") == F.col("c_nk"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(F.sum(_cents(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))))
+             .cast("long").alias("revenue_cents")))
+
+
+def best_supplier_per_part(lineitem: DataFrame, part: DataFrame,
+                           supplier: DataFrame,
+                           max_size: int = 5) -> DataFrame:
+    """Q2 silhouette: for each small part, the best supplier that has
+    actually shipped it (max account balance, suppkey tie-break) — the
+    correlated argmax subquery, decorrelated.
+
+    The distinct (part, supplier) projection collapses fact volume
+    first (the only fact-sized exchange); the argmax is a window
+    partitioned per part — millions of independent partitions, each a
+    handful of rows, the opposite of a global sort. The supplier
+    attribute join is dimension-sized.
+    """
+    ps = (lineitem.select("l_partkey", "l_suppkey")
+          .join(part.filter(F.col("p_size") <= max_size)
+                .select("p_partkey"),
+                F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_suppkey").distinct())
+    j = ps.join(supplier.select("s_suppkey", "s_name", "s_acctbal"),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    "s_suppkey", "s_name", "s_acctbal"))
+
+
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q19 silhouette: revenue under an OR-of-ANDs predicate spanning
+    both join sides — the disjunction that defeats naive single-column
+    pushdown.
+
+    Expressed as one boolean expression over the joined row; Catalyst
+    still pushes the implied per-side domains (brand/type IN-list to
+    the part scan) and AQE picks the join strategy. The win at 100 TB
+    is NOT pre-splitting into three unioned scans (three passes over
+    the fact table); it is one pass with a vectorized predicate.
+    """
+    j = lineitem.select("l_partkey", "l_quantity",
+                        "l_extendedprice", "l_discount") \
+        .join(part.select("p_partkey", "p_brand", "p_type"),
+              F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+    cond = (((F.col("p_brand") == "Brand#1") & (q <= 10))
+            | ((F.col("p_brand") == "Brand#2") & q.between(10, 20))
+            | ((F.col("p_type") == "PROMO") & (q >= 30)))
+    return (j.filter(cond)
+            .agg(F.count("*").alias("n_items"),
+                 F.sum(_cents(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))))
+                 .cast("long").alias("revenue_cents")))
+
+
+def market_share(lineitem: DataFrame, orders: DataFrame,
+                 customer: DataFrame, supplier: DataFrame,
+                 nation: DataFrame, region: DataFrame,
+                 region_name: str = "ASIA",
+                 nation_name: str = "NATION_3") -> DataFrame:
+    """Q8 silhouette: one supplier-nation's share of a region's import
+    revenue per order year — the conditional-aggregate ratio over a
+    6-way star with nation again in two roles.
+
+    Share divides two exact LONG cent sums (promo_revenue_share's
+    determinism contract), so the ratio is reproducible double math.
+    Customer-side nation⋈region collapses to a broadcast key set;
+    the supplier-side nation broadcast carries the name for the
+    conditional sum — neither fact join widens.
+    """
+    reg = region.filter(F.col("r_name") == region_name) \
+        .select("r_regionkey")
+    cnat = F.broadcast(
+        nation.join(F.broadcast(reg),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nk")))
+    snat = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation")))
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    base = (
+        lineitem.select("l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(cnat, F.col("c_nationkey") == F.col("c_nk"))
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(snat, F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").cast("int").alias("yr"),
+                cents.alias("cents"), "supp_nation"))
+    is_n = F.col("supp_nation") == nation_name
+    return (base.groupBy("yr")
+            .agg(F.sum(F.when(is_n, F.col("cents")).otherwise(0))
+                 .cast("long").alias("nation_cents"),
+                 F.sum("cents").cast("long").alias("total_cents"))
+            .select("yr", "nation_cents", "total_cents",
+                    F.round(F.lit(1.0) * F.col("nation_cents")
+                            / F.col("total_cents"), 6).alias("share")))

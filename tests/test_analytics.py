@@ -378,3 +378,81 @@ def test_outlier_events_threshold_semantics(spark, sf_dir):
         direct = ev.filter(
             (ev.event_type == r.event_type) & (ev.value > r.p_thr)).count()
         assert direct == r.n_outliers
+
+
+def test_big_spender_orders_having_and_heap(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    q = AN.big_spender_orders(cust, orders, li, min_qty=50, k=5)
+    rows = q.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.total_qty > 50 for r in rows)
+    qtys = [r.total_qty for r in rows]
+    assert qtys == sorted(qtys, reverse=True)
+    # top-k must be the heap, never a full sort
+    assert "TakeOrderedAndProject" in phys(q)
+
+
+def test_nation_trade_flows_is_broadcast_both_roles(spark, sf_dir):
+    q = AN.nation_trade_flows(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"))
+    p = phys(q)
+    assert p.count("BroadcastHashJoin") >= 2  # nation joined twice
+    rows = q.collect()
+    # only the named pair, both directions, never self-trade
+    assert all({r.cust_nation, r.supp_nation} ==
+               {"NATION_1", "NATION_2"} for r in rows)
+
+
+def test_best_supplier_per_part_is_argmax(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    rows = AN.best_supplier_per_part(li, part, supp).collect()
+    assert rows and len({r.p_partkey for r in rows}) == len(rows)
+    bal = {r.s_suppkey: r.s_acctbal for r in supp.collect()}
+    # spot-check: the chosen supplier's balance is the max among the
+    # part's actual shippers
+    sample = rows[0]
+    shippers = {r.l_suppkey for r in li.filter(
+        li.l_partkey == sample.p_partkey).collect()}
+    assert sample.s_acctbal == max(bal[s] for s in shippers)
+
+
+def test_disjunctive_revenue_equals_three_way_union(spark, sf_dir):
+    from pyspark.sql import functions as F
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    got = AN.disjunctive_revenue(li, part).collect()[0]
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    n = (j.filter("p_brand = 'Brand#1' AND l_quantity <= 10").count()
+         + j.filter("p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20"
+                    ).count()
+         + j.filter("p_type = 'PROMO' AND l_quantity >= 30").count())
+    # arms are disjoint (different brands; PROMO arm disjoint by qty
+    # only when brands differ) — verify against the operator's count
+    overlap = j.filter(
+        "p_type = 'PROMO' AND l_quantity >= 30 AND "
+        "(p_brand = 'Brand#1' AND l_quantity <= 10 OR "
+        " p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)").count()
+    assert got.n_items == n - overlap
+
+
+def test_market_share_ratio_identity(spark, sf_dir):
+    rows = AN.market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region")).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.nation_cents <= r.total_cents
+        assert abs(r.share - round(r.nation_cents / r.total_cents, 6)) \
+            < 1e-9
