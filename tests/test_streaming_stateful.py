@@ -501,3 +501,77 @@ def test_streaming_outlier_screen_matches_batch_boundary(spark, sf_dir):
     assert {r.event_id for r in rows} == want
     assert len(rows) == len(want)  # exactly-once per outlier
     assert n_thr >= 1 and all(r.value > r.p_thr for r in rows)
+
+
+def test_checkpoint_restart_recovers_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart recovery: a checkpointed stateful query,
+    stopped after the first file and restarted on the same checkpoint
+    with more files present, must produce the batch answer with no
+    duplicated and no lost sessions — exactly-once across restarts,
+    the property a 100 TB continuous pipeline actually relies on.
+
+    The sentinel event (far future) pushes the watermark past every
+    real session so all of them close and emit before the final stop.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import events as E
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.user_id, r.session_start, r.session_end): r.n_events
+             for r in E.sessionize(events, gap_minutes=30).collect()}
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    sentinel = pa.table({
+        "event_id": pa.array([10**9], pa.int64()),
+        "ts": pa.array([tbl["ts"][-1].as_py() + timedelta(days=365)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([10**9], pa.int64()),
+        "event_type": pa.array(["view"], pa.string()),
+        "value": pa.array([0.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    })
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    n = tbl.num_rows
+
+    def start():
+        stream = SW.stream_events_from_dir(spark, str(src),
+                                           max_files_per_trigger=1)
+        sess = SW.sessionize_stateful(stream, gap_minutes=30)
+        return (sess.writeStream.outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .format("parquet").option("path", str(sink))
+                .start())
+
+    # phase 1: first half only, then a hard stop (mid-pipeline state
+    # lives in the checkpoint now)
+    pq.write_table(tbl.slice(0, n // 2), f"{src}/0000.parquet")
+    os.utime(f"{src}/0000.parquet", (1000, 1000))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # phase 2: rest + sentinel arrive while the query is DOWN; restart
+    # from the same checkpoint must pick them up without re-emitting
+    # phase-1 output
+    pq.write_table(tbl.slice(n // 2), f"{src}/0001.parquet")
+    pq.write_table(sentinel, f"{src}/0002.parquet")
+    os.utime(f"{src}/0001.parquet", (1001, 1001))
+    os.utime(f"{src}/0002.parquet", (1002, 1002))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got_rows = [r for r in spark.read.parquet(str(sink)).collect()
+                if r.user_id != 10**9]
+    got = {(r.user_id, r.session_start, r.session_end): r.n_events
+           for r in got_rows}
+    assert len(got_rows) == len(got)  # no duplicate emissions
+    assert got == batch               # no lost sessions either
