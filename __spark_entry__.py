@@ -308,7 +308,7 @@ _QKEY_ORDER = [
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
     "retention_cohorts", "gap_fill_daily", "activity_streaks",
-    "value_histogram", "outlier_events",
+    "value_histogram", "outlier_events", "event_transitions",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "resize_images",
     # text analysis
@@ -549,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": lambda s, d: E.value_histogram(
             load_table(s, d, "events")),
         "outlier_events": lambda s, d: E.outlier_events(
+            load_table(s, d, "events")),
+        "event_transitions": lambda s, d: E.event_transitions(
             load_table(s, d, "events")),
         # merge-vs-recompute: archive/delta split on shipdate; the
         # oracle aggregates the UNSPLIT table — hash equality proves
@@ -914,6 +916,15 @@ above AS (SELECT e.event_type, count(*) AS n_outliers
 SELECT t.event_type, t.n_events, t.p_thr,
        CAST(COALESCE(a.n_outliers, 0) AS BIGINT) AS n_outliers
 FROM thr t LEFT JOIN above a USING (event_type)
+""",
+        "event_transitions": """
+WITH p AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
 """,
         # the UNSPLIT recompute — equality proves the archive+delta
         # partial states merge exactly

@@ -63,7 +63,7 @@ HEADLINE = [
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "interval_join", "funnel", "retention_cohorts",
     "gap_fill_daily", "activity_streaks", "value_histogram",
-    "outlier_events",
+    "outlier_events", "event_transitions",
     # documents (5k rows)
     "dedup_exact", "dedup_incremental", "simjoin_candidates",
     "dedup_minhash", "dedup_simhash",

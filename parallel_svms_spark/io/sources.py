@@ -324,3 +324,40 @@ def upsert_partitioned(spark: SparkSession, path: str, updates: DataFrame,
      .option("partitionOverwriteMode", "dynamic")
      .partitionBy(partition_col).parquet(path))
     return parts
+
+
+def read_jsonl_quarantine(spark: SparkSession, path: str,
+                          schema: T.StructType | None = None
+                          ) -> tuple[DataFrame, DataFrame]:
+    """JSONL source with corrupt-line quarantine: returns
+    (clean_rows, quarantined_raw_lines).
+
+    Real corpus drops contain malformed lines; silently nulling them
+    (read_jsonl's PERMISSIVE default) loses the evidence. This variant
+    keeps the raw text of every unparseable line in a
+    ``_corrupt_record`` column so the pipeline can count, sample, and
+    re-ingest them after a fix — the quarantine-table pattern. One
+    scan feeds both outputs (the split is two filters over the same
+    cached-able plan, not two reads). Schema stays explicit: no
+    inference pre-scan at any scale.
+    """
+    base = schema or DOCUMENTS_SCHEMA
+    with_corrupt = T.StructType(
+        list(base.fields)
+        + [T.StructField("_corrupt_record", T.StringType())])
+    # cache(): Spark refuses a query that reads ONLY the corrupt
+    # column from a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN —
+    # the column exists only during full-row parsing); materializing
+    # the parsed rows once lifts the restriction and also means the
+    # clean/quarantine split costs ONE parse, not two. The cache holds
+    # one ingest batch — bounded by the drop being ingested, and
+    # droppable by the caller via spark.catalog.clearCache().
+    df = (spark.read.schema(with_corrupt)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path)).cache()
+    clean = (df.filter(F.col("_corrupt_record").isNull())
+             .drop("_corrupt_record"))
+    quarantined = (df.filter(F.col("_corrupt_record").isNotNull())
+                   .select("_corrupt_record"))
+    return clean, quarantined

@@ -400,3 +400,26 @@ def outlier_events(events: DataFrame, q: float = 0.99,
             .select("event_type", "n_events", "p_thr",
                     F.coalesce(F.col("n_outliers"), F.lit(0))
                     .cast("long").alias("n_outliers")))
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition counts — first-order Markov
+    structure of the event stream ((prev → next) pair frequencies),
+    the order-SENSITIVE sequence statistic none of the set-shaped
+    aggregations capture.
+
+    One ``lag`` window partitioned per user (ts, event_id total
+    order — the asof/sessionize tie contract), then a map-side-
+    combinable pair count: the only exchanges are the user hash for
+    the window and ≤|types|² rows for the count. A mega-user costs
+    one task's sort, bounded by that user's events — same profile as
+    sessionize, with sessionize_bucketed's bucketing trick applicable
+    verbatim if one user outgrows a task.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("prev_type", F.lag("event_type").over(w))
+             .filter(F.col("prev_type").isNotNull()))
+    return (pairs.groupBy("prev_type",
+                          F.col("event_type").alias("next_type"))
+            .agg(F.count("*").alias("n_transitions")))

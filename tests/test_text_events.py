@@ -335,3 +335,49 @@ def test_interval_join_boundaries_and_exactly_once(spark):
     # inclusive on both ends, outside point excluded, and — despite the
     # interval exploding into 11 buckets — each match appears ONCE
     assert matched == [100, 101, 102]
+
+
+def test_event_transitions_hand_case(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "view"), (2, base + dt.timedelta(minutes=1), 1, "click"),
+        (3, base + dt.timedelta(minutes=2), 1, "view"),
+        (4, base, 2, "view"), (5, base + dt.timedelta(minutes=1), 2, "click"),
+        (6, base, 3, "signup"),   # single event: no transition
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    from parallel_svms_spark.operators.events import event_transitions
+    got = {(r.prev_type, r.next_type): r.n_transitions
+           for r in event_transitions(df).collect()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
+def test_event_transitions_conservation(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import event_transitions
+    ev = load_table(spark, sf_dir, "events")
+    total = sum(r.n_transitions
+                for r in event_transitions(ev).collect())
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert total == n_events - n_users  # one less transition per user
+
+
+def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path):
+    from parallel_svms_spark.io.sources import read_jsonl_quarantine
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "part0.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok one", "lang": "en", '
+        '"source": "web", "n_chars": 6}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "text": "ok two", "lang": "en", '
+        '"source": "web", "n_chars": 6}\n'
+        '{"doc_id": 3, "text": "truncated...\n')
+    clean, quarantined = read_jsonl_quarantine(spark, str(p))
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    bad = [r._corrupt_record for r in quarantined.collect()]
+    assert len(bad) == 2
+    assert "not json" in bad[0] or "not json" in bad[1]
