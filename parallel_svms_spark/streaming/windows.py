@@ -535,3 +535,51 @@ def streaming_outlier_screen(stream: DataFrame, thresholds: DataFrame,
             .filter(F.col("value") > F.col("p_thr"))
             .select("event_id", "ts", "user_id", "event_type", "value",
                     "p_thr"))
+
+
+_TRANSITIONS_STATE_SCHEMA = "last_type string, last_ts_us long"
+
+TRANSITIONS_OUT_SCHEMA = ("user_id long, prev_type string, "
+                          "next_type string, ts timestamp")
+
+
+def transitions_stateful(stream: DataFrame,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``operators.events.event_transitions``: emit
+    one (user_id, prev_type, next_type, ts) row the moment each
+    transition happens; aggregating the feed by (prev, next) count
+    reproduces the batch pair table exactly (equivalence-tested).
+
+    State per user is ONE string + one timestamp — the smallest
+    possible stateful operator, O(users) forever. Within a
+    micro-batch events sort by (ts, event_id) — the same total order
+    the batch lag window uses — and across micro-batches a
+    time-ordered source is assumed (same contract, and same
+    late-event trade, as the sessionizer and funnel twins).
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        (user_id,) = key
+        ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if len(ev) == 0:
+            return
+        last_type, _ = state.get if state.exists else (None, -1)
+        rows = []
+        for ts, etype in zip(ev["ts"], ev["event_type"]):
+            if last_type is not None:
+                rows.append((user_id, last_type, etype, ts))
+            last_type = etype
+        state.update((last_type,
+                      int(ev["ts"].iloc[-1].value // 1_000)))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "user_id", "prev_type", "next_type", "ts"])
+
+    return (stream.select("user_id", "ts", "event_id", "event_type")
+            .withWatermark("ts", watermark)
+            .groupBy("user_id").applyInPandasWithState(
+                fn, TRANSITIONS_OUT_SCHEMA, _TRANSITIONS_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

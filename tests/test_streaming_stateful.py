@@ -575,3 +575,34 @@ def test_checkpoint_restart_recovers_exactly_once(spark, sf_dir, tmp_path):
            for r in got_rows}
     assert len(got_rows) == len(got)  # no duplicate emissions
     assert got == batch               # no lost sessions either
+
+
+def test_transitions_stateful_matches_batch(spark, sf_dir):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import event_transitions
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.prev_type, r.next_type): r.n_transitions
+             for r in event_transitions(events).collect()}
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        n = tbl.num_rows
+        for i, c in enumerate([tbl.slice(0, n // 3),
+                               tbl.slice(n // 3, n // 3),
+                               tbl.slice(2 * (n // 3))]):
+            pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+        stream = SW.stream_events_from_dir(spark, tmp)
+        feed = SW.transitions_stateful(stream)
+        q = (feed.writeStream.outputMode("append")
+             .format("memory").queryName("stream_trans").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.prev_type, r.next_type): r.n
+               for r in spark.sql(
+                   "SELECT prev_type, next_type, count(*) AS n "
+                   "FROM stream_trans GROUP BY 1, 2").collect()}
+    assert got == batch
