@@ -190,6 +190,10 @@ def main() -> None:
           lambda: EV.sessions_containing(ev).count())
     timed("value_histogram", n_ev,
           lambda: EV.value_histogram(ev).count())
+    timed("outlier_events", n_ev,
+          lambda: EV.outlier_events(ev).count())
+    timed("event_transitions", n_ev,
+          lambda: EV.event_transitions(ev).count())
     from parallel_svms_spark.operators import timeseries as TSOP
     timed("gap_fill_daily", n_ev,
           lambda: TSOP.gap_fill_daily(ev).count())
