@@ -43,7 +43,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # headline set: every family, weighted toward the scale-sensitive ops
 HEADLINE = [
     # relational core over lineitem/orders (600k rows at sf0.1)
-    "scan_count", "agg_groupby_count", "agg_error_sum",
+    "scan_count", "agg_count", "agg_groupby_count", "agg_error_sum",
+    "proj_label", "agg_bucket_count", "exchange_identity",
     "filter_semijoin", "dedup_anti", "merge_upsert", "set_union",
     "set_except",
     "parse_project", "parse_sparse", "repartition_balanced",
