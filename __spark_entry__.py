@@ -1026,9 +1026,11 @@ new AS (SELECT doc_id, text, lang, source,
         FROM documents WHERE doc_id >= 20),
 j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
                   WHEN n.doc_id IS NULL THEN 'removed'
-                  WHEN o.text = n.text AND o.lang = n.lang
-                       AND o.source = n.source
-                       AND o.n_chars = n.n_chars THEN 'same'
+                  WHEN o.text IS NOT DISTINCT FROM n.text
+                       AND o.lang IS NOT DISTINCT FROM n.lang
+                       AND o.source IS NOT DISTINCT FROM n.source
+                       AND o.n_chars IS NOT DISTINCT FROM n.n_chars
+                       THEN 'same'
                   ELSE 'changed' END AS status
       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
 SELECT status, count(*) AS n_keys FROM j GROUP BY 1

@@ -40,29 +40,37 @@ def register_tables(spark: SparkSession, sf_dir: str,
     return names
 
 
-def register_views(spark: SparkSession) -> list[str]:
+def register_views(spark: SparkSession, prefix: str = "") -> list[str]:
     """Derived relations over the registered tables. Each is a lazy
     logical plan built by the SAME operator functions the qkeys use —
-    one definition, two surfaces."""
+    one definition, two surfaces. ``prefix`` must match the one given
+    to ``register_tables`` (views resolve the prefixed table names and
+    are themselves registered under the same prefix)."""
     from parallel_svms_spark.operators import events as E
     from parallel_svms_spark.operators import text as TX
     from parallel_svms_spark.operators.dedup import exact_dedup_keys
 
+    docs = spark.table(prefix + "documents")
+    events = spark.table(prefix + "events")
     views: dict[str, DataFrame] = {
         # per-doc quality heuristics + language id
-        "doc_quality": TX.quality_score(spark.table("documents")),
+        "doc_quality": TX.quality_score(docs),
         # gap-based sessions (the operator's full session rows)
-        "event_sessions": E.sessionize(spark.table("events")),
+        "event_sessions": E.sessionize(events),
         # canonical doc id per exact-duplicate text group
-        "dedup_keys": exact_dedup_keys(spark.table("documents")),
-        # per-type tail thresholds for ad-hoc anomaly SQL
-        "event_outliers": E.outlier_events(spark.table("events")),
+        "dedup_keys": exact_dedup_keys(docs),
+        # per-type tail thresholds for ad-hoc anomaly SQL. approx=True
+        # (t-digest) on purpose: a default view must not hide an exact
+        # per-type value-multiset aggregation behind a SELECT — the
+        # exact twin stays a function call (outlier_events(approx=False))
+        "event_outliers": E.outlier_events(events, approx=True),
     }
     for name, df in views.items():
-        df.createOrReplaceTempView(name)
-    return sorted(views)
+        df.createOrReplaceTempView(prefix + name)
+    return sorted(prefix + name for name in views)
 
 
-def register(spark: SparkSession, sf_dir: str) -> list[str]:
+def register(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
     """Tables + derived views; returns everything registered."""
-    return register_tables(spark, sf_dir) + register_views(spark)
+    return (register_tables(spark, sf_dir, prefix)
+            + register_views(spark, prefix))

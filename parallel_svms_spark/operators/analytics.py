@@ -565,10 +565,15 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     """
     def keyed(df: DataFrame, tag: str) -> DataFrame:
         payload = [c for c in df.columns if c != key]
-        return df.select(
-            F.col(key),
-            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
-                         for c in payload]).alias(f"sig_{tag}"))
+        # NULL-safe digest: interleave a (never-null) null-flag with
+        # each value so NULL and any literal sentinel cannot collide,
+        # and NULL==NULL compares as 'same' — matching the oracle's
+        # IS NOT DISTINCT FROM semantics
+        cols = []
+        for c in payload:
+            cols.append(F.col(c).isNull().cast("int"))
+            cols.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        return df.select(F.col(key), F.xxhash64(*cols).alias(f"sig_{tag}"))
 
     j = keyed(old, "old").join(keyed(new, "new"), key, "full_outer")
     status = (F.when(F.col("sig_old").isNull(), "added")

@@ -566,7 +566,16 @@ def transitions_stateful(stream: DataFrame,
         ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         if len(ev) == 0:
             return
-        last_type, _ = state.get if state.exists else (None, -1)
+        last_type, last_ts_us = state.get if state.exists else (None, -1)
+        # enforce the time-ordered-source contract: an event arriving
+        # out of order across micro-batches (older than the stored
+        # last_ts_us) would pair with the wrong predecessor — drop it
+        # rather than emit a wrong (prev, next) row
+        if last_ts_us >= 0:
+            ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+            ev = ev[ts_us >= last_ts_us]
+            if len(ev) == 0:
+                return
         rows = []
         for ts, etype in zip(ev["ts"], ev["event_type"]):
             if last_type is not None:

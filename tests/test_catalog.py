@@ -42,15 +42,22 @@ def test_sql_joins_across_operator_views(spark, registered):
 
 
 def test_view_results_match_operator_calls(spark, sf_dir, registered):
+    # the default view is the bounded-state approx twin (ADVICE r4:
+    # a SELECT must not hide exact per-type value-multiset state);
+    # it must match the approx operator call exactly, and agree with
+    # the exact operator on counts (thresholds differ only by the
+    # t-digest's bounded error)
     from parallel_svms_spark.io.sources import load_table
     from parallel_svms_spark.operators.events import outlier_events
-    direct = sorted(map(tuple,
-                        outlier_events(load_table(spark, sf_dir,
-                                                  "events")).collect()))
+    ev = load_table(spark, sf_dir, "events")
+    direct = sorted(map(tuple, outlier_events(ev, approx=True).collect()))
     via_sql = sorted(map(tuple,
                          spark.sql("SELECT * FROM event_outliers")
                          .collect()))
     assert direct == via_sql
+    exact = {r.event_type: r.n_events
+             for r in outlier_events(ev).collect()}
+    assert {t[0]: t[1] for t in direct} == exact
 
 
 def test_pushdown_crosses_view_boundary(spark, registered):
