@@ -1,10 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (kept under 1900 chars — the driver parses it
+from a 2000-char stdout tail):
   {"metric": "total_headline_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1,
-   "probe_sec": p, "sessions": 2, "stress": {...}}
+   "probe_sec": p, "sessions": 2, "stress_file": "BENCH_STRESS.json"}
 
 Noise-aware methodology (VERDICT r2 #2 — this host shows co-tenant
 steal time that inflates 32-way-parallel queries up to 1.8× while
@@ -40,53 +41,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# headline set: every family, weighted toward the scale-sensitive ops
-HEADLINE = [
-    # relational core over lineitem/orders (600k rows at sf0.1)
-    "scan_count", "agg_count", "agg_groupby_count", "agg_error_sum",
-    "proj_label", "agg_bucket_count", "exchange_identity",
-    "filter_semijoin", "dedup_anti", "merge_upsert", "set_union",
-    "set_except",
-    "parse_project", "parse_sparse", "repartition_balanced",
-    "repartition_stratified", "merge_pairs",
-    # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes over the
-    # full warehouse star (600k lineitem / 150k orders at sf0.1)
-    "pricing_summary", "top_revenue_orders", "revenue_by_nation",
-    "late_order_priority", "sales_rollup", "sketch_profile",
-    "pivot_counts", "daily_revenue_window", "orders_reconcile",
-    "corr_profile", "promo_revenue_share", "segment_top_orders",
-    "supplier_diversity", "small_qty_revenue", "set_intersect",
-    "sales_cube", "profile_table", "fuzzy_name_pairs",
-    "agg_incremental", "snapshot_diff", "big_spender_orders",
-    "returned_revenue_by_customer", "nation_trade_flows",
-    "best_supplier_per_part", "disjunctive_revenue", "market_share",
-    # events (100k rows)
-    "json_extract", "window_tumbling", "window_hopping", "sessionize",
-    "sessionize_bucketed", "interval_join", "funnel", "retention_cohorts",
-    "gap_fill_daily", "activity_streaks", "value_histogram",
-    "outlier_events", "event_transitions",
-    # documents (5k rows)
-    "dedup_exact", "dedup_incremental", "simjoin_candidates",
-    "dedup_minhash", "dedup_simhash",
-    "dedup_clusters", "shard_pack", "sample_stratified",
-    "vocab_topk", "ngram_topk", "scrub_text",
-    "decontaminate", "mixture_sample", "repetition_stats", "tfidf_topk",
-    "dedup_keep_canonical", "salted_join_agg",
-    "mixture_sample_hash", "pipeline_curate", "length_profile",
-    "asof_join",
-    "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
-    "token_count", "boilerplate_score", "quality_filter",
-    "quality_deciles", "unigram_logprob", "bigram_logprob",
-    "jsonl_roundtrip", "orc_roundtrip",
-    "multimodal_features", "frame_sample", "resize_images",
-    # embeddings (2k rows, 64-dim)
-    "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_pq_topk", "ann_ivfpq_topk",
-    "dedup_embedding", "dedup_embedding_ivf", "label_centroids",
-    # the three reference dataflows (the ML payload) + linear path
-    "svm_train", "eval_confusion", "cascade_svm", "bagging_svm",
-    "iterative_svm", "svm_linear_ovr",
-]
+# headline set: the curated driver surface (all 50 qkeys — suites
+# union every per-operator query, so this times the full 107-query
+# surface). The one-line stdout JSON must fit the driver's 2000-char
+# tail buffer (BENCH_r04 lesson: a 4 KB line parsed as null), so the
+# per-query dict uses these 50 keys and the stress detail goes to
+# BENCH_STRESS.json instead of stdout.
+def headline_names() -> list[str]:
+    import __spark_entry__ as entrymod
+    return list(entrymod.queries())
+
+
+
 
 RUNS_PER_SESSION = 2  # recorded value = min over runs × sessions; the
                       # first run per session absorbs JVM/codegen
@@ -128,7 +94,7 @@ def child_main(sf_dir: str) -> int:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline_names():
         if name not in qs:
             continue
         # per-query isolation (VERDICT r3 #2): one regressed query must
@@ -307,16 +273,39 @@ def main() -> int:
         "sessions": sessions_run,
     }
     if errors:
-        out["errors"] = errors
+        out["errors"] = {k: v[:120] for k, v in errors.items()}
+    stress = None
     if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "1":
         pass
     elif time.monotonic() - t_start > budget_s:
-        out["stress"] = {"skipped": f"wall budget {budget_s}s exceeded "
-                         f"({round(time.monotonic() - t_start)}s) — "
-                         "see tools/stress.py runs in BASELINE.md"}
+        stress = {"skipped": f"wall budget {budget_s}s exceeded "
+                  f"({round(time.monotonic() - t_start)}s) — "
+                  "see tools/stress.py runs in BASELINE.md"}
     else:
-        out["stress"] = run_stress()
-    print(json.dumps(out))
+        stress = run_stress()
+    # the driver keeps only the LAST 2000 chars of stdout and parses
+    # the final line from that window (BENCH_r04's 4 KB line → parsed
+    # null). Stress detail goes to a committed file; the stdout line
+    # carries a pointer plus headroom-checked per-query timings.
+    here = os.path.dirname(os.path.abspath(__file__))
+    if stress is not None:
+        with open(os.path.join(here, "BENCH_STRESS.json"), "w") as fh:
+            json.dump({"sf": sf, "probe_sec": probe, "stress": stress},
+                      fh, indent=1, sort_keys=True)
+        out["stress_file"] = "BENCH_STRESS.json"
+    line = json.dumps(out)
+    if len(line) > 1900:
+        # degrade gracefully: full detail to a file, slowest queries
+        # inline until the line fits
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        out["queries_file"] = "BENCH_FULL.json"
+        ranked = sorted(timings, key=timings.get, reverse=True)
+        while len(line) > 1900 and ranked:
+            ranked = ranked[:-5]
+            out["queries"] = {n: timings[n] for n in sorted(ranked)}
+            line = json.dumps(out)
+    print(line)
     return 0
 
 

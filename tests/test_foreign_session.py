@@ -22,7 +22,7 @@ SCRIPT = textwrap.dedent("""
              .appName("foreign").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e
-    q = e.queries()
+    q = e.queries_all()
     sf = "/root/testdata/sf0.001"
     # the r3 breakage class: every operator that does timestamp
     # arithmetic, plus one from each runtime-conf-sensitive family
@@ -31,6 +31,13 @@ SCRIPT = textwrap.dedent("""
               "daily_revenue_window", "parse_sparse", "length_profile"):
         n = q[k](spark, sf).count()
         assert n >= 0, k
+        print("ok", k, n, flush=True)
+    # the driver-facing curated surface: suite construction must also
+    # survive a bare session (unions of per-member digest rows)
+    qc = e.queries()
+    for k in ("window_suite", "event_suite", "text_stats_suite"):
+        n = qc[k](spark, sf).count()
+        assert n == len(dict(e._SUITES)[k]), k
         print("ok", k, n, flush=True)
     df = e.entry(spark)
     assert len(df.collect()) > 0

@@ -28,7 +28,7 @@ SF_001 = "/root/testdata/sf0.01"
 
 @pytest.mark.parametrize("qkey", sorted(GOLDEN))
 def test_training_qkey_matches_golden(spark, qkey):
-    df = entrymod.queries()[qkey](spark, SF_001)
+    df = entrymod.queries_all()[qkey](spark, SF_001)
     cols = sorted(df.columns)
     assert cols == GOLDEN[qkey]["columns"]
     rows = sorted([r[c] for c in cols] for r in df.collect())

@@ -4,7 +4,11 @@ Runs every ``queries()[qkey]`` on Spark and, where present, the
 matching ``oracle_sql()[qkey]`` on DuckDB over the same parquet, then
 compares row-count + column names + order-insensitive value multiset.
 
-Usage:  python tools/selfcheck.py [sf_dir] [qkey ...]
+Usage:  python tools/selfcheck.py [--all] [sf_dir] [qkey ...]
+
+By default this emulates the driver exactly: the curated 50-qkey
+``queries()`` surface. ``--all`` switches to the full per-operator
+``queries_all()`` registry (107 qkeys, full-row hashes).
 """
 
 from __future__ import annotations
@@ -38,8 +42,10 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    use_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     # the IVF-family oracles rebuild their centroids from parquet at
     # oracle-construction time; point that rebuild at the SAME sf_dir
     # being compared (the driver's own gate runs at the default sf0.01)
@@ -51,7 +57,10 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if use_all:
+        qs, oracles = entrymod.queries_all(), entrymod.oracle_sql_all()
+    else:
+        qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
