@@ -322,7 +322,8 @@ _QKEY_ORDER = [
     "dedup_exact", "dedup_incremental", "dedup_clusters", "shard_pack",
     "sample_stratified",
     "simjoin_candidates", "dedup_minhash", "dedup_simhash",
-    "dedup_keep_canonical", "decontaminate", "mixture_sample",
+    "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
+    "mixture_sample",
     "mixture_sample_hash", "pipeline_curate",
     # similarity / ANN
     "label_centroids",
@@ -455,6 +456,15 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": lambda s, d: (lambda docs: __import__(
             "parallel_svms_spark.operators.contamination",
             fromlist=["x"]).decontaminate(
+                docs.filter("source <> 'src0'"),
+                docs.filter("source = 'src0'"), k=4)
+            .select("doc_id", "lang", "source"))(
+                load_table(s, d, "documents")),
+        # the hashed-prefilter twin: 8-byte broadcast keys + exact
+        # confirm on the surviving sliver; value-identical (same oracle)
+        "decontaminate_hashed": lambda s, d: (lambda docs: __import__(
+            "parallel_svms_spark.operators.contamination",
+            fromlist=["x"]).decontaminate_hashed(
                 docs.filter("source <> 'src0'"),
                 docs.filter("source = 'src0'"), k=4)
             .select("doc_id", "lang", "source"))(
@@ -1148,6 +1158,23 @@ FROM documents d JOIN ({_DEDUP_CLUSTERS_ORACLE}) c
         # min_overlap=1 (shingle CTEs mirror shingles_col incl. the
         # <k-token whole-text fallback)
         "decontaminate": """
+WITH bench AS (SELECT * FROM documents WHERE source = 'src0'),
+corp AS (SELECT * FROM documents WHERE source <> 'src0'),
+bsh AS (
+  SELECT DISTINCT UNNEST(CASE WHEN len(t) >= 4 THEN list_distinct(
+      [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+csh AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 4 THEN list_distinct(
+      [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp)),
+bad AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (shingle))
+SELECT doc_id, lang, source FROM corp
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+        "decontaminate_hashed": """
 WITH bench AS (SELECT * FROM documents WHERE source = 'src0'),
 corp AS (SELECT * FROM documents WHERE source <> 'src0'),
 bsh AS (
@@ -2168,6 +2195,12 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("dedup_incremental", ["sum(doc_id)", "sum(n_chars)",
                                "sum(length(text))"]),
     ],
+    "decontaminate_suite": [
+        ("decontaminate", ["sum(doc_id)", "count(distinct source)",
+                           "sum(length(lang))"]),
+        ("decontaminate_hashed", ["sum(doc_id)", "count(distinct source)",
+                                  "sum(length(lang))"]),
+    ],
     "sampling_suite": [
         ("mixture_sample", ["sum(doc_id)", "count(distinct source)"]),
         ("mixture_sample_hash", ["sum(doc_id)", "count(distinct source)"]),
@@ -2238,7 +2271,7 @@ _CURATED_ORDER = [
     "lm_suite", "roundtrip_suite",
     "dedup_exact_suite", "dedup_clusters", "simjoin_candidates",
     "dedup_minhash", "dedup_simhash", "dedup_keep_canonical",
-    "decontaminate", "sampling_suite", "pipeline_curate",
+    "decontaminate_suite", "sampling_suite", "pipeline_curate",
     "ann_suite", "embedding_dedup_suite",
     "approx_suite", "ml_suite",
 ]

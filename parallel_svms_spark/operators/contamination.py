@@ -85,3 +85,46 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     if broadcast_benchmark:
         bad = F.broadcast(bad)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def decontaminate_hashed(corpus: DataFrame, benchmark: DataFrame,
+                         k: int = 3, min_overlap: int = 1,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """``decontaminate`` with a hashed-shingle prefilter — the
+    bounded-broadcast 100 TB path, value-identical to the exact
+    operator (same DuckDB oracle).
+
+    Why: ``decontaminate`` broadcasts the benchmark's distinct shingle
+    STRINGS (tens of bytes each). At a large benchmark (say 10M
+    distinct shingles) that broadcast hash map is GBs per executor.
+    This variant broadcasts only ``xxhash64(shingle)`` — 8 bytes per
+    entry, ~5-10× smaller, cheaper to probe — and the corpus-side
+    prefilter is the same no-corpus-exchange broadcast semi-join, now
+    keyed on a long. A 64-bit hash makes false positives vanishingly
+    rare but not impossible, so the surviving sliver (prefilter hits —
+    benchmark-bounded, a sliver of the corpus by the same asymmetry
+    argument as ``decontaminate``) is exact-confirmed against the
+    shingle strings before the id set is built: only the sliver ever
+    carries strings across a join, and AQE sizes that join at runtime.
+    Exactness is therefore guaranteed by construction, not by hash
+    luck — the qkey shares ``decontaminate``'s oracle.
+    """
+    bsh = benchmark_shingles(benchmark, k, text_col)
+    bh = bsh.select(F.xxhash64("shingle").alias("h")).distinct()
+    csh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, k)))
+        .alias("shingle"))
+    pre = csh.join(F.broadcast(bh),
+                   F.xxhash64(F.col("shingle")) == F.col("h"),
+                   "left_semi")
+    confirmed = pre.join(bsh, "shingle", "left_semi")
+    if min_overlap <= 1:
+        bad = confirmed.select(id_col).distinct()
+    else:
+        bad = (confirmed.groupBy(id_col)
+               .agg(F.count("*").alias("n_hits"))
+               .filter(F.col("n_hits") >= int(min_overlap))
+               .select(id_col))
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")

@@ -592,3 +592,74 @@ def transitions_stateful(stream: DataFrame,
             .groupBy("user_id").applyInPandasWithState(
                 fn, TRANSITIONS_OUT_SCHEMA, _TRANSITIONS_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+_ASOF_STATE_SCHEMA = "prev_id long, prev_ts_us long, last_ts_us long"
+
+ASOF_OUT_SCHEMA = ("event_id long, user_id long, ts timestamp, "
+                   "prev_event_id long, prev_ts timestamp, gap_us long")
+
+
+def asof_stateful(stream: DataFrame, left_type: str = "error",
+                  right_type: str = "click",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``operators.events.asof_prev_event``: emit,
+    for each arriving ``left_type`` event, the most recent
+    ``right_type`` event by the same user at or before it — the
+    continuous "error correlated to the click that preceded it" feed.
+
+    State per user is ONE (event_id, ts) pair — the carry-forward
+    register the batch window's ``last(..., ignorenulls=True)``
+    maintains implicitly, made explicit. O(users) state forever, no
+    timeout needed (the register never grows). Events sort by
+    (ts, event_id) within a micro-batch — the batch operator's total
+    order — and the stored last_ts_us drops batch-leading events that
+    arrive out of order across micro-batches (same time-ordered-source
+    contract, and the same guard, as the transitions twin).
+
+    Lefts with no earlier right emit NULL prevs, exactly like the
+    batch LEFT-ASOF semantics (equivalence-tested on the fixture).
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        (user_id,) = key
+        ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if len(ev) == 0:
+            return
+        prev_id, prev_ts_us, last_ts_us = (
+            state.get if state.exists else (None, None, -1))
+        ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+        if last_ts_us >= 0:
+            keep = ts_us >= last_ts_us
+            ev, ts_us = ev[keep], ts_us[keep]
+            if len(ev) == 0:
+                return
+        rows = []
+        for eid, ts, t_us, etype in zip(ev["event_id"], ev["ts"],
+                                        ts_us, ev["event_type"]):
+            if etype == right_type:
+                prev_id, prev_ts_us = int(eid), int(t_us)
+            elif etype == left_type:
+                rows.append((
+                    int(eid), user_id, ts,
+                    prev_id,
+                    pd.Timestamp(prev_ts_us * 1_000)
+                    if prev_ts_us is not None else pd.NaT,
+                    int(t_us) - prev_ts_us
+                    if prev_ts_us is not None else None))
+        state.update((prev_id, prev_ts_us, int(ts_us.iloc[-1])))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "event_id", "user_id", "ts", "prev_event_id",
+                "prev_ts", "gap_us"])
+
+    return (stream
+            .filter(F.col("event_type").isin([left_type, right_type]))
+            .select("event_id", "ts", "user_id", "event_type")
+            .withWatermark("ts", watermark)
+            .groupBy("user_id").applyInPandasWithState(
+                fn, ASOF_OUT_SCHEMA, _ASOF_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

@@ -154,6 +154,38 @@ def test_decontaminate_broadcasts_benchmark_no_corpus_shuffle(docs):
     assert p.count("Exchange hashpartitioning") <= 2, p
 
 
+def test_decontaminate_hashed_prefilter_plan_and_equivalence(docs):
+    from parallel_svms_spark.operators import contamination as C
+    corpus = docs.filter("source <> 'src0'")
+    bench = docs.filter("source = 'src0'")
+    out = C.decontaminate_hashed(corpus, bench, k=4)
+    p = phys(out)
+    # the prefilter must be a broadcast semi-join keyed on the 64-bit
+    # shingle hash (xxhash64 on both sides of the condition), with the
+    # corpus side unexchanged — that is the whole point of the variant
+    assert "SortMergeJoin" not in p, p
+    assert "xxhash64" in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    # value-identical to the exact operator (hash collisions resolved
+    # by the confirm join), which is why both share one oracle
+    exact = {r.doc_id for r in
+             C.decontaminate(corpus, bench, k=4).select("doc_id").collect()}
+    hashed = {r.doc_id for r in out.select("doc_id").collect()}
+    assert exact == hashed
+
+
+def test_decontaminate_hashed_min_overlap(docs):
+    from parallel_svms_spark.operators import contamination as C
+    corpus = docs.filter("source <> 'src0'")
+    bench = docs.filter("source = 'src0'")
+    for t in (2, 5):
+        exact = {r.doc_id for r in C.decontaminate(
+            corpus, bench, k=4, min_overlap=t).select("doc_id").collect()}
+        hashed = {r.doc_id for r in C.decontaminate_hashed(
+            corpus, bench, k=4, min_overlap=t).select("doc_id").collect()}
+        assert exact == hashed, t
+
+
 def test_repetition_and_tfidf_never_exchange_token_rows(docs):
     import re
     from parallel_svms_spark.operators import text as TX

@@ -606,3 +606,35 @@ def test_transitions_stateful_matches_batch(spark, sf_dir):
                    "SELECT prev_type, next_type, count(*) AS n "
                    "FROM stream_trans GROUP BY 1, 2").collect()}
     assert got == batch
+
+
+def test_asof_stateful_matches_batch(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import asof_prev_event
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.event_id, r.user_id, r.ts, r.prev_event_id, r.prev_ts,
+              r.gap_us)
+             for r in asof_prev_event(events).collect()}
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        n = tbl.num_rows
+        for i, c in enumerate([tbl.slice(0, n // 3),
+                               tbl.slice(n // 3, n // 3),
+                               tbl.slice(2 * (n // 3))]):
+            pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+        stream = SW.stream_events_from_dir(spark, tmp)
+        feed = SW.asof_stateful(stream)
+        q = (feed.writeStream.outputMode("append")
+             .format("memory").queryName("stream_asof").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.event_id, r.user_id, r.ts, r.prev_event_id, r.prev_ts,
+                r.gap_us)
+               for r in spark.sql("SELECT * FROM stream_asof").collect()}
+    # every left event emitted exactly once, with the same prev pairing
+    # (including the NULL-prev lefts) as the batch window carry-forward
+    assert got == batch
