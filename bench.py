@@ -176,6 +176,12 @@ def run_stress() -> dict:
               lambda: contamination.decontaminate(
                   docs.filter("source <> 'src0'"),
                   docs.filter("source = 'src0'"), k=4).count())
+        # the bounded-broadcast twin on the same corpus: same output,
+        # 8-byte broadcast keys — the side-by-side IS the scale story
+        timed("decontaminate_hashed",
+              lambda: contamination.decontaminate_hashed(
+                  docs.filter("source <> 'src0'"),
+                  docs.filter("source = 'src0'"), k=4).count())
         timed("tfidf_topk",
               lambda: text.tfidf_topk(docs, top_n=5).count())
         timed("boilerplate_score",

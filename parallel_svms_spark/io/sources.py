@@ -361,3 +361,43 @@ def read_jsonl_quarantine(spark: SparkSession, path: str,
     quarantined = (df.filter(F.col("_corrupt_record").isNotNull())
                    .select("_corrupt_record"))
     return clean, quarantined
+
+
+def write_events_daily(events: DataFrame, path: str) -> None:
+    """Date-partitioned event-lake sink (`event_date=YYYY-MM-DD/`
+    directories): the standard physical design for append-heavy event
+    data, making every time-range query a pruned scan and every
+    daily-ingest overwrite partition-local (pair with
+    ``partitionOverwriteMode=dynamic`` like upsert_partitioned).
+
+    The partition key is DERIVED (``to_date(ts)``) and stored alongside
+    the full-resolution ``ts`` — readers keep microsecond timestamps;
+    the directory layout is pure physical design. One shuffle-free
+    write: partitionBy splits files within each task, no exchange.
+    Rows are sorted by ``ts`` WITHIN each task first (also no
+    exchange), so parquet row-group min/max stats are tight and the
+    residual sub-day ``ts`` predicate skips row groups, not just
+    directories — directory pruning gets the day, statistics pruning
+    gets the hour.
+    """
+    (events.withColumn("event_date", F.to_date("ts"))
+     .sortWithinPartitions("ts")
+     .write.mode("overwrite").partitionBy("event_date").parquet(path))
+
+
+def read_events_range(spark: SparkSession, path: str,
+                      start: str, end: str) -> DataFrame:
+    """Time-range read over a ``write_events_daily`` lake: the
+    [start, end) predicate lands on the partition column, so Spark
+    enumerates only the matching ``event_date=`` directories
+    (PartitionFilters in the scan — plan-tested) and never opens the
+    rest. The residual sub-day bounds apply to ``ts`` inside the
+    surviving partitions; the partition column is dropped so the
+    result schema matches the unpartitioned events table.
+    """
+    df = spark.read.parquet(path)
+    return (df.filter((F.col("event_date") >= F.to_date(F.lit(start)))
+                      & (F.col("event_date") < F.to_date(F.lit(end))))
+            .filter((F.col("ts") >= F.lit(start).cast("timestamp"))
+                    & (F.col("ts") < F.lit(end).cast("timestamp")))
+            .drop("event_date"))

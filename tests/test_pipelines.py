@@ -94,3 +94,35 @@ def test_trainer_err_rows(spark, emb):
     errs = fit.filter("kind = 'err'")
     assert errs.count() == 20  # 2 buckets × 10 classes
     assert errs.filter("err < 0 or err > 100").count() == 0
+
+
+def test_events_daily_lake_prunes_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import (load_table,
+                                                read_events_range,
+                                                write_events_daily)
+    events = load_table(spark, sf_dir, "events")
+    lake = str(tmp_path / "events_lake")
+    write_events_daily(events, lake)
+
+    # pick a 2-day window in the middle of the fixture's span
+    days = [r[0] for r in events.select(F.to_date("ts").alias("d"))
+            .distinct().orderBy("d").collect()]
+    assert len(days) >= 3, "fixture spans too few days for this test"
+    start, end = str(days[1]), str(days[min(3, len(days) - 1)])
+
+    got = read_events_range(spark, lake, start, end)
+    # 1) partition pruning is IN THE PLAN, not hoped for
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in \
+        plan.split("PartitionFilters")[1][:300], plan
+    # 2) values identical to filtering the unpartitioned table
+    want = events.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp")))
+    assert got.count() == want.count() > 0
+    assert sorted(got.columns) == sorted(events.columns)
+    s = {tuple(r) for r in got.select("event_id", "ts").collect()}
+    w = {tuple(r) for r in want.select("event_id", "ts").collect()}
+    assert s == w
