@@ -47,9 +47,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # tail buffer (BENCH_r04 lesson: a 4 KB line parsed as null), so the
 # per-query dict uses these 50 keys and the stress detail goes to
 # BENCH_STRESS.json instead of stdout.
-def headline_names() -> list[str]:
+def _bench_all() -> bool:
+    # SPARK_GRAFT_BENCH_ALL=1: time the full per-operator registry
+    # (queries_all, 108 entries) and write BENCH_ALL.json instead of
+    # the driver-facing stdout artifact — per-operator perf evidence,
+    # recorded once per round alongside the suite-level headline
+    return os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
+
+
+def registry():
     import __spark_entry__ as entrymod
-    return list(entrymod.queries())
+    return entrymod.queries_all() if _bench_all() else entrymod.queries()
+
+
+def headline_names() -> list[str]:
+    return list(registry())
 
 
 
@@ -91,7 +103,7 @@ def child_main(sf_dir: str) -> int:
     import __spark_entry__ as entrymod
     from parallel_svms_spark.session import get_spark
     spark = get_spark("bench")
-    qs = entrymod.queries()
+    qs = registry()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in headline_names():
@@ -294,6 +306,13 @@ def main() -> int:
     # null). Stress detail goes to a committed file; the stdout line
     # carries a pointer plus headroom-checked per-query timings.
     here = os.path.dirname(os.path.abspath(__file__))
+    if _bench_all():
+        with open(os.path.join(here, "BENCH_ALL.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+        print(json.dumps({"metric": "bench_all_sec", "value": total,
+                          "unit": "sec", "n_queries": len(timings),
+                          "file": "BENCH_ALL.json"}))
+        return 0
     if stress is not None:
         with open(os.path.join(here, "BENCH_STRESS.json"), "w") as fh:
             json.dump({"sf": sf, "probe_sec": probe, "stress": stress},

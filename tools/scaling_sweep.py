@@ -63,15 +63,23 @@ def main() -> None:
     # ops keyed by which replicated input they read
     EV_OPS = {
         "sessionize": lambda ev: EV.sessionize(ev).count(),
+        "asof_join": lambda ev: EV.asof_prev_event(ev).count(),
         "gap_fill_daily": lambda ev: TS.gap_fill_daily(ev).count(),
         "interval_join": lambda ev: EV.sessions_containing(ev).count(),
         "value_histogram": lambda ev: EV.value_histogram(ev).count(),
         "funnel": lambda ev: EV.funnel(ev).count(),
     }
+    from parallel_svms_spark.operators import contamination as C
     DOC_OPS = {
         "dedup_exact": lambda d: dedup.exact_dedup_keys(d).count(),
         "dedup_minhash": lambda d: dedup.minhash_near_dups(
             d, threshold=0.5).count(),
+        "decontaminate": lambda d: C.decontaminate(
+            d.filter("source <> 'src0'"),
+            d.filter("source = 'src0'"), k=4).count(),
+        "decontaminate_hashed": lambda d: C.decontaminate_hashed(
+            d.filter("source <> 'src0'"),
+            d.filter("source = 'src0'"), k=4).count(),
     }
     WH_OPS = {
         "pricing_summary": lambda li, orr, cust: AN.pricing_summary(
@@ -94,8 +102,26 @@ def main() -> None:
         print(f"  {name} x{mult}: {dt}s ({rows_out} rows)",
               file=sys.stderr, flush=True)
 
+    def probe() -> float:
+        # single-thread calibration (bench.py's methodology): compare
+        # probes ACROSS legs — a leg whose probe jumped was measured
+        # under host steal, discount its seconds before reading slopes
+        import numpy as np
+        x = np.arange(2_000_000, dtype=np.int64)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            y = x
+            for _ in range(8):
+                y = (y * 2862933555777941757 + 3037000493) % 1000003
+            assert int(y[0]) >= 0
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    probes = {}
     cust = spark.read.parquet(f"{stress_mod.SF_DIR}/customer.parquet")
     for mult in MULTS:
+        probes[mult] = probe()
         ev = spark.read.parquet(stress_mod.build_events(spark, mult))
         if dict(ev.dtypes).get("ts") == "timestamp_ntz":
             ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -134,6 +160,11 @@ def main() -> None:
         "single inflated point tilts it (compare to BASELINE.md's "
         "probe-calibrated bench rows before blaming code).",
         "",
+        "Per-leg single-thread probe (s): "
+        + ", ".join(f"{m}×={probes[m]}" for m in MULTS)
+        + " — a leg whose probe is inflated vs the others was measured "
+        "under host steal; discount that column.",
+        "",
         "| operator | " + " | ".join(f"{m}× sec" for m in MULTS)
         + " | slope | out rows at 10× |",
         "|---|" + "---|" * (len(MULTS) + 2),
@@ -148,7 +179,7 @@ def main() -> None:
             + " | ".join(str(times[m]) for m in MULTS)
             + f" | {slope} | {pts[-1]['rows_out']} |")
     Path(out_md).write_text("\n".join(lines) + "\n")
-    print(json.dumps({"slopes": summary}))
+    print(json.dumps({"slopes": summary, "probes": probes}))
     spark.stop()
 
 
