@@ -160,6 +160,14 @@ def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample_plan(media, every_ms=1000)
 
 
+def _audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal planning op, audio twin: one row per overlapping
+    analysis window per track (hop < window; pure JVM)."""
+    from parallel_svms_spark.operators import multimodal as MM
+    media = MM.synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return MM.audio_window_plan(media, window_ms=1000, hop_ms=500)
+
+
 def _resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize plumbing: metadata-predicate pushdown +
     Arrow-batched payload rewrite; observable = new dims + payload
@@ -310,7 +318,8 @@ _QKEY_ORDER = [
     "retention_cohorts", "gap_fill_daily", "activity_streaks",
     "value_histogram", "outlier_events", "event_transitions",
     # multimodal plumbing — cheap digest UDFs
-    "multimodal_features", "frame_sample", "resize_images",
+    "multimodal_features", "frame_sample", "audio_windows",
+    "resize_images",
     # text analysis
     "text_token_stats", "vocab_topk", "ngram_topk", "scrub_text",
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
@@ -605,6 +614,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": _pipeline_curate,
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
+        "audio_windows": _audio_windows,
         "resize_images": _resize_images,
     }
     assert set(reg) == set(_QKEY_ORDER), (
@@ -1247,6 +1257,17 @@ FROM (
          UNNEST(range(0, greatest(CAST(floor((n_chars * 7) / 1000.0) AS INT) - 1,
                                   0) + 1)) AS frame_no
   FROM documents WHERE doc_id % 3 = 2
+)
+""",
+        "audio_windows": """
+SELECT media_id, CAST(win_no AS INT) AS win_no,
+       CAST(win_no * 500 AS INT) AS start_ms,
+       CAST(least(win_no * 500 + 1000, duration_ms) AS INT) AS end_ms
+FROM (
+  SELECT doc_id AS media_id, CAST(n_chars * 7 AS INT) AS duration_ms,
+         UNNEST(range(0, greatest(CAST(ceil((n_chars * 7) / 500.0) AS INT),
+                                  1))) AS win_no
+  FROM documents WHERE doc_id % 3 = 1
 )
 """,
         "resize_images": """
@@ -2016,7 +2037,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 108 per-operator qkeys, 58 could never get a
+# time budget). With 109 per-operator qkeys, 59 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2149,6 +2170,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                  "sum(cast(floor(feature_sum*1000) "
                                  "as bigint))"]),
         ("frame_sample", ["sum(media_id*frame_no)", "sum(ts_ms)"]),
+        ("audio_windows", ["sum(media_id*win_no)", "sum(start_ms)",
+                           "sum(end_ms)"]),
         ("resize_images", ["sum(media_id*(width+height))", "sum(n_bytes)",
                            "sum(length(head_hex))"]),
     ],
@@ -2321,7 +2344,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 108 per-operator
+    per-round correctness budget), covering all 109 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

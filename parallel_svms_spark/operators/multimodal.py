@@ -218,3 +218,28 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return (media.filter(F.col("media_type") == "video")
             .select("media_id", frames.alias("frame_no"))
             .withColumn("ts_ms", F.col("frame_no") * every_ms))
+
+
+def audio_window_plan(media: DataFrame, window_ms: int = 1000,
+                      hop_ms: int = 500) -> DataFrame:
+    """Audio analysis-window *plan*: one row per overlapping window to
+    decode (media_id, win_no, start_ms, end_ms) — frame_sample_plan's
+    audio twin (STFT/feature windows hop at ``hop_ms`` < ``window_ms``,
+    unlike video's disjoint frames). Pure JVM sequence + explode;
+    executing the plan calls the codec hook per window, so a 2 h track
+    becomes ~14k independent rows the scheduler balances freely —
+    same skew story as video. Windows start while ``start < duration``
+    (the final partial window is kept: real features pad it); every
+    track emits at least one window (degenerate zero-duration rows get
+    win 0), matching the frame planner's at-least-one contract.
+    """
+    n_wins = F.greatest(
+        F.ceil(F.col("duration_ms") / hop_ms).cast("int"), F.lit(1))
+    wins = F.explode(F.sequence(F.lit(0), n_wins - 1))
+    return (media.filter(F.col("media_type") == "audio")
+            .select("media_id", "duration_ms", wins.alias("win_no"))
+            .select("media_id", "win_no",
+                    (F.col("win_no") * hop_ms).alias("start_ms"),
+                    F.least(F.col("win_no") * hop_ms + window_ms,
+                            F.col("duration_ms")).cast("int")
+                    .alias("end_ms")))

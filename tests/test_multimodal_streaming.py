@@ -139,3 +139,31 @@ def test_extract_features_batch_rows_restores_arrow_conf(spark, media):
              .select(pandas_udf(bsize, "long")("media_id").alias("b"))
              .collect())
     assert max(r.b for r in sizes) > 7       # not throttled to 7
+
+
+def test_audio_window_plan_hops_and_edges(spark, media):
+    from pyspark.sql import Row
+
+    out = MM.audio_window_plan(media, window_ms=1000, hop_ms=500)
+    rows = out.collect()
+    assert rows and all(r.start_ms == r.win_no * 500 for r in rows)
+    # overlapping hops: consecutive windows share 500ms until the tail
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for media_id, ws in by_id.items():
+        ws.sort(key=lambda r: r.win_no)
+        dur = max(r.end_ms for r in ws)
+        # windows start strictly inside the track; the final one is
+        # clamped to duration (partial window kept)
+        assert all(r.start_ms < dur or (dur == 0 and r.start_ms == 0)
+                   for r in ws), media_id
+        assert all(r.end_ms <= dur for r in ws)
+        assert ws[0].win_no == 0
+        assert [r.win_no for r in ws] == list(range(len(ws)))
+    # degenerate zero-duration track still yields exactly one window
+    zero = spark.createDataFrame([Row(
+        media_id=9_999, media_type="audio", payload=bytearray(b"x"),
+        width=0, height=0, duration_ms=0)])
+    z = MM.audio_window_plan(zero).collect()
+    assert [(r.win_no, r.start_ms, r.end_ms) for r in z] == [(0, 0, 0)]
