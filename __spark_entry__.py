@@ -329,6 +329,7 @@ _QKEY_ORDER = [
     "jsonl_roundtrip", "orc_roundtrip",
     # dedup / corpus assembly
     "dedup_exact", "dedup_incremental", "dedup_clusters", "shard_pack",
+    "pack_sequences",
     "sample_stratified",
     "simjoin_candidates", "dedup_minhash", "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
@@ -450,6 +451,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda s, d: D.dedup_clusters(
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "shard_pack": lambda s, d: SH.pack_shards(
+            load_table(s, d, "documents"), budget_tokens=4096),
+        "pack_sequences": lambda s, d: SH.pack_sequences(
             load_table(s, d, "documents"), budget_tokens=4096),
         "sample_stratified": lambda s, d: SH.stratified_sample(
             load_table(s, d, "embeddings"), n_per_label=10),
@@ -1138,6 +1141,20 @@ SELECT doc_id,
                OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
              - len(string_split(text, ' '))) // 4096 AS BIGINT) AS shard
 FROM documents
+""",
+        "pack_sequences": """
+WITH a AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                 OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - len(string_split(text, ' '))) // 4096 AS BIGINT) AS shard
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+FROM a GROUP BY shard
 """,
         "sample_stratified": """
 SELECT vec_id, label FROM (
@@ -2037,7 +2054,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 109 per-operator qkeys, 59 could never get a
+# time budget). With 110 per-operator qkeys, 60 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2231,6 +2248,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                "sum(vec_id*label)"]),
         ("shard_pack", ["sum(doc_id*shard)", "sum(n_tokens)",
                         "sum(shard)"]),
+        ("pack_sequences", ["sum(shard*n_docs)", "sum(n_tokens)",
+                            "sum(length(text))"]),
     ],
     "ann_suite": [
         ("topk_cosine", ["sum(vec_id)",
@@ -2344,7 +2363,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 109 per-operator
+    per-round correctness budget), covering all 110 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

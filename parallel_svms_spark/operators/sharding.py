@@ -240,3 +240,39 @@ def stratified_sample(df: DataFrame, n_per_label: int = 10,
     return (df.select(id_col, label_col, rn.alias("rn"))
             .filter(F.col("rn") <= int(n_per_label))
             .drop("rn"))
+
+
+def pack_sequences(documents: DataFrame, budget_tokens: int = 4096,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   sep: str = "\n\n") -> DataFrame:
+    """Sequence packing — the step AFTER ``pack_shards``: concatenate
+    each shard's documents (in id order, ``sep``-joined) into one
+    training sequence. Returns (shard, n_docs, n_tokens, text): the
+    rows a tokenizer+trainer consumes directly.
+
+    Scale shape: the only exchange beyond pack_shards' range exchange
+    is the shard-keyed aggregation, and a shard is ≤ budget_tokens +
+    one document by construction — so every group is bounded and the
+    concat state per reducer is one sequence, never a corpus
+    concatenation. Ordering inside a sequence must be deterministic to
+    be reproducible (and oracle-checkable): sort_array over
+    (id, text) structs pins it, matching the oracle's
+    ``string_agg(... ORDER BY id)`` exactly.
+
+    The doc→shard assignment is ``pack_shards``' exact prefix-sum
+    layout (shared code, shared oracle semantics); texts join back by
+    id AFTER assignment so the prefix-sum passes never carry text.
+    """
+    assign = pack_shards(documents, budget_tokens, id_col, text_col)
+    joined = assign.join(documents.select(id_col, text_col), id_col)
+    return (joined
+            .groupBy("shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col(id_col).alias("i"),
+                                      F.col(text_col).alias("t")))),
+                         lambda s: s["t"]),
+                     sep).alias("text")))

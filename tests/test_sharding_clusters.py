@@ -145,3 +145,25 @@ def test_pack_shards_property_random_ids_sizes_budgets(spark):
             ntok = len(t.split(" "))
             assert got[i] == (ntok, acc // budget), (seed, i)
             acc += ntok
+
+
+def test_pack_sequences_bounded_and_lossless(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.sharding import (pack_sequences,
+                                                        pack_shards)
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 512
+    seqs = pack_sequences(docs, budget_tokens=budget).collect()
+    # every shard holds < budget + its last doc's tokens (greedy cut),
+    # and all but possibly the last shard reach the budget boundary
+    assign = pack_shards(docs, budget_tokens=budget).collect()
+    max_doc = max(r.n_tokens for r in assign)
+    assert all(r.n_tokens < budget + max_doc for r in seqs)
+    # lossless: concatenations contain every document exactly once
+    total_tokens = sum(r.n_tokens for r in assign)
+    assert sum(r.n_tokens for r in seqs) == total_tokens
+    assert sum(r.n_docs for r in seqs) == docs.count()
+    # deterministic: a second run builds byte-identical sequences
+    again = {r.shard: r.text
+             for r in pack_sequences(docs, budget_tokens=budget).collect()}
+    assert {r.shard: r.text for r in seqs} == again
