@@ -305,7 +305,8 @@ _QKEY_ORDER = [
     # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes + rollup
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
-    "pivot_counts", "daily_revenue_window", "orders_reconcile",
+    "pivot_counts", "unpivot_counts", "daily_revenue_window",
+    "orders_reconcile",
     "corr_profile", "promo_revenue_share", "segment_top_orders",
     "supplier_diversity", "small_qty_revenue", "sales_cube",
     "profile_table", "fuzzy_name_pairs", "agg_incremental",
@@ -432,6 +433,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         "pivot_counts": lambda s, d: AN.pivot_counts(
             load_table(s, d, "documents")),
+        "unpivot_counts": lambda s, d: AN.unpivot_counts(
+            AN.pivot_counts(load_table(s, d, "documents"))),
         "daily_revenue_window": lambda s, d: AN.daily_revenue_window(
             load_table(s, d, "lineitem")),
         "orders_reconcile": lambda s, d: AN.orders_reconcile(
@@ -781,6 +784,19 @@ ORDER BY o_orderpriority
                 for v in ("de", "en", "es", "fr", "zh"))
             + " FROM documents GROUP BY source"
         ),
+        "unpivot_counts": """
+WITH cells AS (
+  SELECT s.source, l.lang
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT UNNEST(['de','en','es','fr','zh']) AS lang) l
+)
+SELECT c.source, c.lang,
+       CAST(COALESCE(SUM(CASE WHEN d.lang IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n
+FROM cells c
+LEFT JOIN documents d ON d.source = c.source AND d.lang = c.lang
+GROUP BY c.source, c.lang
+""",
         "promo_revenue_share": """
 SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
                      THEN FLOOR(l_extendedprice*(1-l_discount)*100)
@@ -2054,7 +2070,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 110 per-operator qkeys, 60 could never get a
+# time budget). With 111 per-operator qkeys, 61 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2143,6 +2159,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                         "+length(coalesce(l_linestatus,'')))"]),
         ("pivot_counts", ["sum(de+es)", "sum(en+fr+zh)",
                           "sum(length(source))"]),
+        ("unpivot_counts", ["sum(n)", "sum(length(lang)*n)",
+                            "sum(length(source))"]),
     ],
     "dss_suite_d": [
         ("daily_revenue_window", ["sum(revenue_cents)",
@@ -2363,7 +2381,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 110 per-operator
+    per-round correctness budget), covering all 111 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -367,6 +367,28 @@ def pivot_counts(df: DataFrame, row_key: str = "source",
           for v in values])
 
 
+def unpivot_counts(wide: DataFrame, row_key: str = "source",
+                   col_key: str = "lang",
+                   values: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+                   value_col: str = "n") -> DataFrame:
+    """Unpivot/melt — the inverse of ``pivot_counts``: one (row_key,
+    col_key, value) row per cell of the crosstab. DataFrame.unpivot
+    plans as a single Expand over the wide rows (|rows| × |values|
+    output, no shuffle at all) — the shape that turns a report matrix
+    back into the tidy relation joins and filters want.
+
+    Zero-filled cells survive the round trip (pivot emits 0, unpivot
+    keeps it), so ``unpivot_counts(pivot_counts(df))`` equals the
+    plain group-by count over observed pairs UNION the zero cells —
+    the round-trip is equivalence-tested and the qkey oracle is the
+    CASE-sum cross join, including the zeros.
+    """
+    out = wide.unpivot(
+        ids=[row_key], values=list(values),
+        variableColumnName=col_key, valueColumnName=value_col)
+    return out.select(row_key, col_key, F.col(value_col).cast("long"))
+
+
 def segment_top_orders(customer: DataFrame, orders: DataFrame,
                        lineitem: DataFrame, k: int = 3) -> DataFrame:
     """Top-k orders by revenue within every market segment.

@@ -456,3 +456,26 @@ def test_market_share_ratio_identity(spark, sf_dir):
         assert 0 <= r.nation_cents <= r.total_cents
         assert abs(r.share - round(r.nation_cents / r.total_cents, 6)) \
             < 1e-9
+
+
+def test_unpivot_inverts_pivot(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.analytics import (pivot_counts,
+                                                         unpivot_counts)
+    docs = load_table(spark, sf_dir, "documents")
+    tidy = unpivot_counts(pivot_counts(docs))
+    # round trip: observed pairs match the plain group-by; absent
+    # (source, lang) cells come back as explicit zeros
+    observed = {(r.source, r.lang): r.n for r in
+                docs.groupBy("source", "lang").count()
+                .withColumnRenamed("count", "n").collect()}
+    got = {(r.source, r.lang): r.n for r in tidy.collect()}
+    n_sources = docs.select("source").distinct().count()
+    assert len(got) == n_sources * 5
+    for cell, n in got.items():
+        assert n == observed.get(cell, 0), cell
+    # the unpivot plans as Expand over the wide rows — no exchange
+    plan = tidy._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
