@@ -167,3 +167,25 @@ def test_pack_sequences_bounded_and_lossless(spark, sf_dir):
     again = {r.shard: r.text
              for r in pack_sequences(docs, budget_tokens=budget).collect()}
     assert {r.shard: r.text for r in seqs} == again
+
+
+def test_pack_shards_matches_serial_reference_tiny_budget(spark):
+    # budget SMALLER than most docs: every document straddles shard
+    # boundaries, the adversarial case for the two-pass prefix sum
+    from pyspark.sql import Row
+
+    from parallel_svms_spark.operators.sharding import (pack_sequences,
+                                                        pack_shards)
+    docs = [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(n)))
+            for i, n in enumerate([5, 40, 1, 13, 8, 27, 2, 2, 31, 9])]
+    df = spark.createDataFrame(docs)
+    budget = 8
+    got = {r.doc_id: (r.n_tokens, r.shard)
+           for r in pack_shards(df, budget_tokens=budget).collect()}
+    acc = 0
+    for i, n in enumerate([5, 40, 1, 13, 8, 27, 2, 2, 31, 9]):
+        assert got[i] == (n, acc // budget), (i, got[i], acc)
+        acc += n
+    seqs = pack_sequences(df, budget_tokens=budget).collect()
+    assert sum(r.n_docs for r in seqs) == len(docs)
+    assert sum(r.n_tokens for r in seqs) == acc
