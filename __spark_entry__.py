@@ -349,7 +349,7 @@ _QKEY_ORDER = [
 
 def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The FULL per-operator registry: one entry per implemented
-    operator/query from SURVEY.md §2 (107 qkeys). The driver-facing
+    operator/query from SURVEY.md §2 (count pinned by _check_curated_cover). The driver-facing
     ``queries()`` below exposes a curated 50-qkey view of this surface
     (see _SUITES for why); tests/tools that want per-operator
     granularity use this one."""

@@ -49,7 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # BENCH_STRESS.json instead of stdout.
 def _bench_all() -> bool:
     # SPARK_GRAFT_BENCH_ALL=1: time the full per-operator registry
-    # (queries_all, 108 entries) and write BENCH_ALL.json instead of
+    # (queries_all — every per-operator qkey) and write BENCH_ALL.json instead of
     # the driver-facing stdout artifact — per-operator perf evidence,
     # recorded once per round alongside the suite-level headline
     return os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
@@ -293,7 +293,10 @@ def main() -> int:
     if errors:
         out["errors"] = {k: v[:120] for k, v in errors.items()}
     stress = None
-    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "1":
+    if _bench_all():
+        pass  # BENCH_ALL writes its own artifact below; stress would
+              # be discarded — don't spend minutes computing it
+    elif os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "1":
         pass
     elif time.monotonic() - t_start > budget_s:
         stress = {"skipped": f"wall budget {budget_s}s exceeded "
@@ -329,6 +332,12 @@ def main() -> int:
         while len(line) > 1900 and ranked:
             ranked = ranked[:-5]
             out["queries"] = {n: timings[n] for n in sorted(ranked)}
+            line = json.dumps(out)
+        if len(line) > 1900 and out.get("errors"):
+            # a mass-error round can blow the budget on messages alone;
+            # the full detail is already in BENCH_FULL.json
+            out["errors"] = {"n_errors": len(errors),
+                             "see": "BENCH_FULL.json"}
             line = json.dumps(out)
     print(line)
     return 0

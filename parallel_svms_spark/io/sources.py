@@ -396,8 +396,13 @@ def read_events_range(spark: SparkSession, path: str,
     result schema matches the unpartitioned events table.
     """
     df = spark.read.parquet(path)
+    # partition bound is <= on the END day: a sub-day end (e.g.
+    # '2024-01-05 12:00') lives INSIDE the event_date=2024-01-05
+    # directory — `<` would prune it and silently drop the morning's
+    # rows. The residual ts < end filter trims the tail; for an exact
+    # midnight end the extra directory costs one row-group-stats probe
     return (df.filter((F.col("event_date") >= F.to_date(F.lit(start)))
-                      & (F.col("event_date") < F.to_date(F.lit(end))))
+                      & (F.col("event_date") <= F.to_date(F.lit(end))))
             .filter((F.col("ts") >= F.lit(start).cast("timestamp"))
                     & (F.col("ts") < F.lit(end).cast("timestamp")))
             .drop("event_date"))

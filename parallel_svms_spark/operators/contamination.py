@@ -90,7 +90,8 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
 def decontaminate_hashed(corpus: DataFrame, benchmark: DataFrame,
                          k: int = 3, min_overlap: int = 1,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         broadcast_ids: bool = True) -> DataFrame:
     """``decontaminate`` with a hashed-shingle prefilter — the
     bounded-broadcast 100 TB path, value-identical to the exact
     operator (same DuckDB oracle).
@@ -109,6 +110,13 @@ def decontaminate_hashed(corpus: DataFrame, benchmark: DataFrame,
     carries strings across a join, and AQE sizes that join at runtime.
     Exactness is therefore guaranteed by construction, not by hash
     luck — the qkey shares ``decontaminate``'s oracle.
+
+    ``broadcast_ids`` gates the final anti-join's build side, exactly
+    like ``decontaminate``'s ``broadcast_benchmark`` does: the id set
+    scales with the CONTAMINATION FRACTION, not the benchmark, so when
+    decontaminating against a huge held-out split pass False and the
+    anti-join falls back to hash-partitioned. The 8-byte hash
+    broadcast (``bh``) stays — bounding it is this variant's purpose.
     """
     bsh = benchmark_shingles(benchmark, k, text_col)
     bh = bsh.select(F.xxhash64("shingle").alias("h")).distinct()
@@ -127,4 +135,6 @@ def decontaminate_hashed(corpus: DataFrame, benchmark: DataFrame,
                .agg(F.count("*").alias("n_hits"))
                .filter(F.col("n_hits") >= int(min_overlap))
                .select(id_col))
-    return corpus.join(F.broadcast(bad), id_col, "left_anti")
+    if broadcast_ids:
+        bad = F.broadcast(bad)
+    return corpus.join(bad, id_col, "left_anti")

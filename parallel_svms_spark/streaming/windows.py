@@ -537,7 +537,8 @@ def streaming_outlier_screen(stream: DataFrame, thresholds: DataFrame,
                     "p_thr"))
 
 
-_TRANSITIONS_STATE_SCHEMA = "last_type string, last_ts_us long"
+_TRANSITIONS_STATE_SCHEMA = ("last_type string, last_ts_us long, "
+                             "last_eid long")
 
 TRANSITIONS_OUT_SCHEMA = ("user_id long, prev_type string, "
                           "next_type string, ts timestamp")
@@ -566,14 +567,21 @@ def transitions_stateful(stream: DataFrame,
         ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         if len(ev) == 0:
             return
-        last_type, last_ts_us = state.get if state.exists else (None, -1)
-        # enforce the time-ordered-source contract: an event arriving
-        # out of order across micro-batches (older than the stored
-        # last_ts_us) would pair with the wrong predecessor — drop it
-        # rather than emit a wrong (prev, next) row
+        last_type, last_ts_us, last_eid = (
+            state.get if state.exists else (None, -1, -1))
+        # enforce the time-ordered-source contract in the BATCH
+        # operator's total order (ts, event_id): an event at or before
+        # the last processed (ts, id) pair arrived out of order across
+        # micro-batches and would pair with the wrong predecessor —
+        # drop it rather than emit a wrong (prev, next) row. Ties on
+        # ts alone are legitimate (higher event_id is still in-order);
+        # comparing the pair, not just ts, keeps batch equivalence
+        # when equal timestamps straddle a micro-batch boundary
         if last_ts_us >= 0:
             ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1_000
-            ev = ev[ts_us >= last_ts_us]
+            keep = (ts_us > last_ts_us) | (
+                (ts_us == last_ts_us) & (ev["event_id"] > last_eid))
+            ev = ev[keep]
             if len(ev) == 0:
                 return
         rows = []
@@ -582,7 +590,8 @@ def transitions_stateful(stream: DataFrame,
                 rows.append((user_id, last_type, etype, ts))
             last_type = etype
         state.update((last_type,
-                      int(ev["ts"].iloc[-1].value // 1_000)))
+                      int(ev["ts"].iloc[-1].value // 1_000),
+                      int(ev["event_id"].iloc[-1])))
         if rows:
             yield pd.DataFrame(rows, columns=[
                 "user_id", "prev_type", "next_type", "ts"])
@@ -594,7 +603,8 @@ def transitions_stateful(stream: DataFrame,
                 "append", GroupStateTimeout.NoTimeout))
 
 
-_ASOF_STATE_SCHEMA = "prev_id long, prev_ts_us long, last_ts_us long"
+_ASOF_STATE_SCHEMA = ("prev_id long, prev_ts_us long, "
+                      "last_ts_us long, last_eid long")
 
 ASOF_OUT_SCHEMA = ("event_id long, user_id long, ts timestamp, "
                    "prev_event_id long, prev_ts timestamp, gap_us long")
@@ -629,11 +639,16 @@ def asof_stateful(stream: DataFrame, left_type: str = "error",
         ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         if len(ev) == 0:
             return
-        prev_id, prev_ts_us, last_ts_us = (
-            state.get if state.exists else (None, None, -1))
+        prev_id, prev_ts_us, last_ts_us, last_eid = (
+            state.get if state.exists else (None, None, -1, -1))
         ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1_000
         if last_ts_us >= 0:
-            keep = ts_us >= last_ts_us
+            # drop events at or before the last processed (ts, id)
+            # pair — the batch operator's total order; ts-only
+            # comparison would mis-pair equal timestamps straddling
+            # a micro-batch boundary (see transitions_stateful)
+            keep = (ts_us > last_ts_us) | (
+                (ts_us == last_ts_us) & (ev["event_id"] > last_eid))
             ev, ts_us = ev[keep], ts_us[keep]
             if len(ev) == 0:
                 return
@@ -650,7 +665,8 @@ def asof_stateful(stream: DataFrame, left_type: str = "error",
                     if prev_ts_us is not None else pd.NaT,
                     int(t_us) - prev_ts_us
                     if prev_ts_us is not None else None))
-        state.update((prev_id, prev_ts_us, int(ts_us.iloc[-1])))
+        state.update((prev_id, prev_ts_us, int(ts_us.iloc[-1]),
+                      int(ev["event_id"].iloc[-1])))
         if rows:
             yield pd.DataFrame(rows, columns=[
                 "event_id", "user_id", "ts", "prev_event_id",

@@ -126,3 +126,13 @@ def test_events_daily_lake_prunes_partitions(spark, sf_dir, tmp_path):
     s = {tuple(r) for r in got.select("event_id", "ts").collect()}
     w = {tuple(r) for r in want.select("event_id", "ts").collect()}
     assert s == w
+
+    # sub-day END bound: the end-day partition must NOT be pruned —
+    # rows before noon on the end day are in range (review finding:
+    # `event_date < to_date(end)` silently dropped them)
+    end_noon = f"{end} 12:00:00"
+    got_noon = read_events_range(spark, lake, start, end_noon)
+    want_noon = events.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end_noon).cast("timestamp")))
+    assert got_noon.count() == want_noon.count() > want.count()

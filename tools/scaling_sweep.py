@@ -102,21 +102,11 @@ def main() -> None:
         print(f"  {name} x{mult}: {dt}s ({rows_out} rows)",
               file=sys.stderr, flush=True)
 
-    def probe() -> float:
-        # single-thread calibration (bench.py's methodology): compare
-        # probes ACROSS legs — a leg whose probe jumped was measured
-        # under host steal, discount its seconds before reading slopes
-        import numpy as np
-        x = np.arange(2_000_000, dtype=np.int64)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.monotonic()
-            y = x
-            for _ in range(8):
-                y = (y * 2862933555777941757 + 3037000493) % 1000003
-            assert int(y[0]) >= 0
-            best = min(best, time.monotonic() - t0)
-        return round(best, 3)
+    # single-thread calibration, ONE implementation: bench.py's
+    # probe (same loop, same constants) — compare probes ACROSS legs;
+    # a leg whose probe jumped was measured under host steal, discount
+    # its seconds before reading slopes
+    from bench import calibration_probe as probe
 
     probes = {}
     cust = spark.read.parquet(f"{stress_mod.SF_DIR}/customer.parquet")

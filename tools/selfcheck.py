@@ -8,7 +8,7 @@ Usage:  python tools/selfcheck.py [--all] [sf_dir] [qkey ...]
 
 By default this emulates the driver exactly: the curated 50-qkey
 ``queries()`` surface. ``--all`` switches to the full per-operator
-``queries_all()`` registry (107 qkeys, full-row hashes).
+``queries_all()`` registry (full-row hashes; count pinned by the import-time coverage assert).
 """
 
 from __future__ import annotations

@@ -173,6 +173,18 @@ def main() -> None:
               emb, threshold=0.9, n_lists=64).count())
     timed("boilerplate_score", n_docs,
           lambda: text.boilerplate_score(docs).count())
+    from parallel_svms_spark.operators import contamination as CN
+    from parallel_svms_spark.operators import sharding as SHOP
+    timed("decontaminate", n_docs,
+          lambda: CN.decontaminate(
+              docs.filter("source <> 'src0'"),
+              docs.filter("source = 'src0'"), k=4).count())
+    timed("decontaminate_hashed", n_docs,
+          lambda: CN.decontaminate_hashed(
+              docs.filter("source <> 'src0'"),
+              docs.filter("source = 'src0'"), k=4).count())
+    timed("pack_sequences", n_docs,
+          lambda: SHOP.pack_sequences(docs, budget_tokens=4096).count())
     from parallel_svms_spark.operators import events as EV
     ev_path = build_events(spark, mult_docs)
     ev = spark.read.parquet(ev_path)
