@@ -638,3 +638,51 @@ def test_asof_stateful_matches_batch(spark, sf_dir):
     # every left event emitted exactly once, with the same prev pairing
     # (including the NULL-prev lefts) as the batch window carry-forward
     assert got == batch
+
+
+def test_asof_stateful_tie_straddling_batches_is_dropped(spark):
+    """Equal timestamps straddling a micro-batch boundary (review
+    finding): a right (ts=T, id=9) lands in batch 1 and a left
+    (ts=T, id=5) in batch 2. In the batch operator's (ts, event_id)
+    total order the left PRECEDES that right, so pairing them would be
+    wrong — the (ts, event_id) guard must DROP the out-of-order left
+    (the time-ordered-source contract), never emit the wrong pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    tie = t0 + timedelta(minutes=5)
+
+    def tbl(rows):
+        return pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # batch 1: an early click (id=1), then the tie-ts click (id=9)
+        pq.write_table(tbl([(1, t0, "click"), (9, tie, "click")]),
+                       f"{tmp}/0000.parquet")
+        # batch 2: the tie-ts error (id=5) — earlier in (ts, id) order
+        # than click 9, plus a genuinely later error that must pair
+        # with click 9
+        later = tie + timedelta(minutes=1)
+        pq.write_table(tbl([(5, tie, "error"), (7, later, "error")]),
+                       f"{tmp}/0001.parquet")
+        stream = SW.stream_events_from_dir(spark, tmp)
+        feed = SW.asof_stateful(stream)
+        q = (feed.writeStream.outputMode("append")
+             .format("memory").queryName("stream_asof_tie").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {r.event_id: r.prev_event_id for r in
+               spark.sql("SELECT * FROM stream_asof_tie").collect()}
+    # the out-of-order tie left is dropped, not mis-paired with id=9;
+    # the in-order left pairs with the tie click
+    assert 5 not in got, got
+    assert got == {7: 9}, got
