@@ -257,6 +257,56 @@ def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+def _zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round trip: events → Morton-clustered parquet on
+    (user_id, value) → read back through a 2-D box predicate →
+    per-type rollup. Hash-matching the oracle (same box over the
+    ORIGINAL table) proves the re-layout is lossless and the clustered
+    files answer multi-column range predicates correctly; the file-
+    envelope pruning evidence lives in tests/test_layout.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.io.layout import write_zordered
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="zorder_rt_")
+    write_zordered(ev, tmp, ["user_id", "value"], bits=12, n_files=16)
+    back = spark.read.parquet(tmp)
+    box = back.filter((F.col("user_id").between(3, 9))
+                      & (F.col("value").between(50.0, 200.0)))
+    # per-row floor BEFORE the sum: integer sums are order-independent,
+    # so the digest is exact under any partitioning
+    return (box.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("user_id").alias("sum_users"),
+                 F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                  .alias("value_millis")))
+
+
+def _compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip: documents → deliberately
+    fragmented 48-file parquet → ``compact_files`` bin-pack rewrite →
+    per-source rollup. The oracle reads the ORIGINAL table, so the
+    hash match proves compaction changes layout only, never the row
+    multiset; the file-count shrink is pinned in tests/test_layout.py."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.io.layout import compact_files
+    docs = load_table(spark, sf_dir, "documents")
+    frag = tempfile.mkdtemp(prefix="compact_in_")
+    out = tempfile.mkdtemp(prefix="compact_out_")
+    docs.repartition(48).write.mode("overwrite").parquet(frag)
+    compact_files(spark, frag, out, target_file_bytes=64 << 20)
+    back = spark.read.parquet(out)
+    return (back.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.length("text")).alias("total_text_chars"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
 def _parse_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: reference sparse-line codec round trip — encode embeddings
     as ``label,i1,v1,...`` lines (|v| ≥ 0.05 kept), parse back with
@@ -327,11 +377,12 @@ _QKEY_ORDER = [
     "doc_fingerprint", "token_count", "length_profile",
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob",
-    "jsonl_roundtrip", "orc_roundtrip",
+    "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
+    "compaction_roundtrip",
     # dedup / corpus assembly
     "dedup_exact", "dedup_incremental", "dedup_clusters", "shard_pack",
     "pack_sequences",
-    "sample_stratified",
+    "sample_stratified", "sample_uniform",
     "simjoin_candidates", "dedup_minhash", "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
     "mixture_sample",
@@ -459,6 +510,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), budget_tokens=4096),
         "sample_stratified": lambda s, d: SH.stratified_sample(
             load_table(s, d, "embeddings"), n_per_label=10),
+        "sample_uniform": lambda s, d: SH.uniform_sample_exact(
+            load_table(s, d, "documents")
+            .select("doc_id", "source", "lang", "n_chars"), k=200),
         "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "dedup_minhash": lambda s, d: D.minhash_near_dups(
@@ -617,6 +671,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents").filter("doc_id >= 300")),
         "jsonl_roundtrip": _jsonl_roundtrip,
         "orc_roundtrip": _orc_roundtrip,
+        "zorder_roundtrip": _zorder_roundtrip,
+        "compaction_roundtrip": _compaction_roundtrip,
         "pipeline_curate": _pipeline_curate,
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
@@ -1734,6 +1790,36 @@ SELECT lang, COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM documents GROUP BY lang
 """,
+        # zorder_roundtrip: oracle runs the 2-D box over the ORIGINAL
+        # events table — the Morton re-layout must not change any row.
+        # floor(value*1000) is applied per row BEFORE the sum (integer
+        # sum, order-independent; both engines floor the same double)
+        "zorder_roundtrip": """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_millis
+FROM events
+WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 200.0
+GROUP BY event_type
+""",
+        # compaction_roundtrip: oracle aggregates the original table —
+        # bin-packing the fragmented copy must preserve the row multiset
+        "compaction_roundtrip": """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY source
+""",
+        # sample_uniform: md5 hex is identical in both engines, so the
+        # seedless top-k-by-hash draw is the exact same row set
+        "sample_uniform": """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 200
+""",
     }
 
 
@@ -2247,6 +2333,11 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("orc_roundtrip", ["sum(n_docs)",
                            "sum(total_chars+total_text_chars)",
                            "sum(min_doc_id+max_doc_id)"]),
+        ("zorder_roundtrip", ["sum(n_events)", "sum(sum_users)",
+                              "sum(value_millis)"]),
+        ("compaction_roundtrip", ["sum(n_docs)",
+                                  "sum(total_chars+total_text_chars)",
+                                  "sum(min_doc_id+max_doc_id)"]),
     ],
     "dedup_exact_suite": [
         ("dedup_exact", ["sum(doc_id)", "count(distinct doc_id)"]),
@@ -2264,6 +2355,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("mixture_sample_hash", ["sum(doc_id)", "count(distinct source)"]),
         ("sample_stratified", ["sum(vec_id)", "sum(label)",
                                "sum(vec_id*label)"]),
+        ("sample_uniform", ["sum(doc_id)", "sum(n_chars)",
+                            "count(distinct source)"]),
         ("shard_pack", ["sum(doc_id*shard)", "sum(n_tokens)",
                         "sum(shard)"]),
         ("pack_sequences", ["sum(shard*n_docs)", "sum(n_tokens)",

@@ -242,6 +242,30 @@ def stratified_sample(df: DataFrame, n_per_label: int = 10,
             .drop("rn"))
 
 
+def uniform_sample_exact(df: DataFrame, k: int = 100,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global exact-k uniform sample: the ``k`` rows
+    with the smallest ``md5(id-string)`` — a seedless reservoir
+    sample. md5 of the id is a fixed uniform draw per row, so the
+    selection is a true uniform k-subset, identical across runs and
+    engines (the DuckDB oracle reproduces the exact row set), and
+    STABLE under corpus growth: adding rows can only displace old
+    picks, never reshuffle survivors — the property eval-set carves
+    need.
+
+    Plan shape: sort+limit fuses into ``TakeOrderedAndProject`` —
+    each task keeps a local top-k heap and the driver merges P·k
+    candidates. No full sort, no exchange of the data. The driver
+    merge bounds k: fine through k ~ 10⁵ on thousands of tasks; for
+    larger carves switch to ``mixture_sample_hash`` at rate ≈ k/n
+    (same hash order, no driver merge, Binomial-sized)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return (df.withColumn("__h", h)
+            .orderBy("__h", F.col(id_col))
+            .limit(int(k))
+            .drop("__h"))
+
+
 def pack_sequences(documents: DataFrame, budget_tokens: int = 4096,
                    id_col: str = "doc_id", text_col: str = "text",
                    sep: str = "\n\n") -> DataFrame:

@@ -1,0 +1,124 @@
+"""Physical-layout operators: Z-order clustering, compaction, and the
+exact-k uniform sampler.
+
+The round-trip VALUE checks live in the qkey oracles
+(`zorder_roundtrip`, `compaction_roundtrip`, `sample_uniform` — see
+tests/test_oracles_all.py); this file pins what the oracles cannot
+see: the file-level pruning envelopes, the file-count shrink, and the
+sampler's plan + stability contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.io.layout import (compact_files,
+                                           dataset_file_stats,
+                                           file_column_envelopes,
+                                           write_zordered)
+from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators.sharding import uniform_sample_exact
+
+SF_MID = "/root/testdata/sf0.01"
+
+
+def _overlap_2d(path: str, boxes: dict[str, tuple]) -> tuple[int, int]:
+    """Files whose per-column envelopes intersect EVERY box — the
+    files a 2-D-pruning scan must open."""
+    cols = list(boxes)
+    envs = {c: file_column_envelopes(path, c) for c in cols}
+    n_files = len(envs[cols[0]])
+    assert all(len(envs[c]) == n_files for c in cols)
+    hit = 0
+    for i in range(n_files):
+        if all(not (envs[c][i][1] < boxes[c][0]
+                    or envs[c][i][0] > boxes[c][1]) for c in cols):
+            hit += 1
+    return hit, n_files
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The Morton layout's per-file envelopes must let a 2-D box
+    predicate skip most files, and strictly more than an unclustered
+    layout of the same file count skips."""
+    ev = load_table(spark, SF_MID, "events")
+    zpath, npath = str(tmp_path / "z"), str(tmp_path / "naive")
+    write_zordered(ev, zpath, ["user_id", "value"], bits=12, n_files=16)
+    # the fixture arrives time-ordered; a straight 16-file rewrite is
+    # the layout a naive ingest produces
+    ev.repartition(16).write.parquet(npath)
+
+    boxes = {"user_id": (3, 9), "value": (50.0, 200.0)}
+    z_hit, z_n = _overlap_2d(zpath, boxes)
+    n_hit, n_n = _overlap_2d(npath, boxes)
+    assert z_n == 16 and n_n == 16
+    # naive round-robin files all span ~the full value range → ~all hit
+    assert z_hit < n_hit
+    # the box covers ~5% × ~30% of the 2-D domain; clustered files are
+    # contiguous z-ranges, so at most half the files may intersect it
+    assert z_hit <= z_n // 2
+    # losslessness at file granularity too: same row count back
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_zorder_rejects_overflowing_key():
+    from parallel_svms_spark.io.layout import zorder_key
+    with pytest.raises(ValueError):
+        zorder_key([F.lit(0), F.lit(0)], bits=32)  # 64 > 62
+
+
+def test_compaction_shrinks_files_preserves_rows(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "out")
+    docs.repartition(48).write.parquet(frag)
+    n_in, _ = dataset_file_stats(frag)
+    assert n_in == 48
+    n_out = compact_files(spark, frag, out, target_file_bytes=64 << 20)
+    assert n_out < n_in
+    assert dataset_file_stats(out)[0] == n_out
+    back = spark.read.parquet(out)
+    # row multiset preserved: anti-joins empty both ways
+    assert back.count() == docs.count()
+    assert back.join(docs, ["doc_id"], "left_anti").count() == 0
+
+
+def test_compaction_coalesce_no_exchange(spark, sf_dir, tmp_path):
+    """Compaction must merge splits without shuffling the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    frag = str(tmp_path / "frag")
+    docs.repartition(48).write.parquet(frag)
+    plan = (spark.read.parquet(frag).coalesce(2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Coalesce" in plan and "Exchange" not in plan
+
+
+def test_uniform_sample_exact_contracts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s50 = uniform_sample_exact(docs, k=50)
+    ids50 = {r.doc_id for r in s50.select("doc_id").collect()}
+    assert len(ids50) == 50
+    # deterministic across runs
+    assert ids50 == {r.doc_id
+                     for r in uniform_sample_exact(docs, k=50)
+                     .select("doc_id").collect()}
+    # nested-sample property of a fixed total order: top-50 ⊂ top-80
+    ids80 = {r.doc_id for r in uniform_sample_exact(docs, k=80)
+             .select("doc_id").collect()}
+    assert ids50 < ids80
+    # growth stability: md5 order is per-row, so restricting the
+    # corpus can only ADD survivors from the retained rows' top-k
+    sub = docs.filter("doc_id % 5 != 0")
+    ids_sub = {r.doc_id for r in uniform_sample_exact(sub, k=50)
+               .select("doc_id").collect()}
+    assert {i for i in ids50 if i % 5 != 0} <= ids_sub
+
+
+def test_uniform_sample_plan_is_take_ordered(spark, sf_dir):
+    """sort+limit must fuse into TakeOrderedAndProject — per-task
+    top-k heaps, no full sort, no exchange of the data."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (uniform_sample_exact(docs, k=50)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
