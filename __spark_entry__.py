@@ -382,7 +382,7 @@ _QKEY_ORDER = [
     # dedup / corpus assembly
     "dedup_exact", "dedup_incremental", "dedup_clusters", "shard_pack",
     "pack_sequences",
-    "sample_stratified", "sample_uniform",
+    "sample_stratified", "sample_uniform", "sample_weighted",
     "simjoin_candidates", "dedup_minhash", "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
     "mixture_sample",
@@ -513,6 +513,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_uniform": lambda s, d: SH.uniform_sample_exact(
             load_table(s, d, "documents")
             .select("doc_id", "source", "lang", "n_chars"), k=200),
+        # length-as-quality weight: P(keep) = min(n_chars/2000, 1) —
+        # a per-ROW rate (vs mixture_sample_hash's per-group constant)
+        "sample_weighted": lambda s, d: SH.weighted_sample(
+            load_table(s, d, "documents")
+            .select("doc_id", "source", "n_chars"),
+            weight=F.col("n_chars") / F.lit(2000.0)),
         "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "dedup_minhash": lambda s, d: D.minhash_near_dups(
@@ -1820,6 +1826,15 @@ FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
 LIMIT 200
 """,
+        # sample_weighted: per-row keep probability min(n_chars/2000,1)
+        # via the same md5-hex coin; hex/lpad/lower agree across engines
+        "sample_weighted": """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < lower(lpad(hex(CAST(FLOOR(LEAST(n_chars / 2000.0, 1.0)
+                                  * 4294967295) AS BIGINT)), 8, '0'))
+""",
     }
 
 
@@ -2357,6 +2372,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                "sum(vec_id*label)"]),
         ("sample_uniform", ["sum(doc_id)", "sum(n_chars)",
                             "count(distinct source)"]),
+        ("sample_weighted", ["sum(doc_id)", "sum(n_chars)",
+                             "count(distinct source)"]),
         ("shard_pack", ["sum(doc_id*shard)", "sum(n_tokens)",
                         "sum(shard)"]),
         ("pack_sequences", ["sum(shard*n_docs)", "sum(n_tokens)",

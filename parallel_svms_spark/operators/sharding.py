@@ -15,7 +15,7 @@ and "tokenizer-ready shards").
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -264,6 +264,30 @@ def uniform_sample_exact(df: DataFrame, k: int = 100,
             .orderBy("__h", F.col(id_col))
             .limit(int(k))
             .drop("__h"))
+
+
+def weighted_sample(df: DataFrame, weight: Column,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic importance sampling: keep each row independently
+    with probability ``min(weight, 1)`` — the quality-weighted corpus
+    draw (upsample high-quality sources, downsample boilerplate)
+    production data mixers run, made reproducible.
+
+    Same seedless coin as ``mixture_sample_hash``, generalized from a
+    per-GROUP constant rate to a per-ROW weight expression: row kept
+    iff the first 8 hex chars of md5(id) fall below the weight scaled
+    onto [0, 16⁸) and rendered as zero-padded lowercase hex
+    (fixed-width hex compares lexicographically = numerically, and
+    md5/hex/lpad are engine-portable, so the DuckDB oracle reproduces
+    the exact row set). One narrow codegen'd filter: no window, no
+    exchange, no RNG state; membership depends only on (id, weight),
+    so re-runs and growth of the rest of the corpus never flip a row."""
+    u32 = float(16 ** 8 - 1)
+    thr = F.lower(F.lpad(F.hex(
+        F.floor(F.least(weight.cast("double"), F.lit(1.0)) * F.lit(u32))
+         .cast("bigint")), 8, "0"))
+    h8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return df.filter(h8 < thr)
 
 
 def pack_sequences(documents: DataFrame, budget_tokens: int = 4096,

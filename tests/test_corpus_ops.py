@@ -154,6 +154,28 @@ def test_mixture_sample_hash_rate_and_no_shuffle(spark, sf_dir):
     assert a == b
 
 
+def test_weighted_sample_extremes_monotone_no_shuffle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    # weight 0 keeps nothing; weight ≥ 1 keeps everything but the
+    # ffffffff cap sliver
+    assert SH.weighted_sample(docs, F.lit(0.0)).count() == 0
+    assert SH.weighted_sample(docs, F.lit(5.0)).count() >= n - 1
+    # per-row monotonicity: a row kept at weight w stays kept at 2w
+    lo = {r.doc_id for r in SH.weighted_sample(
+        docs, F.col("n_chars") / 4000.0).select("doc_id").collect()}
+    hi = {r.doc_id for r in SH.weighted_sample(
+        docs, F.col("n_chars") / 2000.0).select("doc_id").collect()}
+    assert lo <= hi
+    # the sampler must stay a narrow codegen'd filter: zero exchanges
+    p = (SH.weighted_sample(docs, F.col("n_chars") / 2000.0)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p, p
+
+
 def test_length_profile_approx_variant_same_schema(spark, sf_dir):
     from parallel_svms_spark.io.sources import load_table
     docs = load_table(spark, sf_dir, "documents")
