@@ -312,6 +312,23 @@ def streaming_quality_screen(stream_docs: DataFrame,
             .filter(F.col("quality") >= float(min_quality)))
 
 
+def streaming_weighted_sample(stream_docs: DataFrame, weight,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Streaming twin of ``sharding.weighted_sample``: keep each
+    arriving doc with probability min(weight, 1) — continuous-ingest
+    importance sampling.
+
+    STATELESS and literally shared code: the batch operator is already
+    a pure deterministic filter (md5-hex coin vs a per-row weight
+    threshold, no window, no RNG state), so the streaming form IS the
+    batch function applied to an unbounded DataFrame. A doc's fate
+    depends only on (id, weight) — replays and micro-batch boundaries
+    cannot flip it, which is exactly the exactly-once-friendly
+    property a sampling screen needs."""
+    from parallel_svms_spark.operators.sharding import weighted_sample
+    return weighted_sample(stream_docs, weight, id_col=id_col)
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str = "stream_out",
                          output_mode: str = "append"):
     """Drive a bounded file-stream to completion synchronously (test

@@ -68,7 +68,19 @@ def main() -> None:
         "interval_join": lambda ev: EV.sessions_containing(ev).count(),
         "value_histogram": lambda ev: EV.value_histogram(ev).count(),
         "funnel": lambda ev: EV.funnel(ev).count(),
+        # layout family: the clustered write's cost is its one range
+        # exchange + sort — should stay linear in rows
+        "write_zordered": lambda ev: _zorder_leg(ev),
     }
+
+    def _zorder_leg(ev):
+        import tempfile
+
+        from parallel_svms_spark.io.layout import (dataset_file_stats,
+                                                   write_zordered)
+        tmp = tempfile.mkdtemp(prefix="zorder_sweep_")
+        write_zordered(ev, tmp, ["user_id", "value"], bits=12, n_files=32)
+        return dataset_file_stats(tmp)[0]
     from parallel_svms_spark.operators import contamination as C
     DOC_OPS = {
         "dedup_exact": lambda d: dedup.exact_dedup_keys(d).count(),
@@ -80,6 +92,11 @@ def main() -> None:
         "decontaminate_hashed": lambda d: C.decontaminate_hashed(
             d.filter("source <> 'src0'"),
             d.filter("source = 'src0'"), k=4).count(),
+        # zero-exchange screen: slope must track the pure scan
+        "sample_weighted": lambda d: __import__(
+            "parallel_svms_spark.operators.sharding",
+            fromlist=["x"]).weighted_sample(
+                d, F.col("n_chars") / 2000.0).count(),
     }
     WH_OPS = {
         "pricing_summary": lambda li, orr, cust: AN.pricing_summary(
