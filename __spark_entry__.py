@@ -368,6 +368,7 @@ _QKEY_ORDER = [
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
     "retention_cohorts", "gap_fill_daily", "activity_streaks",
     "value_histogram", "outlier_events", "event_transitions",
+    "pseudonymize_events",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "audio_windows",
     "resize_images",
@@ -641,6 +642,15 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         "event_transitions": lambda s, d: E.event_transitions(
             load_table(s, d, "events")),
+        # GDPR-style salted tokenization; md5+concat share NULL
+        # semantics across engines, so the oracle is a plain projection
+        "pseudonymize_events": lambda s, d: __import__(
+            "parallel_svms_spark.operators.privacy",
+            fromlist=["x"]).pseudonymize(
+                load_table(s, d, "events")
+                .select("event_id", "user_id", "event_type"),
+                cols=["user_id"], salt="s5")
+            .withColumnRenamed("user_id", "user_token"),
         # merge-vs-recompute: archive/delta split on shipdate; the
         # oracle aggregates the UNSPLIT table — hash equality proves
         # the partial states merge exactly
@@ -1032,6 +1042,14 @@ WITH p AS (
   FROM events)
 SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
 FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+""",
+        # salted-token projection; '||' and md5 are NULL-propagating
+        # in both engines, matching the operator's NULL-transparency
+        "pseudonymize_events": """
+SELECT event_id,
+       md5('s5:' || CAST(user_id AS VARCHAR)) AS user_token,
+       event_type
+FROM events
 """,
         # the UNSPLIT recompute — equality proves the archive+delta
         # partial states merge exactly
@@ -2297,6 +2315,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("event_transitions", ["sum(length(prev_type)*n_transitions)",
                                "sum(length(next_type)*n_transitions)",
                                "sum(n_transitions)"]),
+        ("pseudonymize_events", ["sum(event_id)",
+                                 "count(distinct user_token)",
+                                 "sum(length(event_type))"]),
         ("outlier_events", ["sum(n_events)",
                             "sum(cast(floor(p_thr*1000) as bigint))",
                             "sum(n_outliers)"]),
