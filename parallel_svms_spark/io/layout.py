@@ -94,6 +94,11 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     """
     stats = df.agg(*[f(c).alias(f"{n}_{c}") for c in cols
                      for n, f in (("lo", F.min), ("hi", F.max))]).first()
+    if any(stats[f"lo_{c}"] is None for c in cols):
+        # empty input (or an all-NULL cluster column): no order to
+        # impose — write the rows (if any) as-is
+        df.write.mode("overwrite").parquet(path)
+        return
     grid = [_scale_to_grid(F.col(c), float(stats[f"lo_{c}"]),
                            float(stats[f"hi_{c}"]), bits) for c in cols]
     (df.withColumn("__z", zorder_key(grid, bits))

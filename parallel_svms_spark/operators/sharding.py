@@ -283,9 +283,17 @@ def weighted_sample(df: DataFrame, weight: Column,
     exchange, no RNG state; membership depends only on (id, weight),
     so re-runs and growth of the rest of the corpus never flip a row."""
     u32 = float(16 ** 8 - 1)
+    # clamp to [0, 1] BEFORE hex: a negative weight would hex to a
+    # 16-char two's-complement string that lpad TRUNCATES to
+    # 'ffffffff' — keep-everything, the opposite of the intent.
+    # NULL weight must clamp explicitly too: Spark's least/greatest
+    # SKIP null arguments, so least(NULL, 1.0) is 1.0 — a silent
+    # keep-everything for NULL weights; map NULL → 0 (drop) instead
+    w = weight.cast("double")
+    w01 = F.when(w.isNull(), F.lit(0.0)).otherwise(
+        F.greatest(F.least(w, F.lit(1.0)), F.lit(0.0)))
     thr = F.lower(F.lpad(F.hex(
-        F.floor(F.least(weight.cast("double"), F.lit(1.0)) * F.lit(u32))
-         .cast("bigint")), 8, "0"))
+        F.floor(w01 * F.lit(u32)).cast("bigint")), 8, "0"))
     h8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
     return df.filter(h8 < thr)
 

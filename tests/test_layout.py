@@ -114,6 +114,33 @@ def test_uniform_sample_exact_contracts(spark, sf_dir):
     assert {i for i in ids50 if i % 5 != 0} <= ids_sub
 
 
+def test_zorder_empty_and_constant_inputs(spark, tmp_path):
+    """Empty input (NULL min/max) must not crash the stats pass, and a
+    constant cluster column must degrade to a no-op dimension."""
+    empty = spark.createDataFrame([], "a long, b double")
+    p1 = str(tmp_path / "empty")
+    write_zordered(empty, p1, ["a", "b"])
+    assert spark.read.parquet(p1).count() == 0
+    const = spark.createDataFrame([(i, 7.0) for i in range(100)],
+                                  "a long, b double")
+    p2 = str(tmp_path / "const")
+    write_zordered(const, p2, ["a", "b"], bits=8, n_files=4)
+    assert spark.read.parquet(p2).count() == 100
+
+
+def test_weighted_sample_clamps_out_of_range_weights(spark):
+    from parallel_svms_spark.operators.sharding import weighted_sample
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    # negative weight = keep nothing (NOT the lpad-truncation
+    # keep-everything failure mode)
+    assert weighted_sample(df, F.lit(-0.5)).count() == 0
+    # NULL weight drops the row (null-propagating comparison)
+    nulls = spark.createDataFrame([(1, None), (2, 1.5)],
+                                  "doc_id long, w double")
+    kept = weighted_sample(nulls, F.col("w")).collect()
+    assert [r.doc_id for r in kept] == [2]
+
+
 def test_uniform_sample_plan_is_take_ordered(spark, sf_dir):
     """sort+limit must fuse into TakeOrderedAndProject — per-task
     top-k heaps, no full sort, no exchange of the data."""
