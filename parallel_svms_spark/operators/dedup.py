@@ -591,6 +591,27 @@ def dedup_clusters(documents: DataFrame, k: int = 3,
     return lab.select("doc_id", F.col("lab").alias("cluster_rep"))
 
 
+def cluster_size_stats(documents: DataFrame, k: int = 3,
+                       threshold: float = 0.5,
+                       max_doc_freq: int | None = 1000) -> DataFrame:
+    """Cluster-size histogram over the near-dup components: how many
+    clusters of each size the corpus contains (singletons included) —
+    the dedup observability number an operator reads before committing
+    a keep-rule (a fat head of large clusters means aggressive
+    dedup wins; all-singletons means the threshold is too tight).
+
+    Scale shape: ``dedup_clusters``'s label propagation plus two
+    map-side-combinable group-bys — the first collapses docs to
+    ≤|clusters| rows, the second to ≤|distinct sizes| rows; nothing
+    new shuffles at corpus width."""
+    c = dedup_clusters(documents, k=k, threshold=threshold,
+                       max_doc_freq=max_doc_freq)
+    sizes = (c.groupBy("cluster_rep")
+             .agg(F.count("*").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count("*").alias("n_clusters")))
+
+
 def keep_canonical(documents: DataFrame, k: int = 3,
                    threshold: float = 0.5,
                    max_doc_freq: int | None = 1000) -> DataFrame:

@@ -31,6 +31,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def k_anonymity_risk(df: DataFrame, quasi_cols: list[str],
+                     k: int = 5) -> DataFrame:
+    """Re-identification risk screen: the quasi-identifier value
+    combinations shared by FEWER than ``k`` rows (Sweeney's
+    k-anonymity criterion, Int. J. Unc. Fuzz. 2002). Rows in these
+    groups are linkable through their quasi-identifiers even after
+    direct ids are pseudonymized — the screen a release pipeline runs
+    to decide what to generalize or suppress.
+
+    Scale shape: one map-side-combinable group-by; output is bounded
+    by the number of distinct quasi-identifier combinations below the
+    threshold, never by corpus size."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count("*").alias("group_size"))
+            .filter(F.col("group_size") < int(k)))
+
+
 def pseudonymize(df: DataFrame, cols: list[str],
                  salt: str = "s") -> DataFrame:
     """Replace each column in ``cols`` with its salted md5 token
