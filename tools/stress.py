@@ -185,6 +185,31 @@ def main() -> None:
               docs.filter("source = 'src0'"), k=4).count())
     timed("pack_sequences", n_docs,
           lambda: SHOP.pack_sequences(docs, budget_tokens=4096).count())
+    timed("sample_weighted", n_docs,
+          lambda: SHOP.weighted_sample(
+              docs, F.col("n_chars") / 2000.0).count())
+    timed("sample_uniform_10k", n_docs,
+          lambda: SHOP.uniform_sample_exact(docs, k=10_000).count())
+
+    def _zorder_compact_leg():
+        import shutil
+        import tempfile
+
+        from parallel_svms_spark.io.layout import (compact_files,
+                                                   write_zordered)
+        z = tempfile.mkdtemp(prefix="stress_z_")
+        c = tempfile.mkdtemp(prefix="stress_c_")
+        try:
+            write_zordered(docs.select("doc_id", "n_chars", "text"), z,
+                           ["doc_id", "n_chars"], bits=12, n_files=64)
+            n_files = compact_files(spark, z, c,
+                                    target_file_bytes=256 << 20)
+        finally:
+            shutil.rmtree(z, ignore_errors=True)
+            shutil.rmtree(c, ignore_errors=True)
+        return n_files
+
+    timed("zorder_write_plus_compact", n_docs, _zorder_compact_leg)
     from parallel_svms_spark.operators import events as EV
     ev_path = build_events(spark, mult_docs)
     ev = spark.read.parquet(ev_path)
