@@ -1921,7 +1921,8 @@ WITH flagged AS (
          MIN(ts) AS session_start, MAX(ts) AS session_end
   FROM sess GROUP BY user_id, session_seq
 )
-SELECT e.event_id, b.user_id, b.session_seq
+SELECT e.event_id, b.user_id,
+       CAST(b.session_seq AS BIGINT) AS session_seq
 FROM events e
 JOIN bounds b ON e.ts BETWEEN b.session_start AND b.session_end
 WHERE e.event_type = 'error'
