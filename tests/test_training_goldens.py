@@ -34,3 +34,34 @@ def test_training_qkey_matches_golden(spark, qkey):
     rows = sorted([r[c] for c in cols] for r in df.collect())
     want = [tuple(r) for r in GOLDEN[qkey]["rows"]]
     assert [tuple(r) for r in rows] == want
+
+
+# DuckDB arrow type each declared cast must surface as — anything
+# else (esp. decimal128) would hash-diverge at the driver even with
+# equal logical values (the r5 interval_join lesson).
+_ARROW_OF = {"INTEGER": "int32", "BIGINT": "int64", "DOUBLE": "double"}
+
+
+def test_ml_golden_oracles_values_and_types(monkeypatch):
+    """The driver-facing golden-literal oracles (r6: ml_suite's hash
+    path) must reproduce the committed golden values byte-for-byte
+    with hash-safe NATIVE types, and must only exist for sfs that
+    have a committed golden."""
+    import duckdb
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_001)
+    oracles = entrymod._ml_golden_oracles()
+    assert sorted(oracles) == sorted(GOLDEN)
+    con = duckdb.connect()
+    for qkey, sql in oracles.items():
+        tbl = con.execute(sql).arrow()
+        types = entrymod._ML_GOLDEN_TYPES[qkey]
+        for f in tbl.schema:
+            assert str(f.type) == _ARROW_OF[types[f.name]], (qkey, f)
+        cols = GOLDEN[qkey]["columns"]
+        got = sorted(tuple(r[c] for c in cols) for r in tbl.to_pylist())
+        assert got == sorted(tuple(r) for r in GOLDEN[qkey]["rows"]), qkey
+    con.close()
+    # no golden for sf0.001 → the ML qkeys must stay rows-only there
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    assert entrymod._ml_golden_oracles() == {}
