@@ -223,17 +223,30 @@ def _pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SH.pack_shards(final, budget_tokens=2048)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that self-removes at interpreter exit (ADVICE r5: the
+    roundtrip/lake qkeys re-run every driver round and bench session,
+    and their returned DataFrames stay LAZY over the temp files — the
+    consumer collects after we return — so eager rmtree would read
+    from deleted files; atexit is the earliest safe point)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL codec round trip: documents → JSONL sink → JSONL source
     (explicit schema, no inference scan) → per-lang rollup. The rollup
     hash-matching the parquet-side oracle proves the codec is lossless
     for the whole corpus surface (ids, text bytes, metadata)."""
-    import tempfile
-
     from pyspark.sql import functions as F
     from parallel_svms_spark.io.sources import read_jsonl, write_jsonl
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="jsonl_rt_")
+    tmp = _scratch_dir("jsonl_rt_")
     write_jsonl(docs, tmp)
     back = read_jsonl(spark, tmp)
     return (back.groupBy("lang")
@@ -250,12 +263,10 @@ def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same losslessness proof as ``jsonl_roundtrip`` for the other
     columnar interchange format (schema travels in the ORC footer, so
     unlike JSONL no explicit schema is needed on read-back)."""
-    import tempfile
-
     from pyspark.sql import functions as F
     from parallel_svms_spark.io.sources import read_orc, write_orc
     docs = load_table(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    tmp = _scratch_dir("orc_rt_")
     write_orc(docs, tmp)
     back = read_orc(spark, tmp)
     return (back.groupBy("lang")
@@ -273,12 +284,10 @@ def _zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIGINAL table) proves the re-layout is lossless and the clustered
     files answer multi-column range predicates correctly; the file-
     envelope pruning evidence lives in tests/test_layout.py."""
-    import tempfile
-
     from pyspark.sql import functions as F
     from parallel_svms_spark.io.layout import write_zordered
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="zorder_rt_")
+    tmp = _scratch_dir("zorder_rt_")
     write_zordered(ev, tmp, ["user_id", "value"], bits=12, n_files=16)
     back = spark.read.parquet(tmp)
     box = back.filter((F.col("user_id").between(3, 9))
@@ -298,13 +307,11 @@ def _compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source rollup. The oracle reads the ORIGINAL table, so the
     hash match proves compaction changes layout only, never the row
     multiset; the file-count shrink is pinned in tests/test_layout.py."""
-    import tempfile
-
     from pyspark.sql import functions as F
     from parallel_svms_spark.io.layout import compact_files
     docs = load_table(spark, sf_dir, "documents")
-    frag = tempfile.mkdtemp(prefix="compact_in_")
-    out = tempfile.mkdtemp(prefix="compact_out_")
+    frag = _scratch_dir("compact_in_")
+    out = _scratch_dir("compact_out_")
     docs.repartition(48).write.mode("overwrite").parquet(frag)
     compact_files(spark, frag, out, target_file_bytes=64 << 20)
     back = spark.read.parquet(out)
@@ -325,12 +332,10 @@ def _pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lake round trip is lossless AND that directory pruning +
     residual ts bounds select exactly the right rows before the
     downstream operator."""
-    import tempfile
-
     from parallel_svms_spark.io.sources import (read_events_range,
                                                 write_events_daily)
     ev = load_table(spark, sf_dir, "events")
-    tmp = tempfile.mkdtemp(prefix="evlake_")
+    tmp = _scratch_dir("evlake_")
     write_events_daily(ev, tmp)
     start, end = _PIPELINE_EVENTS_RANGE
     sub = read_events_range(spark, tmp, start, end)

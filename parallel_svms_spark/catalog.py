@@ -45,7 +45,15 @@ def register_views(spark: SparkSession, prefix: str = "") -> list[str]:
     logical plan built by the SAME operator functions the qkeys use —
     one definition, two surfaces. ``prefix`` must match the one given
     to ``register_tables`` (views resolve the prefixed table names and
-    are themselves registered under the same prefix)."""
+    are themselves registered under the same prefix).
+
+    Exact/approx split (ADVICE r5): ``event_outliers`` intentionally
+    serves APPROXIMATE ``p_thr`` values (t-digest ``approx_percentile``
+    — r5 change, previously exact) so the default SQL surface never
+    hides a full per-type value-multiset aggregation behind a SELECT;
+    consumers needing exact thresholds call
+    ``events.outlier_events(df, approx=False)`` directly, which is
+    also what the ``outlier_events`` qkey pins against its oracle."""
     from parallel_svms_spark.operators import events as E
     from parallel_svms_spark.operators import text as TX
     from parallel_svms_spark.operators.dedup import exact_dedup_keys

@@ -281,7 +281,15 @@ def weighted_sample(df: DataFrame, weight: Column,
     md5/hex/lpad are engine-portable, so the DuckDB oracle reproduces
     the exact row set). One narrow codegen'd filter: no window, no
     exchange, no RNG state; membership depends only on (id, weight),
-    so re-runs and growth of the rest of the corpus never flip a row."""
+    so re-runs and growth of the rest of the corpus never flip a row.
+
+    Exact keep probability (boundary contract, tested in
+    tests/test_edge_cases.py): ``P(keep) = floor(clamp(w,0,1) ·
+    (2³²−1)) / 2³²`` under the uniform md5 coin — the comparison is
+    STRICT ``<``, so a row whose h8 equals the threshold drops; at
+    w=1 the threshold renders ``'ffffffff'`` and a row drops only if
+    its md5 prefix is exactly that (P = 2⁻³²). NULL/NaN/negative
+    weights clamp to 0 (drop)."""
     u32 = float(16 ** 8 - 1)
     # clamp to [0, 1] BEFORE hex: a negative weight would hex to a
     # 16-char two's-complement string that lpad TRUNCATES to

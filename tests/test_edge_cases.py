@@ -312,3 +312,74 @@ def test_snapshot_diff_property(spark, old_keys, new_keys, changed):
         "same": len(old_keys & new_keys - changed),
     }
     assert got == {k: v for k, v in want.items() if v}
+
+
+def _weighted_keep_model(doc_id: int, w) -> bool:
+    """Pure-Python twin of weighted_sample's keep rule (VERDICT r5 #7):
+    keep iff md5-prefix(id) < hex8(floor(clamp(w)*(16^8-1))) — same
+    IEEE double ops as the Spark expression, so floor boundaries agree
+    bit-for-bit."""
+    import hashlib
+    if w is None or (isinstance(w, float) and math.isnan(w)):
+        wc = 0.0
+    else:
+        wc = min(max(float(w), 0.0), 1.0)
+    thr = format(math.floor(wc * float(16 ** 8 - 1)), "08x")
+    h8 = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+    return h8 < thr
+
+
+def test_weighted_sample_boundary_contract(spark):
+    """The documented keep-probability statement (VERDICT r5 #7):
+    P(keep | weight w) = floor(clamp(w,0,1)*(2^32-1)) / 2^32 under the
+    uniform md5 coin — in particular w=1 KEEPS a row unless its md5
+    prefix is exactly 'ffffffff' (P = 2^-32: thr renders 'ffffffff'
+    and the comparison is strict `<`), and w=0 drops everything.
+    Straddle the strict-< boundary per row: w chosen so thr == h8
+    (drop) vs thr == h8+1 (keep)."""
+    import hashlib
+    from parallel_svms_spark.operators.sharding import weighted_sample
+
+    u32 = float(16 ** 8 - 1)
+    ids = list(range(40))
+    # per-id boundary weights: thr lands exactly ON h8 → strict <
+    # drops; one coin-tick above → keeps
+    rows = []
+    for i in ids:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        rows.append((i, (h + 0.5) / u32, "eq"))       # floor → h: drop
+        rows.append((i + 1000, (h + 1.5) / u32, "gt"))  # floor → h+1
+    df = spark.createDataFrame(rows, "doc_id long, w double, tag string")
+    kept = {r.doc_id for r in
+            weighted_sample(df, F.col("w")).collect()}
+    for i in ids:
+        h_eq = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        assert i not in kept, (i, "thr==h8 must DROP (strict <)")
+        h_gt = int(hashlib.md5(str(i + 1000).encode()).hexdigest()[:8], 16)
+        # the +1000 row keeps iff ITS OWN h8 < floor-of-its-weight —
+        # check against the model rather than assuming
+        assert ((i + 1000) in kept) == _weighted_keep_model(
+            i + 1000, (h_eq + 1.5) / u32)
+    # w=1 keeps everything in a realistic corpus (md5 prefix
+    # 'ffffffff' has P=2^-32); w=0 keeps nothing
+    base = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    assert weighted_sample(base, F.lit(1.0)).count() == len(ids)
+    assert weighted_sample(base, F.lit(0.0)).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.one_of(
+    st.floats(min_value=-1.0, max_value=2.0, allow_nan=False),
+    st.just(float("nan")), st.none(),
+    st.floats(min_value=0.0, max_value=1e-9)),
+    min_size=1, max_size=30))
+def test_weighted_sample_matches_python_model(spark, weights):
+    """Property: for ANY weight (incl. NaN/None/negative/>1/denormal-
+    tiny), Spark's kept-row set equals the pure-Python model — the
+    same invariant the DuckDB oracle relies on."""
+    from parallel_svms_spark.operators.sharding import weighted_sample
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = {r.doc_id for r in weighted_sample(df, F.col("w")).collect()}
+    want = {i for i, w in rows if _weighted_keep_model(i, w)}
+    assert kept == want
