@@ -2487,13 +2487,34 @@ _LANG_ID_ORACLE = (
 # ROLLUP/CUBE can be NULL and are coalesced before octet_length.
 # ---------------------------------------------------------------------------
 
+def _rowhash(expr: str) -> str:
+    """Compensating-error-resistant digest checksum (ADVICE r5): sum
+    over rows of the first 8 hex nibbles of md5(<integer expr>) as a
+    32-bit mix. A plain ``sum(col)`` passes if two rows EXCHANGE
+    values (drop doc 5, add docs 2+3); summing a hash of the value
+    cannot realistically compensate, while staying order-insensitive
+    (the driver compares multisets) and engine-portable — md5 / instr
+    / substring behave identically in Spark SQL and DuckDB, and the
+    per-term bigint cast keeps Spark's ANSI integer multiply from
+    overflowing. Per-row value < 4.6e9, so even 10⁶-row members stay
+    far inside int64."""
+    s = f"md5(cast(cast({expr} as bigint) as string))"
+    terms = "+".join(
+        f"cast(instr('0123456789abcdef', substring({s},{i + 1},1)) "
+        f"as bigint)*{16 ** (7 - i)}"
+        for i in range(8))
+    return f"sum({terms})"
+
+
+
 _SUITES: dict[str, list[tuple[str, list[str]]]] = {
     "relational_agg_suite": [
         ("scan_count", ["sum(n_rows)"]),
         ("agg_count", ["sum(total_record_count)"]),
         ("agg_groupby_count", ["sum(label)", "sum(class_count)",
                                "sum(label*class_count)"]),
-        ("agg_error_sum", ["sum(length(event_type))", "sum(errorsum)"]),
+        ("agg_error_sum", ["sum(length(event_type))", "sum(errorsum)",
+                   _rowhash("errorsum*37 + length(event_type)")]),
         ("eval_confusion", ["sum(label*100+pred)", "sum(n)",
                             "sum((label*100+pred)*n)"]),
     ],
@@ -2503,26 +2524,36 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("repartition_stratified", ["sum(vec_id*bucket)",
                                     "sum(label*bucket)", "sum(bucket)"]),
         ("agg_bucket_count", ["sum(bucket*subset_count)",
-                              "sum(subset_count)"]),
-        ("merge_pairs", ["sum(bucket*merged_count)", "sum(merged_count)"]),
-        ("exchange_identity", ["sum(vec_id*bucket)", "sum(bucket)"]),
+                              "sum(subset_count)",
+                              _rowhash("bucket*1000000 + subset_count")]),
+        ("merge_pairs", ["sum(bucket*merged_count)", "sum(merged_count)",
+                 _rowhash("bucket*1000000 + merged_count")]),
+        ("exchange_identity", ["sum(vec_id*bucket)", "sum(bucket)",
+                       _rowhash("vec_id*100 + bucket")]),
     ],
     "setops_suite": [
-        ("set_union", ["sum(o_orderkey)", "count(distinct o_orderkey)"]),
-        ("set_except", ["sum(okey)", "count(distinct okey)"]),
-        ("set_intersect", ["sum(okey)", "count(distinct okey)"]),
+        ("set_union", ["sum(o_orderkey)", "count(distinct o_orderkey)",
+               _rowhash("o_orderkey")]),
+        ("set_except", ["sum(okey)", "count(distinct okey)",
+                _rowhash("okey")]),
+        ("set_intersect", ["sum(okey)", "count(distinct okey)",
+                   _rowhash("okey")]),
     ],
     "dss_suite_a": [
         ("top_revenue_orders", ["sum(o_orderkey*revenue_cents)",
                                 "sum(revenue_cents)",
                                 "count(distinct o_orderdate)"]),
         ("late_order_priority", ["sum(length(o_orderpriority)"
-                                 "*order_count)", "sum(order_count)"]),
+                                 "*order_count)", "sum(order_count)",
+                                 _rowhash("length(o_orderpriority)"
+                                          "*1000000 + order_count")]),
         ("promo_revenue_share", ["sum(promo_cents)", "sum(total_cents)",
                                  "sum(cast(floor(promo_share_pct*1000) "
                                  "as bigint))"]),
-        ("small_qty_revenue", ["sum(n_small)", "sum(small_revenue_cents)"]),
-        ("disjunctive_revenue", ["sum(n_items)", "sum(revenue_cents)"]),
+        ("small_qty_revenue", ["sum(n_small)", "sum(small_revenue_cents)",
+                       _rowhash("n_small*13 + small_revenue_cents")]),
+        ("disjunctive_revenue", ["sum(n_items)", "sum(revenue_cents)",
+                         _rowhash("n_items*13 + revenue_cents")]),
     ],
     "dss_suite_b": [
         ("segment_top_orders", ["sum(o_orderkey*rnk)", "sum(revenue_cents)",
@@ -2564,7 +2595,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                   "sum(cast(floor(trailing_avg_cents*10) "
                                   "as bigint))"]),
         ("orders_reconcile", ["sum(length(status)*n_keys)",
-                              "sum(n_keys)"]),
+                              "sum(n_keys)",
+                              _rowhash("length(status)*1000000 + n_keys")]),
         ("corr_profile", ["sum(n)", "sum(cast(floor(corr_chars_tokens"
                           "*100000) as bigint))"]),
         ("profile_table", ["sum(n_nulls)", "sum(n_distinct)",
@@ -2585,7 +2617,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("gap_fill_daily", ["sum(user_id)", "count(distinct day)",
                             "sum(cast(floor(value_ff*1000) as bigint))"]),
         ("activity_streaks", ["sum(user_id*longest_streak)",
-                              "sum(n_streaks)"]),
+                              "sum(n_streaks)",
+                              _rowhash("user_id*10000 + "
+                                       "longest_streak*100 + n_streaks")]),
         ("value_histogram", ["sum(bucket*n)", "sum(n)",
                              "sum(cast(floor(min_value*1000) as bigint)"
                              "+cast(floor(max_value*1000) as bigint))"]),
@@ -2607,7 +2641,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("multimodal_features", ["sum(media_id)", "sum(n_bytes)",
                                  "sum(cast(floor(feature_sum*1000) "
                                  "as bigint))"]),
-        ("frame_sample", ["sum(media_id*frame_no)", "sum(ts_ms)"]),
+        ("frame_sample", ["sum(media_id*frame_no)", "sum(ts_ms)",
+                  _rowhash("media_id*100000 + frame_no")]),
         ("audio_windows", ["sum(media_id*win_no)", "sum(start_ms)",
                            "sum(end_ms)"]),
         ("resize_images", ["sum(media_id*(width+height))", "sum(n_bytes)",
@@ -2617,7 +2652,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("text_token_stats", ["sum(n_docs)", "sum(total_tokens)",
                               "sum(cast(floor(avg_tokens*1000) as bigint)"
                               "+cast(floor(avg_chars*1000) as bigint))"]),
-        ("token_count", ["sum(doc_id*ws_tokens)", "sum(bpe_est_tokens)"]),
+        ("token_count", ["sum(doc_id*ws_tokens)", "sum(bpe_est_tokens)",
+                 _rowhash("doc_id*10000000 + ws_tokens*10000 "
+                          "+ bpe_est_tokens")]),
         ("length_profile", ["sum(n_docs)",
                             "sum(cast(floor(p50_chars*100) as bigint))",
                             "sum(cast(floor(p90_chars*100) as bigint))"]),
@@ -2639,9 +2676,13 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
     ],
     "lm_suite": [
         ("unigram_logprob", ["sum(doc_id*n_tokens)",
-                             "sum(cast(floor(nll*1000) as bigint))"]),
+                             "sum(cast(floor(nll*1000) as bigint))",
+                             _rowhash("doc_id*100000000 + "
+                                      "cast(floor(nll*1000) as bigint)")]),
         ("bigram_logprob", ["sum(doc_id*n_bigrams)",
-                            "sum(cast(floor(nll2*1000) as bigint))"]),
+                            "sum(cast(floor(nll2*1000) as bigint))",
+                            _rowhash("doc_id*100000000 + "
+                                     "cast(floor(nll2*1000) as bigint)")]),
     ],
     "roundtrip_suite": [
         ("jsonl_roundtrip", ["sum(n_docs)",
@@ -2657,7 +2698,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                   "sum(min_doc_id+max_doc_id)"]),
     ],
     "dedup_exact_suite": [
-        ("dedup_exact", ["sum(doc_id)", "count(distinct doc_id)"]),
+        ("dedup_exact", ["sum(doc_id)", "count(distinct doc_id)",
+                 _rowhash("doc_id")]),
         ("dedup_incremental", ["sum(doc_id)", "sum(n_chars)",
                                "sum(length(text))"]),
         ("dedup_cluster_stats", ["sum(cluster_size*n_clusters)",
@@ -2670,8 +2712,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                   "sum(length(lang))"]),
     ],
     "sampling_suite": [
-        ("mixture_sample", ["sum(doc_id)", "count(distinct source)"]),
-        ("mixture_sample_hash", ["sum(doc_id)", "count(distinct source)"]),
+        ("mixture_sample", ["sum(doc_id)", "count(distinct source)",
+                    _rowhash("doc_id")]),
+        ("mixture_sample_hash", ["sum(doc_id)", "count(distinct source)",
+                         _rowhash("doc_id")]),
         ("sample_stratified", ["sum(vec_id)", "sum(label)",
                                "sum(vec_id*label)"]),
         ("sample_uniform", ["sum(doc_id)", "sum(n_chars)",
@@ -2685,17 +2729,30 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
     ],
     "ann_suite": [
         ("topk_cosine", ["sum(vec_id)",
-                         "sum(cast(floor(cosine*100000) as bigint))"]),
+                         "sum(cast(floor(cosine*100000) as bigint))",
+                         _rowhash("vec_id*1000000 + "
+                                  "cast(floor(cosine*100000) as bigint)")]),
         ("topk_batch", ["sum(vec_id + 100000*query_id)",
-                        "sum(cast(floor(cosine*100000) as bigint))"]),
+                        "sum(cast(floor(cosine*100000) as bigint))",
+                        _rowhash("query_id*100000000000 + "
+                                 "vec_id*1000000 + "
+                                 "cast(floor(cosine*100000) as bigint)")]),
         ("ann_lsh_topk", ["sum(vec_id)",
-                          "sum(cast(floor(cosine*100000) as bigint))"]),
+                          "sum(cast(floor(cosine*100000) as bigint))",
+                          _rowhash("vec_id*1000000 + "
+                                   "cast(floor(cosine*100000) as bigint)")]),
         ("ann_ivf_topk", ["sum(vec_id)",
-                          "sum(cast(floor(cosine*100000) as bigint))"]),
+                          "sum(cast(floor(cosine*100000) as bigint))",
+                          _rowhash("vec_id*1000000 + "
+                                   "cast(floor(cosine*100000) as bigint)")]),
         ("ann_pq_topk", ["sum(vec_id)",
-                         "sum(cast(floor(cosine*100000) as bigint))"]),
+                         "sum(cast(floor(cosine*100000) as bigint))",
+                         _rowhash("vec_id*1000000 + "
+                                  "cast(floor(cosine*100000) as bigint)")]),
         ("ann_ivfpq_topk", ["sum(vec_id)",
-                            "sum(cast(floor(cosine*100000) as bigint))"]),
+                            "sum(cast(floor(cosine*100000) as bigint))",
+                            _rowhash("vec_id*1000000 + "
+                                     "cast(floor(cosine*100000) as bigint)")]),
     ],
     "embedding_dedup_suite": [
         ("dedup_embedding", ["sum(vec_a)", "sum(vec_b)",

@@ -37,8 +37,9 @@ def test_curated_surface_shape():
     q = em.queries()
     o = em.oracle_sql()
     assert len(q) == 50
-    # only the genuinely non-SQL families lack oracles
-    assert [k for k in q if k not in o] == ["approx_suite", "ml_suite"]
+    # only the genuinely approximate family lacks an oracle (r6:
+    # ml_suite gained golden-literal oracles at the driver's sf0.01)
+    assert [k for k in q if k not in o] == ["approx_suite"]
     # full coverage, no double-counting
     members = [m for s in em._SUITES.values() for m, _ in s]
     individual = [k for k in em._CURATED_ORDER if k not in em._SUITES]
@@ -49,7 +50,10 @@ def test_digest_expr_dialect():
     # only the agreed common-dialect functions appear in checksums
     import re
     allowed = {"sum", "count", "distinct", "floor", "length",
-               "coalesce", "cast", "as", "bigint"}
+               "coalesce", "cast", "as", "bigint",
+               # the _rowhash checksum (ADVICE r5): md5/substring/instr
+               # behave identically in Spark SQL and DuckDB
+               "md5", "substring", "instr"}
     for suite, members in em._SUITES.items():
         for qkey, exprs in members:
             assert len(exprs) <= 3, (suite, qkey)

@@ -23,6 +23,7 @@ line per timed op with rows-in and wall seconds.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -125,7 +126,16 @@ def build_warehouse(spark, mult: int) -> tuple[str, str]:
     return li_path, or_path
 
 
+# comma-separated op allowlist: run just the named legs (e.g.
+# SPARK_GRAFT_STRESS_ONLY=zorder_write_plus_compact for a family
+# refresh at a new multiplier without re-timing the whole harness)
+_ONLY = {s for s in os.environ.get("SPARK_GRAFT_STRESS_ONLY", "").split(",")
+         if s}
+
+
 def timed(name: str, rows_in: int, fn) -> None:
+    if _ONLY and name not in _ONLY:
+        return
     t0 = time.monotonic()
     out = fn()
     dt = round(time.monotonic() - t0, 2)
@@ -197,6 +207,8 @@ def main() -> None:
 
         from parallel_svms_spark.io.layout import (compact_files,
                                                    write_zordered)
+        from parallel_svms_spark.io.layout import (dataset_file_stats,
+                                                   file_column_envelopes)
         z = tempfile.mkdtemp(prefix="stress_z_")
         c = tempfile.mkdtemp(prefix="stress_c_")
         try:
@@ -204,10 +216,26 @@ def main() -> None:
                            ["doc_id", "n_chars"], bits=12, n_files=64)
             n_files = compact_files(spark, z, c,
                                     target_file_bytes=256 << 20)
+            # footer evidence at THIS scale (same methodology as
+            # tests/test_layout.py at sf0.001): mean per-file envelope
+            # width as a fraction of the global range, per cluster key
+            # — the number that predicts box-query file pruning
+            env = {}
+            for col in ("doc_id", "n_chars"):
+                spans = file_column_envelopes(z, col)
+                lo = min(s[0] for s in spans)
+                hi = max(s[1] for s in spans)
+                width = (hi - lo) or 1
+                env[col] = round(
+                    sum((s[1] - s[0]) / width for s in spans)
+                    / len(spans), 4)
+            zorder_files = dataset_file_stats(z)[0]
         finally:
             shutil.rmtree(z, ignore_errors=True)
             shutil.rmtree(c, ignore_errors=True)
-        return n_files
+        return {"files_zordered": zorder_files,
+                "files_compacted": n_files,
+                "mean_envelope_frac": env}
 
     timed("zorder_write_plus_compact", n_docs, _zorder_compact_leg)
     from parallel_svms_spark.operators import events as EV
