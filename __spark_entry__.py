@@ -1921,6 +1921,7 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
 """,
     }
     out.update(_ml_golden_oracles())
+    out.update(_sketch_golden_oracles())
     return out
 
 
@@ -2396,24 +2397,33 @@ _ML_GOLDEN_TYPES: dict[str, dict[str, str]] = {
 }
 
 
-def _ml_golden_oracles() -> dict[str, str]:
-    """Constant-literal DuckDB twins of the five SVM training
-    dataflows, rendered from the committed goldens
-    (tests/goldens/training_qkeys_<sf>.json).
+# sketch_profile's Spark result types (operators/analytics.py:
+# count/approx_count_distinct are longs, the rounded percentiles are
+# doubles) — same hash-safety casting as _ML_GOLDEN_TYPES
+_SKETCH_GOLDEN_TYPES: dict[str, dict[str, str]] = {
+    "sketch_profile": {"n_rows": "BIGINT", "approx_users": "BIGINT",
+                       "approx_p50_value": "DOUBLE",
+                       "approx_p99_value": "DOUBLE"},
+}
 
-    The dataflows are iterative SMO / hinge-loss training — genuinely
-    non-SQL-expressible — but their outputs are DETERMINISTIC (seeded
-    solvers, mergesort-stable row ordering; byte-stable across
-    independent SparkSessions, pinned by tests/test_training_goldens).
-    So the strongest honest oracle is the pinned result itself as a
-    VALUES table: the driver's hash compare then verifies the engine
-    reproduces the committed numbers, which is exactly what
-    test_training_goldens verifies in CI (VERDICT r5 next-step #4).
 
-    Only emitted when a golden exists for the oracle sf dir (the
-    driver's gate runs at sf0.01, where one is committed); at other
-    sfs the ML qkeys stay rows-only, so sf0.001 CI sweeps and sf0.1
-    scale-drift checks are unaffected."""
+def _golden_literal_oracles(file_prefix: str,
+                            types_map: dict[str, dict[str, str]]
+                            ) -> dict[str, str]:
+    """Render committed goldens (tests/goldens/<prefix>_<sf>.json) as
+    constant-literal DuckDB VALUES oracles, every column cast to the
+    native Spark type (bare DuckDB literals type as DECIMAL — the r5
+    interval_join hash-divergence class).
+
+    Legitimate oracle shape for qkeys whose computation is
+    non-SQL-expressible but whose output is a DETERMINISTIC function
+    of the input multiset — iterative SMO training, HLL++/t-digest
+    estimation. Determinism is not assumed: tools/record_goldens.py
+    refuses to write a golden unless independent fresh-session runs
+    agree, and tests/test_training_goldens.py re-pins the committed
+    values every CI run. Only emitted when a golden exists for the
+    oracle sf dir (the driver's gate runs at sf0.01); at other sfs
+    the qkeys stay rows-only."""
     import json
     import os
     from pathlib import Path
@@ -2422,13 +2432,13 @@ def _ml_golden_oracles() -> dict[str, str]:
                             "/root/testdata/sf0.01")
     name = os.path.basename(os.path.normpath(sf_dir))
     path = (Path(__file__).resolve().parent / "tests" / "goldens"
-            / f"training_qkeys_{name}.json")
+            / f"{file_prefix}_{name}.json")
     if not path.exists():
         return {}
     golden = json.loads(path.read_text())
     out: dict[str, str] = {}
     for qkey, g in golden.items():
-        types = _ML_GOLDEN_TYPES[qkey]
+        types = types_map[qkey]
         cols = g["columns"]
         assert sorted(cols) == sorted(types), (qkey, cols)
         rows = ",\n  ".join(
@@ -2438,6 +2448,20 @@ def _ml_golden_oracles() -> dict[str, str]:
         out[qkey] = (
             f"SELECT {sel}\nFROM (VALUES {rows}) AS g({', '.join(cols)})")
     return out
+
+
+def _ml_golden_oracles() -> dict[str, str]:
+    """Golden-literal oracles for the five SVM training dataflows
+    (VERDICT r5 next-step #4); see _golden_literal_oracles."""
+    return _golden_literal_oracles("training_qkeys", _ML_GOLDEN_TYPES)
+
+
+def _sketch_golden_oracles() -> dict[str, str]:
+    """Golden-literal oracle for the sketch profile: HLL++ register
+    maxima and t-digest merges are deterministic given the fixture's
+    partitioning, verified across independent sessions at recording
+    time; see _golden_literal_oracles."""
+    return _golden_literal_oracles("sketch_profile", _SKETCH_GOLDEN_TYPES)
 
 
 # DuckDB twin of operators/text.lang_id: same marker sets, same

@@ -1,0 +1,110 @@
+"""Record (and stability-check) golden outputs for the qkeys whose
+oracles are constant-literal VALUES tables rendered from committed
+goldens: the five SVM training dataflows and the sketch profile.
+
+Why goldens are legitimate oracles here: the training dataflows are
+iterative SMO / hinge-loss solvers (non-SQL-expressible) and the
+sketch profile is HLL++ / t-digest estimation (engine-specific), but
+BOTH are DETERMINISTIC functions of the input multiset — seeded
+solvers with mergesort-stable row ordering; HLL register maxima and
+t-digest merges over a fixed partitioning. So the strongest honest
+oracle is the pinned output itself, provided determinism is verified
+ACROSS INDEPENDENT SESSIONS, which is exactly what this tool does:
+every recording runs the qkey in ``--runs`` (default 2) fresh
+subprocess SparkSessions and refuses to write a golden whose runs
+disagree.
+
+Usage:
+    python tools/record_goldens.py sf0.01 [sf0.1 ...] [--runs 2]
+        [--only qkey,qkey]
+
+Writes tests/goldens/training_qkeys_<sf>.json (five ML qkeys) and
+tests/goldens/sketch_profile_<sf>.json. Only rewrite after an
+INTENDED numerics change; tests/test_training_goldens.py pins the
+committed values in CI.
+"""
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+ML_QKEYS = ["svm_train", "svm_linear_ovr", "cascade_svm", "bagging_svm",
+            "iterative_svm"]
+
+_CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+import __spark_entry__ as em
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+out = {{}}
+for qkey in {qkeys!r}:
+    df = em.queries_all()[qkey](spark, {sf_dir!r})
+    cols = sorted(df.columns)
+    rows = sorted([r[c] for c in cols] for r in df.collect())
+    out[qkey] = {{"columns": cols, "rows": rows}}
+print("GOLDEN_JSON:" + json.dumps(out, sort_keys=True))
+"""
+
+
+def run_once(sf_dir: str, qkeys: list[str]) -> dict:
+    code = _CHILD.format(repo=str(REPO), qkeys=qkeys, sf_dir=sf_dir)
+    res = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=1800)
+    for line in res.stdout.splitlines():
+        if line.startswith("GOLDEN_JSON:"):
+            return json.loads(line[len("GOLDEN_JSON:"):])
+    raise RuntimeError(
+        f"no golden output for {sf_dir}:\n{res.stdout[-2000:]}\n"
+        f"{res.stderr[-2000:]}")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = 2
+    only = None
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--runs":
+            runs = int(sys.argv[1:][i + 1])
+        if a == "--only":
+            only = set(sys.argv[1:][i + 1].split(","))
+    if not args:
+        print(__doc__)
+        return 2
+    for sf_name in args:
+        sf_dir = f"/root/testdata/{sf_name}"
+        qkeys = ML_QKEYS + ["sketch_profile"]
+        if only:
+            qkeys = [q for q in qkeys if q in only]
+        results = [run_once(sf_dir, qkeys) for _ in range(runs)]
+        for r in results[1:]:
+            if r != results[0]:
+                diff = {q for q in results[0]
+                        if results[0][q] != r[q]}
+                print(f"UNSTABLE at {sf_name}: {sorted(diff)} — "
+                      "refusing to write goldens")
+                return 1
+        got = results[0]
+        ml = {q: got[q] for q in qkeys if q in ML_QKEYS}
+        if ml:
+            path = REPO / "tests" / "goldens" / f"training_qkeys_{sf_name}.json"
+            path.write_text(json.dumps(ml, indent=4, sort_keys=True) + "\n")
+            print(f"wrote {path} ({runs} stable runs)")
+        if "sketch_profile" in got:
+            path = REPO / "tests" / "goldens" / f"sketch_profile_{sf_name}.json"
+            path.write_text(json.dumps(
+                {"sketch_profile": got["sketch_profile"]},
+                indent=4, sort_keys=True) + "\n")
+            print(f"wrote {path} ({runs} stable runs)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
