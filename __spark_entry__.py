@@ -515,8 +515,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "orders"), load_table(s, d, "lineitem")),
         "sales_rollup": lambda s, d: AN.sales_rollup(
             load_table(s, d, "lineitem")),
-        # rows-only by design: sketch estimates are engine-specific
-        # (HLL++/t-digest); error bounds pinned in tests/test_analytics.py
+        # sketch estimates are engine-specific (HLL++/t-digest) but
+        # deterministic — golden-literal oracle since r6
+        # (_sketch_golden_oracles); error bounds pinned in
+        # tests/test_analytics.py
         "sketch_profile": lambda s, d: AN.sketch_profile(
             load_table(s, d, "events")),
         "pivot_counts": lambda s, d: AN.pivot_counts(
@@ -2787,13 +2789,15 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("label_centroids", ["sum(label*dim)", "sum(sum_scaled)",
                              "sum(n)"]),
     ],
-    # rows-only suite: HLL/t-digest sketches are engine-specific
-    # approximations — approximate BY NATURE, not by implementation
-    # shortcut — so no exact SQL oracle can exist; the digest row
-    # still pins a stable schema + the per-member scalars across
-    # rounds via tests/goldens. (ann_pq_topk / ann_ivfpq_topk moved
-    # to ann_suite in r6 once their codebook rebuild became
-    # oracle-expressible, the same path IVF took in r3.)
+    # HLL/t-digest sketches are engine-specific approximations, so no
+    # recomputing SQL oracle can exist — but the estimates ARE
+    # deterministic functions of the input multiset (register maxima;
+    # fixed-partitioning digest merges), so r6 pins them with a
+    # golden-literal oracle verified stable across independent
+    # sessions (_sketch_golden_oracles; tools/record_goldens.py).
+    # (ann_pq_topk / ann_ivfpq_topk moved to ann_suite in r6 once
+    # their codebook rebuild became oracle-expressible, the same path
+    # IVF took in r3.)
     "approx_suite": [
         ("sketch_profile", ["sum(n_rows)", "sum(approx_users)"]),
     ],

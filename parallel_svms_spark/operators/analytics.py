@@ -236,10 +236,14 @@ def sketch_profile(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     distinct key and exact percentile buffers the full value multiset
     per group, while both sketches are constant-size aggregation state
     that merges associatively — one narrow scan, one ≤KB-per-task
-    shuffle, regardless of input size. No SQL oracle by design
-    (sketch estimates are engine-specific); tests pin the relative
-    error against the exact answers at fixture scale instead
-    (tests/test_analytics.py).
+    shuffle, regardless of input size. No recomputing SQL oracle can
+    exist (sketch estimates are engine-specific), but the estimates
+    are deterministic functions of the input multiset — HLL register
+    maxima are order-independent, digest merges follow the fixture's
+    fixed partitioning — so the driver check pins them against a
+    committed golden verified stable across independent sessions
+    (tools/record_goldens.py); tests additionally pin the relative
+    error against the exact answers (tests/test_analytics.py).
     """
     return events.agg(
         F.count("*").alias("n_rows"),

@@ -37,9 +37,10 @@ def test_curated_surface_shape():
     q = em.queries()
     o = em.oracle_sql()
     assert len(q) == 50
-    # only the genuinely approximate family lacks an oracle (r6:
-    # ml_suite gained golden-literal oracles at the driver's sf0.01)
-    assert [k for k in q if k not in o] == ["approx_suite"]
+    # r6: every curated qkey has an oracle at the driver's sf0.01 —
+    # ml_suite via golden-literal VALUES oracles, approx_suite via the
+    # session-stability-verified sketch golden
+    assert [k for k in q if k not in o] == []
     # full coverage, no double-counting
     members = [m for s in em._SUITES.values() for m, _ in s]
     individual = [k for k in em._CURATED_ORDER if k not in em._SUITES]

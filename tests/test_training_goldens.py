@@ -62,6 +62,27 @@ def test_ml_golden_oracles_values_and_types(monkeypatch):
         got = sorted(tuple(r[c] for c in cols) for r in tbl.to_pylist())
         assert got == sorted(tuple(r) for r in GOLDEN[qkey]["rows"]), qkey
     con.close()
-    # no golden for sf0.001 → the ML qkeys must stay rows-only there
+    # no ML golden for sf0.001 → the ML qkeys must stay rows-only there
     monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
     assert entrymod._ml_golden_oracles() == {}
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_sketch_golden_oracle_types(monkeypatch, sf):
+    """The sketch_profile golden oracles (r6) carry hash-safe native
+    arrow types at every recorded sf — counts as int64, rounded
+    percentiles as float64, never DECIMAL. (Value agreement with the
+    live Spark result is covered by tests/test_oracles_all.py at
+    sf0.001 and selfcheck at the larger sfs.)"""
+    import duckdb
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", f"/root/testdata/{sf}")
+    oracles = entrymod._sketch_golden_oracles()
+    assert sorted(oracles) == ["sketch_profile"]
+    con = duckdb.connect()
+    tbl = con.execute(oracles["sketch_profile"]).arrow()
+    types = entrymod._SKETCH_GOLDEN_TYPES["sketch_profile"]
+    for f in tbl.schema:
+        assert str(f.type) == _ARROW_OF[types[f.name]], (sf, f)
+    assert tbl.num_rows == 1
+    con.close()

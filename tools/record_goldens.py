@@ -67,18 +67,15 @@ def run_once(sf_dir: str, qkeys: list[str]) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 2
-    only = None
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--runs":
-            runs = int(sys.argv[1:][i + 1])
-        if a == "--only":
-            only = set(sys.argv[1:][i + 1].split(","))
-    if not args:
-        print(__doc__)
-        return 2
-    for sf_name in args:
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_names", nargs="+", help="e.g. sf0.01 sf0.1")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--only", type=lambda s: set(s.split(",")),
+                    default=None)
+    ns = ap.parse_args()
+    runs, only = ns.runs, ns.only
+    for sf_name in ns.sf_names:
         sf_dir = f"/root/testdata/{sf_name}"
         qkeys = ML_QKEYS + ["sketch_profile"]
         if only:
