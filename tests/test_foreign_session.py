@@ -44,9 +44,44 @@ SCRIPT = textwrap.dedent("""
     print("ok entry", flush=True)
 """)
 
+# r6: the golden-literal oracles (training dataflows + sketch) assert
+# EXACT value reproduction at the driver, so the values must be
+# invariant to the driver's unknown session config — default shuffle
+# partitions (200 here vs our 32), no UTC pin, different parallelism.
+# This re-derives every sf0.01 golden under the bare session and
+# compares byte-for-byte.
+GOLDEN_SCRIPT = textwrap.dedent("""
+    import json, sys
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[32]")
+             .appName("foreign-goldens").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+    golden = json.load(open("/root/repo/tests/goldens/training_qkeys_sf0.01.json"))
+    golden.update(json.load(
+        open("/root/repo/tests/goldens/sketch_profile_sf0.01.json")))
+    q = e.queries_all()
+    for qkey, g in sorted(golden.items()):
+        df = q[qkey](spark, "/root/testdata/sf0.01")
+        cols = sorted(df.columns)
+        rows = sorted([r[c] for c in cols] for r in df.collect())
+        assert cols == g["columns"], qkey
+        assert [list(r) for r in rows] == [list(r) for r in g["rows"]], qkey
+        print("ok", qkey, flush=True)
+    print("ok goldens", flush=True)
+""")
+
 
 def test_qkeys_run_in_plain_driver_session():
     proc = subprocess.run([sys.executable, "-c", SCRIPT],
                           capture_output=True, text=True, timeout=420)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "ok entry" in proc.stdout
+
+
+def test_goldens_reproduce_in_plain_driver_session():
+    proc = subprocess.run([sys.executable, "-c", GOLDEN_SCRIPT],
+                          capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "ok goldens" in proc.stdout
