@@ -420,7 +420,8 @@ _QKEY_ORDER = [
     "dedup_cluster_stats", "shard_pack",
     "pack_sequences",
     "sample_stratified", "sample_uniform", "sample_weighted",
-    "simjoin_candidates", "dedup_minhash", "dedup_simhash",
+    "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
+    "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
     "mixture_sample",
     "mixture_sample_hash", "pipeline_curate",
@@ -565,6 +566,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "dedup_minhash": lambda s, d: D.minhash_near_dups(
             load_table(s, d, "documents"), threshold=0.5),
+        # incremental twin: batch = doc_id % 7 == 0, corpus = rest;
+        # index built from the corpus (at scale: read persisted)
+        "dedup_minhash_incremental": lambda s, d: (lambda docs:
+            D.minhash_near_dups_incremental(
+                docs.filter("doc_id % 7 != 0"),
+                docs.filter("doc_id % 7 = 0"), threshold=0.5))(
+            load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: D.simhash_near_dups(
             load_table(s, d, "documents"), max_hamming=3),
         "dedup_keep_canonical": lambda s, d: D.keep_canonical(
@@ -1330,6 +1338,14 @@ SELECT vec_id, label FROM (
         # check verifies the full sign→band→verify pipeline end-to-end
         # (any dropped candidate or jaccard drift hash-mismatches).
         "dedup_minhash": _JACCARD_PAIRS_ORACLE,
+        # the incremental op must reproduce EXACTLY the full-run
+        # pairs that touch the new batch — same exact-Jaccard
+        # oracle, restricted (recall-1 property shared with
+        # dedup_minhash at fixture scale)
+        "dedup_minhash_incremental": (
+            f"WITH pr AS ({_JACCARD_PAIRS_ORACLE})\n"
+            "SELECT doc_a, doc_b, jaccard FROM pr\n"
+            "WHERE doc_a % 7 = 0 OR doc_b % 7 = 0"),
         "dedup_simhash": _SIMHASH_ORACLE,
         # keep-rule composed over the recursive-CTE component oracle:
         # a doc survives iff it IS its cluster's min-reachable id
@@ -2492,7 +2508,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 119 per-operator qkeys, 69 could never get a
+# time budget). With 120 per-operator qkeys, 70 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2730,6 +2746,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                "sum(length(text))"]),
         ("dedup_cluster_stats", ["sum(cluster_size*n_clusters)",
                                  "sum(n_clusters)", "sum(cluster_size)"]),
+        ("dedup_minhash_incremental",
+         ["sum(doc_a*doc_b)",
+          "sum(cast(floor(jaccard*100000) as bigint))",
+          _rowhash("doc_a*100000 + doc_b")]),
     ],
     "decontaminate_suite": [
         ("decontaminate", ["sum(doc_id)", "count(distinct source)",
@@ -2883,7 +2903,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 119 per-operator
+    per-round correctness budget), covering all 120 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -373,27 +373,17 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
     )
 
 
-def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
-                      k: int = 3, threshold: float = 0.5,
-                      n_bands: int = 16, rows_per_band: int = 4,
-                      seed: int = 42) -> DataFrame:
-    """Full near-dup pipeline: sign → band → candidates → verify with
-    exact Jaccard (join back to shingle sets only for candidates).
+def _verify_pairs_exact(documents: DataFrame, cands: DataFrame,
+                        k: int, threshold: float) -> DataFrame:
+    """Shared exact-Jaccard verification tail of the minhash
+    pipelines: semi-join ``documents`` down to candidate ids FIRST, so
+    shingle sets are recomputed only for docs that appear in a
+    candidate pair (≪ corpus at any scale), then refine the
+    (doc_a, doc_b) candidates with the exact predicate.
 
-    Same caching contract as ``ngram_jaccard_pairs``: run inside
-    ``caching.cache_scope()`` for deterministic block lifetime in
-    long-lived sessions."""
+    ``cands`` must already be persisted by the caller (it is consumed
+    three times: both arms of the id union + the final join)."""
     from parallel_svms_spark.caching import scoped_persist
-    sigs = minhash_signatures(documents, n_hashes, k, seed)
-    # persist: downstream consumes cands THREE times (both arms of the
-    # cand_ids union + the final verify join) and each arm would
-    # otherwise re-run the whole sign→band→pair pipeline over the full
-    # corpus; the candidate list itself is two ids per row — the
-    # cheapest thing in the pipeline to keep
-    cands = scoped_persist(lsh_candidate_pairs(sigs, n_bands, rows_per_band))
-    # verify candidates exactly: semi-join documents down to candidate
-    # ids FIRST, so shingle sets are recomputed only for docs that
-    # appear in a candidate pair (≪ corpus at any scale)
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .union(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
@@ -416,6 +406,92 @@ def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def minhash_near_dups(documents: DataFrame, n_hashes: int = 64,
+                      k: int = 3, threshold: float = 0.5,
+                      n_bands: int = 16, rows_per_band: int = 4,
+                      seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline: sign → band → candidates → verify with
+    exact Jaccard (join back to shingle sets only for candidates).
+
+    Same caching contract as ``ngram_jaccard_pairs``: run inside
+    ``caching.cache_scope()`` for deterministic block lifetime in
+    long-lived sessions."""
+    from parallel_svms_spark.caching import scoped_persist
+    sigs = minhash_signatures(documents, n_hashes, k, seed)
+    # persist: downstream consumes cands THREE times (both arms of the
+    # cand_ids union + the final verify join) and each arm would
+    # otherwise re-run the whole sign→band→pair pipeline over the full
+    # corpus; the candidate list itself is two ids per row — the
+    # cheapest thing in the pipeline to keep
+    cands = scoped_persist(lsh_candidate_pairs(sigs, n_bands, rows_per_band))
+    return _verify_pairs_exact(documents, cands, k, threshold)
+
+
+def minhash_band_index(documents: DataFrame, n_hashes: int = 64,
+                       k: int = 3, n_bands: int = 16,
+                       rows_per_band: int = 4,
+                       seed: int = 42) -> DataFrame:
+    """(band, bandhash, doc_id): the corpus's LSH band index — the
+    thing a 100 TB pipeline PERSISTS (bucketed parquet on (band,
+    bandhash)) so each day's crawl batch never re-signs the corpus.
+    Constant-width rows: n_bands rows per doc regardless of text
+    size, so the index is ~n_bands × 24 B per doc on disk."""
+    sigs = minhash_signatures(documents, n_hashes, k, seed)
+    bands = F.explode(band_structs(n_bands, rows_per_band))
+    return (sigs.select("doc_id", bands.alias("bh"))
+            .select(F.col("bh.band").alias("band"),
+                    F.col("bh.bandhash").alias("bandhash"), "doc_id"))
+
+
+def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
+                                  index: DataFrame | None = None,
+                                  n_hashes: int = 64, k: int = 3,
+                                  threshold: float = 0.5,
+                                  n_bands: int = 16,
+                                  rows_per_band: int = 4,
+                                  seed: int = 42) -> DataFrame:
+    """Incremental near-dup: the pairs of ``minhash_near_dups(corpus
+    ∪ new_docs)`` that TOUCH the new batch, computed without ever
+    re-signing the corpus — the daily-crawl-vs-100 TB-corpus shape.
+
+    Only ``new_docs`` is signed and banded (one narrow map over the
+    batch). New×old candidates come from equi-joining the batch's
+    band rows against the corpus's band ``index`` (pass the persisted
+    index read from storage; built here from ``corpus`` if omitted —
+    the fixture path). New×new candidates come from banding within
+    the batch. Both candidate sets then share the standard exact
+    verification tail, which touches the corpus ONLY via a semi-join
+    down to candidate ids.
+
+    At scale: the batch band rows are small → AQE broadcasts them
+    against the bucketed index (no corpus shuffle); the verify
+    semi-join reads candidate docs only. Equivalence with the
+    full-run restriction is pinned in tests/test_dedup.py; ids of
+    ``corpus`` and ``new_docs`` must be disjoint (the documents
+    contract).
+    """
+    from parallel_svms_spark.caching import scoped_persist
+    new_sigs = scoped_persist(
+        minhash_signatures(new_docs, n_hashes, k, seed))
+    if index is None:
+        index = minhash_band_index(corpus, n_hashes, k, n_bands,
+                                   rows_per_band, seed)
+    bands = F.explode(band_structs(n_bands, rows_per_band))
+    new_bands = (new_sigs.select("doc_id", bands.alias("bh"))
+                 .select("doc_id", F.col("bh.band").alias("band"),
+                         F.col("bh.bandhash").alias("bandhash")))
+    cross = (new_bands
+             .join(index.withColumnRenamed("doc_id", "old_id"),
+                   ["band", "bandhash"])
+             .select(F.least("doc_id", "old_id").alias("doc_a"),
+                     F.greatest("doc_id", "old_id").alias("doc_b")))
+    within = lsh_candidate_pairs(new_sigs, n_bands, rows_per_band)
+    cands = scoped_persist(cross.union(within).distinct())
+    all_docs = (corpus.select("doc_id", "text")
+                .unionByName(new_docs.select("doc_id", "text")))
+    return _verify_pairs_exact(all_docs, cands, k, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -144,3 +144,62 @@ def test_cache_scope_releases_persisted_blocks(spark, docs):
     D.minhash_near_dups(docs, threshold=0.5).collect()
     assert not cm.isEmpty()
     spark.catalog.clearCache()
+
+
+def test_minhash_incremental_equals_full_run_restriction(docs_with_dups):
+    """minhash_near_dups_incremental(corpus, batch) must reproduce
+    EXACTLY the full-run pairs that touch the batch — the contract
+    that lets a daily batch join a persisted index instead of
+    re-running LSH over the corpus. The injected dup ids (+10k/+20k)
+    land in the batch via the %7 split, so real cross pairs exist."""
+    full = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in D.minhash_near_dups(
+                docs_with_dups, threshold=0.5).collect()}
+    corpus = docs_with_dups.filter("doc_id % 7 != 0")
+    batch = docs_with_dups.filter("doc_id % 7 = 0")
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in D.minhash_near_dups_incremental(
+               corpus, batch, threshold=0.5).collect()}
+    want = {(a, b, j) for (a, b, j) in full if a % 7 == 0 or b % 7 == 0}
+    assert got == want
+    assert got, "split produced no touching pairs — fixture too weak"
+
+
+def test_minhash_incremental_index_roundtrip(spark, docs_with_dups,
+                                             tmp_path):
+    """The persisted-index path: write the band index to parquet, read
+    it back, and the batch-vs-index join must give the same pairs as
+    building the index inline — with ONE signature computation total
+    (the batch's; the corpus is never re-signed, its only appearance
+    is the verify semi-join)."""
+    corpus = docs_with_dups.filter("doc_id % 7 != 0")
+    batch = docs_with_dups.filter("doc_id % 7 = 0")
+    p = str(tmp_path / "band_index.parquet")
+    D.minhash_band_index(corpus).write.mode("overwrite").parquet(p)
+    index = spark.read.parquet(p)
+    calls = []
+    real = D.minhash_signatures
+    try:
+        D.minhash_signatures = lambda *a, **kw: (calls.append(a),
+                                                 real(*a, **kw))[1]
+        out = D.minhash_near_dups_incremental(corpus, batch, index=index,
+                                              threshold=0.5)
+        got = {(r.doc_a, r.doc_b, r.jaccard) for r in out.collect()}
+    finally:
+        D.minhash_signatures = real
+    assert len(calls) == 1, "index path must sign ONLY the batch"
+    inline = {(r.doc_a, r.doc_b, r.jaccard)
+              for r in D.minhash_near_dups_incremental(
+                  corpus, batch, threshold=0.5).collect()}
+    assert got == inline
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    spark.catalog.clearCache()
+
+
+def test_minhash_incremental_empty_batch(spark, docs):
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars int")
+    assert D.minhash_near_dups_incremental(
+        docs, empty, threshold=0.5).count() == 0
