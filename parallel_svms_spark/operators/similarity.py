@@ -207,7 +207,18 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
     making the whole index build recomputable by the DuckDB oracle
     (`__spark_entry__._ann_ivf_oracle`); rows are re-sorted driver-side
     so the k-means input order never depends on Spark's collect order."""
-    spark = embeddings.sparkSession
+    C = ivf_centroids(embeddings, n_lists, seed, sample_rows,
+                      features_col, id_col)
+    return ivf_assign_with(embeddings, C, features_col), C
+
+
+def ivf_centroids(embeddings: DataFrame, n_lists: int = 16,
+                  seed: int = 42, sample_rows: int = 4096,
+                  features_col: str = "embedding",
+                  id_col: str = "vec_id") -> np.ndarray:
+    """The centroid half of ``ivf_assign`` (see its docstring for the
+    determinism contract) — exposed so incremental consumers can train
+    on the CORPUS and assign a later batch with the same model."""
     sample = (embeddings
               .select(F.col(id_col).alias("_id"), F.col(features_col),
                       F.md5(F.col(id_col).cast("string")).alias("_h"))
@@ -216,8 +227,14 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
     sample.sort(key=lambda r: (r["_h"], r["_id"]))
     X = np.stack([np.asarray(r[features_col], dtype=np.float64)
                   for r in sample])
-    C = _kmeans_lite(X, n_lists, seed)
-    bc = spark.sparkContext.broadcast(C)
+    return _kmeans_lite(X, n_lists, seed)
+
+
+def ivf_assign_with(embeddings: DataFrame, C: np.ndarray,
+                    features_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its nearest of the GIVEN centroids —
+    one broadcast + Arrow-batched matmul, no exchange."""
+    bc = embeddings.sparkSession.sparkContext.broadcast(C)
 
     def assign(it):
         C_ = bc.value
@@ -231,7 +248,7 @@ def ivf_assign(embeddings: DataFrame, n_lists: int = 16, seed: int = 42,
 
     schema = ", ".join(f"{c} {t}" for c, t in embeddings.dtypes) \
         + ", ivf_list int"
-    return embeddings.mapInPandas(assign, schema=schema), C
+    return embeddings.mapInPandas(assign, schema=schema)
 
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -465,6 +482,72 @@ def cosine_near_dup_ivf(embeddings: DataFrame, threshold: float = 0.9,
                              "cosine": np.round(S[ai, bi][keep], 6)})
 
     return src.groupBy("ivf_list").applyInPandas(
+        bucket, schema="vec_a long, vec_b long, cosine double")
+
+
+def cosine_near_dup_ivf_incremental(corpus: DataFrame,
+                                    new_vecs: DataFrame,
+                                    index: DataFrame | None = None,
+                                    centroids: np.ndarray | None = None,
+                                    threshold: float = 0.9,
+                                    n_lists: int = 16, seed: int = 42,
+                                    sample_rows: int = 4096,
+                                    features_col: str = "embedding",
+                                    id_col: str = "vec_id") -> DataFrame:
+    """Incremental SemDeDup: near-dup pairs TOUCHING the new batch
+    under the CORPUS's IVF model — the embedding twin of
+    ``dedup.minhash_near_dups_incremental``.
+
+    Centroids are trained on the corpus (the index predates the
+    batch, exactly the production situation); the batch is assigned
+    with ``ivf_assign_with`` — one broadcast matmul over |batch|
+    rows, the corpus is never re-clustered. Pass ``index`` (the
+    persisted ``ivf_assign`` output, partitionBy('ivf_list') at
+    scale) and ``centroids`` (persist the small (n_lists, dim) array
+    next to it) to touch the corpus ONLY through the index scan —
+    both rebuilt from ``corpus`` when omitted (the fixture path).
+    Per list, one Arrow
+    task computes the |new| × |members| similarity tile — cost
+    Σ |new_l|·|list_l| instead of the full Σ |list_l|², and zero
+    when a list received no new vectors.
+
+    Returns (vec_a, vec_b, cosine), vec_a < vec_b, at least one side
+    new, each pair exactly once. Ids of corpus and batch must be
+    disjoint. The DuckDB oracle recomputes centroids from the
+    corpus-only md5 sample and the full assignment + restricted pair
+    join (`__spark_entry__` dedup_embedding_ivf_incremental)."""
+    C = centroids if centroids is not None else ivf_centroids(
+        corpus, n_lists, seed, sample_rows, features_col, id_col)
+    if index is None:
+        index = ivf_assign_with(corpus, C, features_col)
+    newa = ivf_assign_with(new_vecs, C, features_col)
+    cols = [F.col(id_col).alias("vec_id"),
+            F.col(features_col).alias("emb"), "ivf_list"]
+    both = (index.select(*cols, F.lit(False).alias("is_new"))
+            .unionByName(newa.select(*cols, F.lit(True).alias("is_new"))))
+
+    def bucket(pdf):
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        new_mask = pdf["is_new"].to_numpy()
+        if len(pdf) < 2 or not new_mask.any():
+            return empty
+        X = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        S = Xn[new_mask] @ Xn.T
+        ai, bi = np.nonzero(S >= threshold)
+        ids = pdf["vec_id"].to_numpy()
+        a_ids, b_ids = ids[new_mask][ai], ids[bi]
+        # self-pairs out; new×new tiles appear twice (once per new
+        # row) — keep the a<b orientation once; new×old appears once
+        keep = (a_ids != b_ids) & (~new_mask[bi] | (a_ids < b_ids))
+        va = np.minimum(a_ids[keep], b_ids[keep])
+        vb = np.maximum(a_ids[keep], b_ids[keep])
+        return pd.DataFrame({"vec_a": va, "vec_b": vb,
+                             "cosine": np.round(S[ai, bi][keep], 6)})
+
+    return both.groupBy("ivf_list").applyInPandas(
         bucket, schema="vec_a long, vec_b long, cosine double")
 
 

@@ -288,3 +288,71 @@ def test_ivfpq_topk_planted_neighbors_and_exact_scores(spark, emb, qvec):
              for r in S.topk_cosine(with_near, qvec, k=2005).collect()}
     for vid, c in got.items():
         assert abs(c - brute[vid]) < 1e-9
+
+
+def test_ivf_incremental_matches_numpy_ground_truth(emb):
+    """cosine_near_dup_ivf_incremental must equal the driver-side
+    numpy recomputation: corpus-trained centroids, everyone assigned
+    with them, within-list pairs touching the batch — the same
+    semantics the DuckDB oracle pins, re-derived independently here."""
+    thr = 0.4
+    corpus = emb.filter("vec_id % 9 != 0")
+    batch = emb.filter("vec_id % 9 = 0")
+    got = {(r.vec_a, r.vec_b, r.cosine)
+           for r in S.cosine_near_dup_ivf_incremental(
+               corpus, batch, threshold=thr).collect()}
+
+    C = S.ivf_centroids(corpus)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    d = (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :]
+    lists = d.argmin(1)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    Sm = Xn @ Xn.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if lists[i] != lists[j] or Sm[i, j] < thr:
+                continue
+            if ids[i] % 9 == 0 or ids[j] % 9 == 0:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                want.add((a, b, round(float(Sm[i, j]), 6)))
+    assert got == want
+    assert want, "split produced no touching pairs — fixture too weak"
+
+
+def test_ivf_incremental_persisted_index_path(spark, emb, tmp_path):
+    """index + centroids supplied → same pairs, and the corpus is
+    touched only through the index scan (ivf_centroids never called:
+    spy), matching the persisted-model production path."""
+    corpus = emb.filter("vec_id % 9 != 0")
+    batch = emb.filter("vec_id % 9 = 0")
+    C = S.ivf_centroids(corpus)
+    p = str(tmp_path / "ivf_index.parquet")
+    S.ivf_assign_with(corpus, C).write.mode("overwrite").parquet(p)
+    index = spark.read.parquet(p)
+    calls = []
+    real = S.ivf_centroids
+    try:
+        S.ivf_centroids = lambda *a, **kw: (calls.append(a),
+                                            real(*a, **kw))[1]
+        got = {(r.vec_a, r.vec_b, r.cosine)
+               for r in S.cosine_near_dup_ivf_incremental(
+                   corpus, batch, index=index, centroids=C,
+                   threshold=0.4).collect()}
+    finally:
+        S.ivf_centroids = real
+    assert not calls, "persisted-model path must not resample the corpus"
+    inline = {(r.vec_a, r.vec_b, r.cosine)
+              for r in S.cosine_near_dup_ivf_incremental(
+                  corpus, batch, threshold=0.4).collect()}
+    assert got == inline
+
+
+def test_ivf_incremental_empty_batch(spark, emb):
+    empty = spark.createDataFrame([],
+                                  "vec_id long, embedding array<float>, "
+                                  "label int")
+    assert S.cosine_near_dup_ivf_incremental(
+        emb, empty, threshold=0.4).count() == 0

@@ -165,6 +165,15 @@ def main() -> None:
           lambda: dedup.exact_dedup_keys(docs).count())
     timed("dedup_minhash", n_docs,
           lambda: dedup.minhash_near_dups(docs, threshold=0.5).count())
+    # incremental twin: 1/7 of the corpus as the "daily batch" joined
+    # against the other 6/7's band index — the cost that matters is
+    # sign(batch) + index join, NOT sign(corpus) (spy-tested); here the
+    # index build IS timed too (no persisted index in the harness), so
+    # compare against dedup_minhash for the re-sign saving at scale
+    timed("dedup_minhash_incremental", n_docs,
+          lambda: dedup.minhash_near_dups_incremental(
+              docs.filter("doc_id % 7 != 0"),
+              docs.filter("doc_id % 7 = 0"), threshold=0.5).count())
     timed("dedup_simhash", n_docs,
           lambda: dedup.simhash_near_dups(docs).count())
     timed("ngram_jaccard", n_docs,
@@ -181,6 +190,14 @@ def main() -> None:
     timed("dedup_embedding_ivf", n_emb,
           lambda: similarity.cosine_near_dup_ivf(
               emb, threshold=0.9, n_lists=64).count())
+    # incremental twin: 1/9 of the vectors as the batch vs the
+    # corpus-trained index (index build timed too — no persisted
+    # model in the harness; at scale only the batch matmul runs)
+    timed("dedup_embedding_ivf_incremental", n_emb,
+          lambda: similarity.cosine_near_dup_ivf_incremental(
+              emb.filter("vec_id % 9 != 0"),
+              emb.filter("vec_id % 9 = 0"),
+              threshold=0.9, n_lists=64).count())
     timed("boilerplate_score", n_docs,
           lambda: text.boilerplate_score(docs).count())
     from parallel_svms_spark.operators import contamination as CN
