@@ -33,7 +33,13 @@ SAMPLE_SUITES = [
 ]
 
 
-def test_curated_surface_shape():
+def test_curated_surface_shape(monkeypatch):
+    # pin the oracle sf to the DRIVER's default: other test modules
+    # setdefault SPARK_GRAFT_ORACLE_SF_DIR to sf0.001 (where the ML
+    # goldens intentionally don't exist), and test order would
+    # otherwise decide which view this asserts
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR",
+                       "/root/testdata/sf0.01")
     q = em.queries()
     o = em.oracle_sql()
     assert len(q) == 50
