@@ -168,6 +168,13 @@ def run_stress() -> dict:
               lambda: dedup.exact_dedup_keys(docs).count())
         timed("dedup_minhash",
               lambda: dedup.minhash_near_dups(docs, threshold=0.5).count())
+        # incremental twin at the same 10x docs: 1/7 batch vs the
+        # 6/7 corpus's band index (index build included — compare to
+        # dedup_minhash for the re-sign saving)
+        timed("dedup_minhash_incremental",
+              lambda: dedup.minhash_near_dups_incremental(
+                  docs.filter("doc_id % 7 != 0"),
+                  docs.filter("doc_id % 7 = 0"), threshold=0.5).count())
         timed("ngram_jaccard",
               lambda: dedup.ngram_jaccard_pairs(
                   docs, threshold=0.5, max_doc_freq=200,
@@ -177,6 +184,11 @@ def run_stress() -> dict:
                   emb, threshold=0.9, n_blocks=16).count())
         # the sub-quadratic SemDeDup path on the same 25× vectors: the
         # blocked/ivf ratio IS the scale argument (n² vs n²/n_lists)
+        timed("dedup_embedding_ivf_incremental",
+              lambda: similarity.cosine_near_dup_ivf_incremental(
+                  emb.filter("vec_id % 9 != 0"),
+                  emb.filter("vec_id % 9 = 0"),
+                  threshold=0.9, n_lists=64).count())
         timed("dedup_embedding_ivf",
               lambda: similarity.cosine_near_dup_ivf(
                   emb, threshold=0.9, n_lists=64).count())
