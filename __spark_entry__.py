@@ -2773,6 +2773,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                   "sum(total_chars+total_text_chars)",
                                   "sum(min_doc_id+max_doc_id)"]),
     ],
+    # historical name (kept for round-over-round CORRECTNESS
+    # continuity): since r6 this is the exact + INCREMENTAL dedup
+    # family, including the minhash batch-vs-index twin
     "dedup_exact_suite": [
         ("dedup_exact", ["sum(doc_id)", "count(distinct doc_id)",
                  _rowhash("doc_id")]),
