@@ -2860,7 +2860,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
     # their codebook rebuild became oracle-expressible, the same path
     # IVF took in r3.)
     "approx_suite": [
-        ("sketch_profile", ["sum(n_rows)", "sum(approx_users)"]),
+        ("sketch_profile", ["sum(n_rows)", "sum(approx_users)",
+                            "sum(cast(floor(approx_p50_value*100) as "
+                            "bigint)+cast(floor(approx_p99_value*100) "
+                            "as bigint))"]),
     ],
     "ml_suite": [
         ("svm_train", ["sum(bucket*n_sv)", "sum(n_sv)"]),

@@ -350,6 +350,17 @@ def band_structs(n_bands: int = 16, rows_per_band: int = 4) -> F.Column:
         ))
 
 
+def band_rows(signatures: DataFrame, n_bands: int = 16,
+              rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, bandhash) — THE banding projection, shared by
+    the candidate generator, the persistable index, and the
+    incremental batch side, so the three can never drift column-wise
+    (batch-vs-index equi-join correctness depends on it)."""
+    bands = F.explode(band_structs(n_bands, rows_per_band))
+    return (signatures.select("doc_id", bands.alias("bh"))
+            .select("doc_id", "bh.band", "bh.bandhash"))
+
+
 def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
                         rows_per_band: int = 4) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidates.
@@ -359,9 +370,7 @@ def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 16,
     expansion is the standard f² cost, bounded by band-hash width.
     Returns (doc_a, doc_b) distinct, doc_a < doc_b.
     """
-    bands = F.explode(band_structs(n_bands, rows_per_band))
-    exploded = signatures.select("doc_id", bands.alias("bh")) \
-                         .select("doc_id", "bh.band", "bh.bandhash")
+    exploded = band_rows(signatures, n_bands, rows_per_band)
     return (
         exploded.groupBy("band", "bandhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -439,10 +448,8 @@ def minhash_band_index(documents: DataFrame, n_hashes: int = 64,
     Constant-width rows: n_bands rows per doc regardless of text
     size, so the index is ~n_bands × 24 B per doc on disk."""
     sigs = minhash_signatures(documents, n_hashes, k, seed)
-    bands = F.explode(band_structs(n_bands, rows_per_band))
-    return (sigs.select("doc_id", bands.alias("bh"))
-            .select(F.col("bh.band").alias("band"),
-                    F.col("bh.bandhash").alias("bandhash"), "doc_id"))
+    return band_rows(sigs, n_bands, rows_per_band) \
+        .select("band", "bandhash", "doc_id")
 
 
 def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
@@ -478,10 +485,7 @@ def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
     if index is None:
         index = minhash_band_index(corpus, n_hashes, k, n_bands,
                                    rows_per_band, seed)
-    bands = F.explode(band_structs(n_bands, rows_per_band))
-    new_bands = (new_sigs.select("doc_id", bands.alias("bh"))
-                 .select("doc_id", F.col("bh.band").alias("band"),
-                         F.col("bh.bandhash").alias("bandhash")))
+    new_bands = band_rows(new_sigs, n_bands, rows_per_band)
     cross = (new_bands
              .join(index.withColumnRenamed("doc_id", "old_id"),
                    ["band", "bandhash"])

@@ -72,22 +72,27 @@ def duck():
     con.close()
 
 
-_ORACLED = None
+_ORACLES = None
+
+
+def _oracles():
+    # oracle construction reads parquet and retrains IVF/PQ models
+    # (~0.75 s per full render) — build the dict ONCE for the whole
+    # parametrized module instead of once per test (review r6 finding)
+    global _ORACLES
+    if _ORACLES is None:
+        os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF)
+        _ORACLES = em.oracle_sql_all()
+    return _ORACLES
 
 
 def _oracled_qkeys():
-    # oracle construction reads parquet (IVF centroids etc.) — pin the dir
-    global _ORACLED
-    if _ORACLED is None:
-        os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF)
-        _ORACLED = sorted(k for k in em.oracle_sql_all() if k not in SKIP)
-    return _ORACLED
+    return sorted(k for k in _oracles() if k not in SKIP)
 
 
 @pytest.mark.parametrize("qkey", _oracled_qkeys())
 def test_oracle_arrow_types_match_spark(spark, duck, qkey):
-    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF)
-    sql = em.oracle_sql_all()[qkey]
+    sql = _oracles()[qkey]
     atbl = duck.execute(f"SELECT * FROM ({sql}) AS _t LIMIT 0").arrow()
     sschema = em.queries_all()[qkey](spark, SF).schema
     spark.catalog.clearCache()

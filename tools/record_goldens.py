@@ -79,6 +79,10 @@ def main() -> int:
         sf_dir = f"/root/testdata/{sf_name}"
         qkeys = ML_QKEYS + ["sketch_profile"]
         if only:
+            unknown = only - set(qkeys)
+            if unknown:
+                print(f"unknown --only qkeys: {sorted(unknown)}")
+                return 2
             qkeys = [q for q in qkeys if q in only]
         results = [run_once(sf_dir, qkeys) for _ in range(runs)]
         for r in results[1:]:
@@ -89,17 +93,27 @@ def main() -> int:
                       "refusing to write goldens")
                 return 1
         got = results[0]
+
+        def merge_write(path: Path, update: dict) -> None:
+            # MERGE into any existing golden: a partial --only refresh
+            # must never drop the other members' pinned values (review
+            # r6 finding — a subset write would silently erase the
+            # rest and collapse the suite oracle)
+            data = json.loads(path.read_text()) if path.exists() else {}
+            data.update(update)
+            path.write_text(json.dumps(data, indent=4, sort_keys=True)
+                            + "\n")
+            print(f"wrote {path} ({runs} stable runs, "
+                  f"{sorted(update)} updated, {len(data)} total)")
+
         ml = {q: got[q] for q in qkeys if q in ML_QKEYS}
         if ml:
-            path = REPO / "tests" / "goldens" / f"training_qkeys_{sf_name}.json"
-            path.write_text(json.dumps(ml, indent=4, sort_keys=True) + "\n")
-            print(f"wrote {path} ({runs} stable runs)")
+            merge_write(REPO / "tests" / "goldens"
+                        / f"training_qkeys_{sf_name}.json", ml)
         if "sketch_profile" in got:
-            path = REPO / "tests" / "goldens" / f"sketch_profile_{sf_name}.json"
-            path.write_text(json.dumps(
-                {"sketch_profile": got["sketch_profile"]},
-                indent=4, sort_keys=True) + "\n")
-            print(f"wrote {path} ({runs} stable runs)")
+            merge_write(REPO / "tests" / "goldens"
+                        / f"sketch_profile_{sf_name}.json",
+                        {"sketch_profile": got["sketch_profile"]})
     return 0
 
 
