@@ -62,8 +62,10 @@ def test_ml_golden_oracles_values_and_types(monkeypatch):
         got = sorted(tuple(r[c] for c in cols) for r in tbl.to_pylist())
         assert got == sorted(tuple(r) for r in GOLDEN[qkey]["rows"]), qkey
     con.close()
-    # no ML golden for sf0.001 → the ML qkeys must stay rows-only there
-    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    # an sf with no committed golden → the ML qkeys must stay
+    # rows-only there, never guess (goldens now exist for all three
+    # fixture sfs, so probe a nonexistent one)
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf9")
     assert entrymod._ml_golden_oracles() == {}
 
 
