@@ -236,6 +236,72 @@ def streaming_minhash_near_dups(stream_docs: DataFrame,
             .dropDuplicatesWithinWatermark(["doc_a", "doc_b"]))
 
 
+VECS_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def static_embedding_index(corpus_vecs: DataFrame, centroids,
+                           features_col: str = "embedding") -> DataFrame:
+    """Static side of the stream-static embedding near-dup join: the
+    corpus assigned under its own IVF model (``ivf_assign_with`` with
+    the SAME centroids the stream side uses — model consistency is
+    what makes list-bucketed matching correct). At scale this is the
+    persisted ``partitionBy('ivf_list')`` table, not a rebuild."""
+    from parallel_svms_spark.operators.similarity import ivf_assign_with
+    return (ivf_assign_with(corpus_vecs, centroids, features_col)
+            .select(F.col("vec_id").alias("vec_b"),
+                    F.col(features_col).alias("emb_b"), "ivf_list"))
+
+
+def streaming_embedding_near_dup(stream_vecs: DataFrame,
+                                 static_index: DataFrame,
+                                 centroids,
+                                 threshold: float = 0.9,
+                                 features_col: str = "embedding"
+                                 ) -> DataFrame:
+    """Streaming twin of the new-vs-corpus half of
+    ``similarity.cosine_near_dup_ivf_incremental``: every arriving
+    vector is assigned to its IVF list with the corpus-trained
+    ``centroids`` (one Arrow-batched broadcast matmul per
+    micro-batch, stateless), stream-static equi-joined against the
+    per-list ``static_embedding_index``, and exact-cosine verified
+    JVM-side. Continuous-ingest semantic dedup: "is this new sample
+    already in the corpus?" at arrival time.
+
+    No dedup state is needed at all — a vector lives in exactly ONE
+    list, so each (stream, corpus) pair can only be produced once
+    (unlike the minhash twin's n_bands collisions). In-batch
+    stream×stream pairs are out of scope by the family contract
+    (same as ``streaming_minhash_near_dups``): arrivals are screened
+    against the CORPUS; batch-internal dup collapse happens at the
+    next compaction via the batch operator.
+
+    Returns (vec_a = stream vector, vec_b = corpus vector, ts,
+    cosine) with cosine ≥ threshold.
+    """
+    from parallel_svms_spark.operators.similarity import ivf_assign_with
+    assigned = (ivf_assign_with(stream_vecs, centroids, features_col)
+                .select(F.col("vec_id").alias("vec_a"), "ts",
+                        F.col(features_col).alias("emb_a"), "ivf_list"))
+    ea = F.col("emb_a").cast("array<double>")
+    eb = F.col("emb_b").cast("array<double>")
+    dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ea, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(eb, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cosine = F.round(dot / F.greatest(na * nb, F.lit(1e-30)), 6)
+    return (assigned.join(static_index, "ivf_list")
+            .filter(F.col("vec_a") != F.col("vec_b"))
+            .withColumn("cosine", cosine)
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "ts", "cosine"))
+
+
 def streaming_decontaminate(stream_docs: DataFrame, benchmark: DataFrame,
                             k: int = 4, text_col: str = "text") -> DataFrame:
     """Streaming twin of ``contamination.decontaminate``: drop arriving

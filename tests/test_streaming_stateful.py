@@ -726,3 +726,64 @@ def test_asof_stateful_tie_straddling_batches_is_dropped(spark):
     # the in-order left pairs with the tie click
     assert 5 not in got, got
     assert got == {7: 9}, got
+
+
+def test_streaming_embedding_near_dup_stream_static(spark):
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from parallel_svms_spark.operators import similarity as S
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    rng = [[float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]
+           for i in range(6)]
+    corpus = spark.createDataFrame(
+        [(100 + i, [float(x) for x in v]) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>")
+    C = S.ivf_centroids(corpus, n_lists=2, sample_rows=6)
+    idx = SW.static_embedding_index(corpus, C)
+    # batch 1: vec 1 = corpus 100 scaled (cosine 1.0) + noise vector;
+    # batch 2: vec 3 = corpus 102 with a small perturbation
+    near102 = [x + 0.01 for x in rng[2]]
+    f1 = [(1, t0, [x * 2.0 for x in rng[0]]),
+          (2, t0 + timedelta(minutes=1),
+           [5.0, -4.0, 3.0, -2.0, 1.0, 0.5, -0.5, 4.5])]
+    f2 = [(3, t0 + timedelta(minutes=5), near102)]
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, rows in enumerate((f1, f2)):
+            spark.createDataFrame(rows, SW.VECS_SCHEMA).coalesce(1) \
+                .write.parquet(f"{tmp}/d/{i}")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/d/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = (spark.readStream.schema(SW.VECS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(dst))
+        pairs = SW.streaming_embedding_near_dup(stream, idx, C,
+                                                threshold=0.9)
+        name = "stream_embdedup_test"
+        q = (pairs.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.vec_a, r.vec_b): r.cosine
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    assert (3, 102) in got and got[(3, 102)] >= 0.99
+    # equivalence: the batch incremental op's new-vs-corpus pairs
+    # under the SAME model must agree pair-for-pair (in-batch
+    # stream x stream pairs are out of scope by the family contract)
+    new_vecs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, _, v in f1 + f2],
+        "vec_id long, embedding array<float>")
+    batch = {(r.vec_a, r.vec_b): r.cosine
+             for r in S.cosine_near_dup_ivf_incremental(
+                 corpus, new_vecs, centroids=C, threshold=0.9,
+                 n_lists=2, sample_rows=6).collect()
+             if r.vec_b >= 100}  # corpus side only (a<b flips ids)
+    want = {(min(a, b), max(a, b)): c for (a, b), c in got.items()}
+    assert want == batch, (want, batch)
