@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from parallel_svms_spark.io.sources import load_table
 from parallel_svms_spark.operators import analytics as AN
+from parallel_svms_spark.operators import audit as AU
 from parallel_svms_spark.operators import dedup as D
 from parallel_svms_spark.operators import events as E
 from parallel_svms_spark.operators import fuzzy as FZ
@@ -397,7 +398,7 @@ _QKEY_ORDER = [
     "profile_table", "fuzzy_name_pairs", "agg_incremental",
     "snapshot_diff", "big_spender_orders", "returned_revenue_by_customer",
     "nation_trade_flows", "best_supplier_per_part", "disjunctive_revenue",
-    "market_share",
+    "market_share", "validate_constraints",
     # events family — cheap, and NEVER verified in r3: run early
     "json_extract", "window_tumbling", "window_hopping", "sessionize",
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
@@ -692,6 +693,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "orders"),
             load_table(s, d, "customer"), load_table(s, d, "supplier"),
             load_table(s, d, "nation"), load_table(s, d, "region")),
+        # Deequ-style release gate: 11 integrity checks in 3 fused
+        # scans + 2 key-only FK joins
+        "validate_constraints": lambda s, d: AU.validate_constraints(
+            load_table(s, d, "orders"), load_table(s, d, "customer"),
+            load_table(s, d, "lineitem")),
         "value_histogram": lambda s, d: E.value_histogram(
             load_table(s, d, "events")),
         "outlier_events": lambda s, d: E.outlier_events(
@@ -1208,6 +1214,61 @@ SELECT CAST(yr AS INT) AS yr,
        ROUND(1.0 * SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents
                             ELSE 0 END) / SUM(cents), 6) AS share
 FROM base GROUP BY 1
+""",
+        # same three fused per-table aggregates + two key-only FK
+        # probes as operators/audit.validate_constraints; every count
+        # is cast to BIGINT (DuckDB SUM over ints is HUGEINT →
+        # decimal128 at the driver — the r5 interval_join bug class)
+        "validate_constraints": """
+WITH o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_nn,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uq,
+         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_tp,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('O','F','P')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_dom
+  FROM orders),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_nn,
+         CAST(SUM(CASE WHEN c_name IS NULL OR length(c_name) = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_name
+  FROM customer),
+l AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(SUM(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_tax
+  FROM lineitem)
+SELECT 'orders_orderkey_not_null' AS check_name,
+       v_nn AS n_violations, n_checked FROM o
+UNION ALL SELECT 'orders_orderkey_unique', v_uq, n_checked FROM o
+UNION ALL SELECT 'orders_totalprice_nonneg', v_tp, n_checked FROM o
+UNION ALL SELECT 'orders_status_domain', v_dom, n_checked FROM o
+UNION ALL SELECT 'customer_custkey_not_null', v_nn, n_checked FROM c
+UNION ALL SELECT 'customer_name_nonempty', v_name, n_checked FROM c
+UNION ALL SELECT 'lineitem_quantity_range', v_qty, n_checked FROM l
+UNION ALL SELECT 'lineitem_discount_range', v_disc, n_checked FROM l
+UNION ALL SELECT 'lineitem_tax_nonneg', v_tax, n_checked FROM l
+UNION ALL
+SELECT 'orders_custkey_fk',
+       CAST(SUM(CASE WHEN d.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders f LEFT JOIN (SELECT DISTINCT c_custkey AS pk
+                         FROM customer) d ON f.o_custkey = d.pk
+UNION ALL
+SELECT 'lineitem_orderkey_fk',
+       CAST(SUM(CASE WHEN d.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem f LEFT JOIN (SELECT DISTINCT o_orderkey AS pk
+                           FROM orders) d ON f.l_orderkey = d.pk
 """,
         # direct column comparison; agreement with Spark's digest
         # classification proves digest equality ⇔ value equality
@@ -2542,7 +2603,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 121 per-operator qkeys, 71 could never get a
+# time budget). With 122 per-operator qkeys, 72 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2680,6 +2741,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("fuzzy_name_pairs", ["sum(length(name_a)"
                               "+length(name_b))", "sum(dist)",
                               "count(distinct name_a)"]),
+        ("validate_constraints", ["sum(n_violations)", "sum(n_checked)",
+                                  _rowhash("length(check_name)*1000000 "
+                                           "+ n_violations")]),
     ],
     "window_suite": [
         ("window_tumbling", ["count(distinct window_start)", "sum(n_events)",
@@ -2947,7 +3011,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 121 per-operator
+    per-round correctness budget), covering all 122 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -1,0 +1,142 @@
+"""Data-quality constraint validation over the warehouse tables.
+
+A 100 TB ingest pipeline runs integrity checks before every training
+data release: primary-key uniqueness, NOT-NULL columns, value-domain
+and range rules, and referential integrity between fact tables. The
+reference has no audit surface at all (its dataflows trust their
+LibSVM-format inputs; SURVEY §2.9); this module supplies the missing
+gate in the shape a Spark cluster wants:
+
+- **One scan per table.** Every per-row rule over a table (nulls,
+  ranges, domains, duplicate keys) is fused into a SINGLE conditional
+  aggregation — ``SUM(CASE WHEN violated)`` columns side by side — so
+  k rules cost one pass, not k passes. The single wide agg row is then
+  unpivoted with ``stack`` into one row per check (a zero-shuffle
+  projection of a 1-row frame). At 100 TB the audit reads each table
+  exactly once, and partial aggregation means the shuffle carries one
+  row per partition.
+- **Uniqueness without a second scan.** Duplicate-key counting is
+  ``count(*) - count(DISTINCT key)`` inside the same aggregate (Spark
+  plans the distinct via partial aggregation; the shuffle carries
+  distinct keys, never rows).
+- **Referential integrity as a key-only join.** Orphan detection joins
+  the fact's key column against the dimension's DISTINCT key column
+  (left outer + ``SUM(CASE WHEN missing)``), producing both the checked
+  and violated counts in one pass. The probe side is pruned to ONE
+  column before the exchange, so the shuffle carries 8-byte keys. No
+  broadcast hint: at 100 TB both sides of an FK check are fact-sized,
+  and AQE picks broadcast on its own whenever the key side is small.
+
+Output contract (all checks, both engines): one row per check,
+``(check_name string, n_violations bigint, n_checked bigint)``.
+A clean table yields all-zero ``n_violations``; the row count equals
+the number of registered checks, so a disappearing check is itself
+detectable downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _viol(cond) -> F.Column:
+    """LONG count of rows where the violation predicate holds.
+
+    NULL predicate outcomes (e.g. a range rule over a NULL value) count
+    as non-violations here; dedicated NOT-NULL checks own nullness.
+    """
+    return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+
+def _stack_checks(agg: DataFrame, checks: list[str]) -> DataFrame:
+    """Unpivot a 1-row wide aggregate into (check_name, n_violations,
+    n_checked) rows. ``stack`` is a projection — no shuffle, no join."""
+    pairs = ", ".join(f"'{c}', {c}" for c in checks)
+    return agg.select(
+        F.expr(f"stack({len(checks)}, {pairs}) AS (check_name, n_violations)"),
+        F.col("n_checked"),
+    ).select("check_name", "n_violations", "n_checked")
+
+
+def _fk_check(name: str, fact: DataFrame, key: str,
+              dim: DataFrame, dim_key: str) -> DataFrame:
+    """Orphan count for ``fact.key -> dim.dim_key`` as one key-only
+    pass: prune both sides to the key column, distinct the dimension
+    side, left-outer join, and count rows whose match is missing.
+    Returns a single (check_name, n_violations, n_checked) row."""
+    probe = fact.select(F.col(key).alias("fk"))
+    build = dim.select(F.col(dim_key).alias("pk")).distinct()
+    joined = probe.join(build, probe["fk"] == build["pk"], "left_outer")
+    return joined.agg(
+        F.lit(name).alias("check_name"),
+        _viol(F.col("pk").isNull()).alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    ).select("check_name", "n_violations", "n_checked")
+
+
+def validate_constraints(orders: DataFrame, customer: DataFrame,
+                         lineitem: DataFrame) -> DataFrame:
+    """Run the standard warehouse constraint suite in three table scans
+    plus two key-only FK joins; see the module docstring for the plan
+    shape. Eleven checks:
+
+    orders (one scan): ``orders_orderkey_not_null``,
+    ``orders_orderkey_unique`` — ``count(*) - count(DISTINCT key)``:
+    every row beyond the first per non-NULL key, PLUS every NULL-key
+    row (a NULL key cannot be proven unique; COUNT(DISTINCT) ignores
+    NULLs identically in Spark and DuckDB) —
+    ``orders_totalprice_nonneg``, ``orders_status_domain``
+    (o_orderstatus ∈ {O, F, P}).
+
+    customer (one scan): ``customer_custkey_not_null``,
+    ``customer_name_nonempty``.
+
+    lineitem (one scan): ``lineitem_quantity_range`` ([1, 50]),
+    ``lineitem_discount_range`` ([0, 1]), ``lineitem_tax_nonneg``.
+
+    FK joins: ``orders_custkey_fk`` (orders → customer),
+    ``lineitem_orderkey_fk`` (lineitem → orders).
+    """
+    o_agg = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        _viol(F.col("o_orderkey").isNull()).alias("orders_orderkey_not_null"),
+        (F.count(F.lit(1)) - F.countDistinct(F.col("o_orderkey")))
+        .cast("long").alias("orders_orderkey_unique"),
+        _viol(F.col("o_totalprice") < 0).alias("orders_totalprice_nonneg"),
+        _viol(~F.col("o_orderstatus").isin("O", "F", "P")
+              | F.col("o_orderstatus").isNull())
+        .alias("orders_status_domain"),
+    )
+    o_rows = _stack_checks(o_agg, [
+        "orders_orderkey_not_null", "orders_orderkey_unique",
+        "orders_totalprice_nonneg", "orders_status_domain"])
+
+    c_agg = customer.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        _viol(F.col("c_custkey").isNull()).alias("customer_custkey_not_null"),
+        _viol(F.col("c_name").isNull() | (F.length("c_name") == 0))
+        .alias("customer_name_nonempty"),
+    )
+    c_rows = _stack_checks(c_agg, [
+        "customer_custkey_not_null", "customer_name_nonempty"])
+
+    l_agg = lineitem.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        _viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .alias("lineitem_quantity_range"),
+        _viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .alias("lineitem_discount_range"),
+        _viol(F.col("l_tax") < 0).alias("lineitem_tax_nonneg"),
+    )
+    l_rows = _stack_checks(l_agg, [
+        "lineitem_quantity_range", "lineitem_discount_range",
+        "lineitem_tax_nonneg"])
+
+    fk1 = _fk_check("orders_custkey_fk", orders, "o_custkey",
+                    customer, "c_custkey")
+    fk2 = _fk_check("lineitem_orderkey_fk", lineitem, "l_orderkey",
+                    orders, "o_orderkey")
+
+    return o_rows.unionByName(c_rows).unionByName(l_rows) \
+        .unionByName(fk1).unionByName(fk2)

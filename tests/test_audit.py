@@ -1,0 +1,91 @@
+"""Constraint-validation audit: planted-violation detection + plan shape.
+
+The sf fixtures are clean (all checks report 0 violations — proven by
+the DuckDB oracle in test_oracles_all), so these tests build a dirty
+micro-warehouse where every check must fire with an exactly known
+count, then pin the plan shape the module docstring promises.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_svms_spark.operators.audit import validate_constraints
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    orders = spark.createDataFrame(
+        [
+            # (o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+            (1, 10, "O", 100.0),
+            (1, 10, "O", 100.0),      # duplicate PK (1 extra row)
+            (2, 10, "F", -5.0),       # negative totalprice
+            (3, 99, "X", 50.0),       # bad status + orphan custkey
+            (None, 11, "P", 10.0),    # NULL PK
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(10, "Alice"), (11, ""), (12, None)],
+        "c_custkey long, c_name string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            # (l_orderkey, l_quantity, l_discount, l_tax)
+            (1, 10.0, 0.05, 0.02),
+            (2, 0.0, 0.05, 0.02),     # quantity < 1
+            (2, 99.0, 1.5, 0.02),     # quantity > 50 AND discount > 1
+            (7, 10.0, -0.1, -0.5),    # orphan orderkey, disc < 0, tax < 0
+        ],
+        "l_orderkey long, l_quantity double, l_discount double, "
+        "l_tax double",
+    )
+    return orders, customer, lineitem
+
+
+def test_planted_violations_all_detected(dirty):
+    orders, customer, lineitem = dirty
+    got = {r["check_name"]: (r["n_violations"], r["n_checked"])
+           for r in validate_constraints(orders, customer, lineitem).collect()}
+    assert got == {
+        "orders_orderkey_not_null": (1, 5),
+        # 5 rows − 3 distinct non-NULL keys: the dup row AND the
+        # NULL-key row both count (a NULL key can't be proven unique;
+        # COUNT(DISTINCT) ignores NULLs in both engines)
+        "orders_orderkey_unique": (2, 5),
+        "orders_totalprice_nonneg": (1, 5),
+        "orders_status_domain": (1, 5),
+        "customer_custkey_not_null": (0, 3),
+        "customer_name_nonempty": (2, 3),   # empty string + NULL
+        "lineitem_quantity_range": (2, 4),
+        "lineitem_discount_range": (2, 4),
+        "lineitem_tax_nonneg": (1, 4),
+        "orders_custkey_fk": (1, 5),        # custkey 99
+        "lineitem_orderkey_fk": (1, 4),     # orderkey 7
+    }
+
+
+def test_clean_tables_report_zero(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    out = validate_constraints(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "lineitem"),
+    ).collect()
+    assert len(out) == 11
+    assert all(r["n_violations"] == 0 for r in out)
+    # n_checked carries the audited population per table
+    assert {r["n_checked"] for r in out} == {150, 1500, 6000}
+
+
+def test_plan_has_no_cartesian_or_python(dirty):
+    """The audit is fused scans + key-only joins: no nested-loop /
+    cartesian anywhere in the plan, and no Python evaluation."""
+    orders, customer, lineitem = dirty
+    plan = validate_constraints(orders, customer, lineitem) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
