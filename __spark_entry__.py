@@ -343,6 +343,78 @@ def _pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.session_stats(sub)
 
 
+def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV codec round trip: events payload (incl. the JSON ``props``
+    column — embedded quotes, commas, braces: the quoting stress case)
+    → CSV sink → CSV source (explicit schema, FAILFAST) → per-type
+    rollup. Hash-matching the parquet-side oracle proves the quoted
+    text and every numeric column survived the text codec exactly.
+    Timestamps travel as epoch-millis BIGINT (CSV has no timestamp
+    type; the ms integer removes format/zone ambiguity from the codec
+    contract)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from parallel_svms_spark.io.sources import read_csv, write_csv
+    ev = load_table(spark, sf_dir, "events")
+    payload = ev.select(
+        "event_id", "user_id", "event_type", "props",
+        F.floor(F.col("value") * 1000).cast("long").alias("value_millis"),
+        F.unix_millis("ts").alias("ts_ms"))
+    tmp = _scratch_dir("csv_rt_")
+    write_csv(payload, tmp)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("props", T.StringType()),
+        T.StructField("value_millis", T.LongType()),
+        T.StructField("ts_ms", T.LongType())])
+    back = read_csv(spark, tmp, schema)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("user_id").alias("sum_users"),
+                 F.sum("value_millis").alias("value_millis"),
+                 F.sum(F.octet_length("props")).alias("props_bytes"),
+                 F.min("event_id").alias("min_event_id"),
+                 F.max("event_id").alias("max_event_id"),
+                 F.sum("ts_ms").alias("sum_ts_ms")))
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-paid-shuffle round trip: orders and lineitem are rewritten
+    as 8-bucket hash-bucketed tables on the order key, then joined
+    WITHOUT any Exchange on either side (the bucket spec proves
+    co-partitioning to Catalyst; plan pinned in tests/test_layout.py).
+    The rollup hash-matching the oracle (plain join over the ORIGINAL
+    parquet) proves the bucketed layout is lossless and bucket-aligned
+    reads produce the exact join multiset. Broadcast is disabled for
+    the join so the test exercises the co-located SortMergeJoin — the
+    100 TB regime, where neither fact side fits a broadcast."""
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.io.layout import write_bucketed_table
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(orders, "bkt_orders", _scratch_dir("bkt_o_"),
+                         "o_orderkey", 8)
+    write_bucketed_table(li, "bkt_lineitem", _scratch_dir("bkt_l_"),
+                         "l_orderkey", 8)
+    bo, bl = spark.table("bkt_orders"), spark.table("bkt_lineitem")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = (bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+               .groupBy("o_orderstatus")
+               .agg(F.count("*").alias("n_items"),
+                    F.sum(F.floor(F.col("l_extendedprice") * 100)
+                          .cast("long")).alias("price_cents")))
+        # materialize the join under the pinned conf: the returned
+        # frame must not depend on a conf this function restores
+        out = out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    return out
+
+
 def _parse_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: reference sparse-line codec round trip — encode embeddings
     as ``label,i1,v1,...`` lines (|v| ≥ 0.05 kept), parse back with
@@ -405,6 +477,7 @@ _QKEY_ORDER = [
     "retention_cohorts", "gap_fill_daily", "activity_streaks",
     "value_histogram", "outlier_events", "event_transitions",
     "pseudonymize_events", "pipeline_events", "kanonymity_risk",
+    "rolling_features", "rolling_features_bucketed", "value_percentiles",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "audio_windows",
     "resize_images",
@@ -415,7 +488,7 @@ _QKEY_ORDER = [
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob",
     "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
-    "compaction_roundtrip",
+    "compaction_roundtrip", "csv_roundtrip", "bucketed_join",
     # dedup / corpus assembly
     "dedup_exact", "dedup_incremental", "dedup_clusters",
     "dedup_cluster_stats", "shard_pack",
@@ -714,6 +787,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 cols=["user_id"], salt="s5")
             .withColumnRenamed("user_id", "user_token"),
         "pipeline_events": _pipeline_events,
+        "rolling_features": lambda s, d: TS.rolling_features(
+            load_table(s, d, "events")),
+        "rolling_features_bucketed": lambda s, d:
+            TS.rolling_features_bucketed(load_table(s, d, "events")),
+        "value_percentiles": lambda s, d: X.grouped_exact_percentiles(
+            load_table(s, d, "events"), "event_type", "value"),
         # re-identification screen on the (user, event_type) quasi-id
         "kanonymity_risk": lambda s, d: __import__(
             "parallel_svms_spark.operators.privacy",
@@ -757,6 +836,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _jsonl_roundtrip,
         "orc_roundtrip": _orc_roundtrip,
         "zorder_roundtrip": _zorder_roundtrip,
+        "csv_roundtrip": _csv_roundtrip,
+        "bucketed_join": _bucketed_join,
         "compaction_roundtrip": _compaction_roundtrip,
         "pipeline_curate": _pipeline_curate,
         "multimodal_features": _multimodal_features,
@@ -1750,6 +1831,19 @@ FROM events GROUP BY user_id, event_type HAVING COUNT(*) < 5
         # bucketed variant shares the plain operator's oracle verbatim
         "sessionize_bucketed": _SESSIONIZE_ORACLE,
         "interval_join": _INTERVAL_JOIN_ORACLE,
+        # rolling trailing-window features: the value sum is floored
+        # to millis PER ROW before the window sum (integer, exact
+        # under any intra-frame order); bucketed variant is
+        # value-identical by construction (equivalence-tested) and
+        # shares the oracle verbatim, same as sessionize_bucketed
+        "rolling_features": _ROLLING_FEATURES_ORACLE,
+        "rolling_features_bucketed": _ROLLING_FEATURES_ORACLE,
+        # exact per-group percentiles: the oracle writes the SAME
+        # IEEE-double interpolation algebra as the operator (every
+        # operand cast to DOUBLE — bare 0.5*(n-1) would be DECIMAL
+        # arithmetic in DuckDB, the r5 interval_join divergence
+        # class), so the doubles are bit-identical, no rounding
+        "value_percentiles": _VALUE_PERCENTILES_ORACLE,
         "merge_upsert": (
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "WHERE doc_id % 7 <> 0 "
@@ -1981,6 +2075,29 @@ FROM events
 WHERE user_id BETWEEN 3 AND 9 AND value BETWEEN 50.0 AND 200.0
 GROUP BY event_type
 """,
+        # csv_roundtrip: the oracle aggregates the parquet directly —
+        # hash-matching proves the CSV write+read (quoted JSON props
+        # included) was lossless; strlen = bytes = Spark octet_length
+        "csv_roundtrip": """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users,
+       CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT)
+         AS value_millis,
+       CAST(SUM(strlen(props)) AS BIGINT) AS props_bytes,
+       MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+       CAST(SUM(epoch_ms(ts)) AS BIGINT) AS sum_ts_ms
+FROM events GROUP BY event_type
+""",
+        # bucketed_join: plain join over the ORIGINAL parquet — the
+        # hash match proves the bucketed re-layout is lossless and the
+        # exchange-free bucket-aligned join computes the same multiset
+        "bucketed_join": """
+SELECT o_orderstatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""",
         # compaction_roundtrip: oracle aggregates the original table —
         # bin-packing the fragmented copy must preserve the row multiset
         "compaction_roundtrip": """
@@ -2016,6 +2133,55 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
 # Per-user gap sessionization rollup — shared by the `sessionize` and
 # `sessionize_bucketed` qkeys (the bucketed operator is value-identical
 # by construction, asserted by equivalence tests)
+# Trailing 1-hour RANGE window per user over epoch-millis — COUNT is
+# BIGINT natively; the window SUM over per-row-floored millis is
+# HUGEINT in DuckDB and must be cast (the r5 interval_join class)
+_ROLLING_FEATURES_ORACLE = """
+SELECT event_id, user_id, COUNT(*) OVER w AS n_win,
+       CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) OVER w AS BIGINT)
+         AS value_millis_win
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _pctl_sql(p: str) -> tuple[str, str]:
+    """Bracket + blend SQL for one percentile literal, all-DOUBLE
+    arithmetic (identical IEEE expression shape to
+    partitioning.grouped_exact_percentiles' driver-side blend)."""
+    pos = f"1 + CAST({p} AS DOUBLE)*CAST(n-1 AS DOUBLE)"
+    tag = p.replace("0.", "")
+    bracket = (
+        f"MAX(CASE WHEN rn = CAST(FLOOR({pos}) AS BIGINT) "
+        f"THEN value END) AS lo{tag},\n"
+        f"    MAX(CASE WHEN rn = CAST(CEIL({pos}) AS BIGINT) "
+        f"THEN value END) AS hi{tag}")
+    blend = (f"lo{tag} + ({pos} - FLOOR({pos})) * (hi{tag} - lo{tag})")
+    return bracket, blend
+
+
+_VALUE_PERCENTILES_ORACLE = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+    {b50},
+    {b90},
+    {b99}
+  FROM r GROUP BY event_type, n
+)
+SELECT event_type, n, {v50} AS p50, {v90} AS p90, {v99} AS p99
+FROM b
+""".format(b50=_pctl_sql("0.5")[0], b90=_pctl_sql("0.9")[0],
+           b99=_pctl_sql("0.99")[0],
+           v50=_pctl_sql("0.5")[1], v90=_pctl_sql("0.9")[1],
+           v99=_pctl_sql("0.99")[1])
+
+
 _INTERVAL_JOIN_ORACLE = """
 WITH flagged AS (
   SELECT user_id, ts,
@@ -2603,7 +2769,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 122 per-operator qkeys, 72 could never get a
+# time budget). With 127 per-operator qkeys, 77 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2776,6 +2942,18 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("outlier_events", ["sum(n_events)",
                             "sum(cast(floor(p_thr*1000) as bigint))",
                             "sum(n_outliers)"]),
+        ("rolling_features", ["sum(event_id*n_win)", "sum(n_win)",
+                              _rowhash("event_id*100000000 + "
+                                       "n_win*1000000 + "
+                                       "value_millis_win")]),
+        ("rolling_features_bucketed",
+         ["sum(event_id*n_win)", "sum(n_win)",
+          _rowhash("event_id*100000000 + n_win*1000000 + "
+                   "value_millis_win")]),
+        ("value_percentiles", ["sum(length(event_type)*n)",
+                               "sum(cast(floor(p50*100000) as bigint)"
+                               "+cast(floor(p90*100000) as bigint))",
+                               "sum(cast(floor(p99*100000) as bigint))"]),
     ],
     "multimodal_suite": [
         ("multimodal_features", ["sum(media_id)", "sum(n_bytes)",
@@ -2836,6 +3014,11 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("compaction_roundtrip", ["sum(n_docs)",
                                   "sum(total_chars+total_text_chars)",
                                   "sum(min_doc_id+max_doc_id)"]),
+        ("csv_roundtrip", ["sum(n_events)",
+                           "sum(sum_users+value_millis)",
+                           "sum(props_bytes+sum_ts_ms)"]),
+        ("bucketed_join", ["sum(length(o_orderstatus)*n_items)",
+                           "sum(n_items)", "sum(price_cents)"]),
     ],
     # historical name (kept for round-over-round CORRECTNESS
     # continuity): since r6 this is the exact + INCREMENTAL dedup
@@ -3011,7 +3194,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 122 per-operator
+    per-round correctness budget), covering all 127 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -182,3 +182,41 @@ def compact_files(spark: SparkSession, path: str, out_path: str,
     (spark.read.parquet(path).coalesce(n_out)
         .write.mode("overwrite").parquet(out_path))
     return dataset_file_stats(out_path)[0]
+
+
+def write_bucketed_table(df: DataFrame, table: str, path: str,
+                         bucket_col: str, n_buckets: int = 8,
+                         one_file_per_bucket: bool = True) -> None:
+    """Hash-bucketed, bucket-sorted parquet table (Hive bucketing
+    spec): rows land in ``n_buckets`` files by ``hash(bucket_col)``,
+    sorted by the key inside each bucket, and the bucket spec is
+    recorded in the catalog so Catalyst can PROVE two tables with the
+    same spec are co-partitioned.
+
+    This is the pre-paid shuffle: a fact⋈fact join on the bucket key
+    reads both sides bucket-aligned and plans a SortMergeJoin with NO
+    Exchange on either side (pinned by tests/test_layout.py) — at
+    100 TB, bucketing the two biggest tables once at ingest deletes
+    the dominant recurring shuffle from every downstream join, the
+    same trade the Z-order writer makes for range predicates.
+
+    ``one_file_per_bucket`` repartitions by the key first so each
+    bucket is a single file — that is the layout under which Spark
+    can also elide the merge-sort on read (bucketed SortBy only
+    guarantees per-file order; many files per bucket forces a re-sort
+    even though the exchange is still saved).
+
+    External table at ``path`` (an in-memory-catalog session keeps
+    the bucket metadata for its lifetime; a metastore-backed cluster
+    keeps it durably). Overwrites any previous table of this name.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df
+    if one_file_per_bucket:
+        w = w.repartition(n_buckets, F.col(bucket_col))
+    (w.write.mode("overwrite")
+     .bucketBy(n_buckets, bucket_col)
+     .sortBy(bucket_col)
+     .option("path", path)
+     .saveAsTable(table))

@@ -283,6 +283,42 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink: header + full RFC-4180 quoting (quote doubling via
+    escape='\"') so free-text payloads with embedded commas, quotes,
+    and JSON braces round-trip byte-exactly. One file per task, JVM
+    writer (univocity) — same 100 TB parallel-write story as JSONL.
+    CSV is the lowest-common-denominator handover format (spreadsheet
+    exports, legacy ETL drops); the engine names it explicitly so
+    consumers of the reference's text-file surface have a typed path
+    in.
+
+    Contract: payload cells must be NEWLINE-FREE. Embedded newlines
+    would force ``multiLine`` on read, which makes files unsplittable
+    (one task per file — a 100 TB non-starter); corpora with multiline
+    text belong in JSONL/parquet (both handle them natively)."""
+    (df.write.mode("overwrite")
+     .option("header", True).option("escape", '"')
+     # the writer TRIMS cell whitespace by default — a silent payload
+     # mutation; pin both off so the codec is byte-lossless
+     .option("ignoreLeadingWhiteSpace", False)
+     .option("ignoreTrailingWhiteSpace", False)
+     .csv(path))
+
+
+def read_csv(spark: SparkSession, path: str,
+             schema: T.StructType) -> DataFrame:
+    """CSV source with a REQUIRED explicit schema (CSV carries no
+    types at all, so inference is both an extra full scan AND a
+    correctness hazard — '007' infers int). Quote/escape options
+    mirror write_csv so the pair is a lossless codec; FAILFAST mode
+    surfaces any malformed line instead of silently nulling it."""
+    return (spark.read.schema(schema)
+            .option("header", True).option("escape", '"')
+            .option("mode", "FAILFAST")
+            .csv(path))
+
+
 def write_partitioned(df: DataFrame, path: str,
                       partition_col: str = "source") -> None:
     """Directory-partitioned parquet sink (`partition_col=value/`

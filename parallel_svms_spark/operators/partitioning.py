@@ -260,3 +260,127 @@ def topk_per_group(df: DataFrame, group_cols: list[str], order_cols,
     return (survivors.withColumn(rank_col,
                                  F.row_number().over(final).cast("int"))
             .filter(F.col(rank_col) <= k))
+
+
+def grouped_exact_percentiles(df: DataFrame, group_col: str,
+                              value_col: str,
+                              ps: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """EXACT linear-interpolated percentiles per group WITHOUT a
+    per-group sort task.
+
+    ``percentile() OVER`` / ``quantile_cont`` on a low-cardinality
+    group column (event types, languages, sources) funnels each
+    group's entire value set through one task — a disguised global
+    sort, dead at 100 TB. ``sketch_profile`` covers the approximate
+    path (t-digest); this is the exact path, as distributed
+    SELECTION rather than sort:
+
+    1. range-partition on (group, value) — Spark samples split
+       bounds; P parallel partitions, each internally sorted, a
+       group's rows occupying a contiguous run of partitions in
+       range order;
+    2. per-(partition, group) row counts → driver (≤ P × |groups|
+       longs), within-group exclusive offsets accumulated in range
+       order and broadcast back;
+    3. one Arrow pass emits ONLY the rows whose within-group global
+       rank brackets a requested percentile position (≤ 2·|ps| rows
+       per group);
+    4. the tiny bracket set (bounded by construction:
+       |groups| × 2|ps| rows) interpolates on the driver with
+       ``v_lo + frac·(v_hi − v_lo)``.
+
+    The interpolation algebra — position ``1 + p·(n−1)``, floor/ceil
+    bracket, linear blend — is written with the SAME IEEE-double
+    expression shape the DuckDB oracle uses (every operand cast to
+    DOUBLE there: bare ``0.5·(n−1)`` would be DECIMAL arithmetic in
+    DuckDB — the r5 interval_join type-divergence class), so the
+    doubles are bit-identical and the oracle hash-matches without
+    rounding. Ties need no tiebreaker: equal values bracket to equal
+    values whichever engine's row_number wins.
+
+    NULL values are excluded (both engines), matching aggregate
+    percentile semantics. Returns one row per group:
+    (group, n, p50, p90, p99 — column names derived from ``ps``).
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    src = (df.select(F.col(group_col).alias("grp"),
+                     F.col(value_col).cast("double").alias("val"))
+           .filter(F.col("val").isNotNull()))
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (src.repartitionByRange(n_part, "grp", "val")
+              .sortWithinPartitions("grp", "val")
+              .localCheckpoint())
+    parts = (ranged.groupBy(F.spark_partition_id().alias("pid"), "grp")
+             .agg(F.count("*").alias("cnt"),
+                  F.min("val").alias("min_val"))
+             .collect())
+    # range order, not pid order (pid numbering need not follow the
+    # range partitioner's key order — same caveat as global_ntile)
+    parts.sort(key=lambda r: (r["grp"], r["min_val"], r["pid"]))
+    totals: dict = {}
+    offsets: dict = {}  # (pid, grp) -> within-group exclusive offset
+    for r in parts:
+        g = r["grp"]
+        offsets[(int(r["pid"]), g)] = totals.get(g, 0)
+        totals[g] = totals.get(g, 0) + int(r["cnt"])
+    # within-group global ranks that bracket each requested position
+    needed: dict = {}
+    for g, n in totals.items():
+        want = set()
+        for p in ps:
+            pos = 1.0 + p * (n - 1)
+            want.add(int(math.floor(pos)))
+            want.add(int(math.ceil(pos)))
+        needed[g] = want
+    bc = spark.sparkContext.broadcast((offsets, needed))
+
+    out_schema = T.StructType([
+        T.StructField("grp", src.schema["grp"].dataType),
+        T.StructField("rank", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+
+    def pick(it):
+        import pandas as pd
+        offs, need = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            pdf = pdf.sort_values(["grp", "val"], kind="mergesort")
+            rows = []
+            for g, sub in pdf.groupby("grp", sort=False):
+                base = offs.get((pid, g), 0)
+                want = need.get(g, ())
+                for i, v in enumerate(sub["val"].to_numpy()):
+                    rk = base + i + 1
+                    if rk in want:
+                        rows.append((g, rk, float(v)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["grp", "rank", "val"])
+
+    brackets = (ranged.withColumn("__pid", F.spark_partition_id())
+                .mapInPandas(pick, schema=out_schema).collect())
+    byg: dict = {}
+    for r in brackets:
+        byg.setdefault(r["grp"], {})[int(r["rank"])] = float(r["val"])
+    out_rows = []
+    for g in sorted(totals):
+        n = totals[g]
+        vals = byg[g]
+        row = [g, n]
+        for p in ps:
+            pos = 1.0 + p * (n - 1)
+            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+            row.append(vals[lo] + (pos - lo) * (vals[hi] - vals[lo]))
+        out_rows.append(tuple(row))
+    pcols = [f"p{int(round(p * 100))}" for p in ps]
+    schema = T.StructType(
+        [T.StructField(group_col, src.schema["grp"].dataType),
+         T.StructField("n", T.LongType())]
+        + [T.StructField(c, T.DoubleType()) for c in pcols])
+    return spark.createDataFrame(out_rows, schema)

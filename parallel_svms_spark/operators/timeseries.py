@@ -96,3 +96,87 @@ def activity_streaks(events: DataFrame, user_col: str = "user_id",
     return streaks.groupBy(user_col).agg(
         F.max("len").alias("longest_streak"),
         F.count("*").alias("n_streaks"))
+
+
+def rolling_features(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     window_minutes: int = 60) -> DataFrame:
+    """Per-event trailing-window features: for EVERY event, the count
+    and (integer-exact) value sum of the same user's events in the
+    closed interval ``[ts − window, ts]`` — the feature shape online
+    models ask of an event lake ("how active was this user in the
+    last hour as of this event?").
+
+    One user-partitioned RANGE window over epoch-millis — Spark's
+    range frame is the native physical form (a single sort per user
+    plus a sliding two-pointer frame; no self-join, no explode). The
+    value sum is floored to millis PER ROW before the window sum, so
+    the aggregate is integer and therefore exact under any intra-frame
+    order — that is what lets the DuckDB oracle hash-match doubles-
+    free. Ties (same user, same ts) are RANGE peers in both engines:
+    every peer sees the whole peer group, no tiebreak needed.
+
+    Scale shape: shuffle keyed by user; window state is the trailing
+    hour only (Spark's range frame evicts as it slides). A mega-user
+    still serializes one task — ``rolling_features_bucketed`` is the
+    value-identical bounded-task variant, same trade as
+    ``events.sessionize_bucketed``.
+    """
+    horizon_ms = window_minutes * 60_000
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.unix_millis(F.col(ts_col)))
+         .rangeBetween(-horizon_ms, 0))
+    vm = F.floor(F.col(value_col) * 1000).cast("long")
+    return (events
+            .withColumn("n_win", F.count("*").over(w))
+            .withColumn("value_millis_win", F.sum(vm).over(w))
+            .select("event_id", user_col, "n_win", "value_millis_win"))
+
+
+def rolling_features_bucketed(events: DataFrame,
+                              user_col: str = "user_id",
+                              ts_col: str = "ts",
+                              value_col: str = "value",
+                              window_minutes: int = 60,
+                              bucket_hours: int = 6) -> DataFrame:
+    """Mega-user-safe ``rolling_features``, value-identical by
+    construction (asserted by equivalence tests; shares the plain
+    operator's DuckDB oracle verbatim).
+
+    A trailing window of bounded horizon needs only bounded context,
+    so instead of one window task per user:
+
+    1. bucket events into (user, ``bucket_hours``) time buckets;
+    2. REPLICATE each event that falls within ``horizon`` of its
+       bucket's end into the next bucket as a context-only row —
+       every event's trailing hour is then fully present inside its
+       own bucket (requires ``bucket ≥ horizon``, asserted);
+    3. run the identical RANGE window partitioned by (user, bucket)
+       and drop the context rows.
+
+    Any task is bounded by one user-bucket (+ ≤ one horizon of
+    context); replication overhead is horizon/bucket ≤ 1/6 of rows.
+    Same trade as ``sessionize_bucketed``: a constant-factor second
+    pass buys immunity to single-user skew — reach for it when one
+    user's event count exceeds what one task should hold.
+    """
+    horizon_ms = window_minutes * 60_000
+    bucket_ms = bucket_hours * 3_600_000
+    if bucket_ms < horizon_ms:
+        raise ValueError("bucket must be at least the window horizon")
+    ev = events.withColumn("__ms", F.unix_millis(F.col(ts_col)))
+    ev = ev.withColumn("__bkt", F.floor(F.col("__ms") / bucket_ms))
+    native = ev.withColumn("__ctx", F.lit(0))
+    ctx = (ev.filter(F.col("__ms")
+                     >= (F.col("__bkt") + 1) * bucket_ms - horizon_ms)
+           .withColumn("__bkt", F.col("__bkt") + 1)
+           .withColumn("__ctx", F.lit(1)))
+    w = (Window.partitionBy(user_col, "__bkt")
+         .orderBy("__ms")
+         .rangeBetween(-horizon_ms, 0))
+    vm = F.floor(F.col(value_col) * 1000).cast("long")
+    return (native.unionByName(ctx)
+            .withColumn("n_win", F.count("*").over(w))
+            .withColumn("value_millis_win", F.sum(vm).over(w))
+            .filter(F.col("__ctx") == 0)
+            .select("event_id", user_col, "n_win", "value_millis_win"))

@@ -139,3 +139,76 @@ def test_uniform_sample_plan_is_take_ordered(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# hash-bucketed tables / exchange-free fact⋈fact join
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_has_no_exchange_on_either_side(spark, sf_dir,
+                                                      tmp_path):
+    from parallel_svms_spark.io.layout import write_bucketed_table
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(orders, "t_bkt_orders",
+                         str(tmp_path / "o"), "o_orderkey", 8)
+    write_bucketed_table(li, "t_bkt_lineitem",
+                         str(tmp_path / "l"), "l_orderkey", 8)
+    bo, bl = spark.table("t_bkt_orders"), spark.table("t_bkt_lineitem")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey) \
+              .select("o_orderkey", "l_extendedprice")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # the pre-paid shuffle: co-partitioned bucketed scans feed the
+        # join directly — NO Exchange anywhere in the join subtree
+        assert "Exchange" not in plan
+        # and it computes the same multiset as the plain join
+        po = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        assert j.count() == po.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+
+
+def test_bucketed_table_one_file_per_bucket(spark, sf_dir, tmp_path):
+    import os
+    from parallel_svms_spark.io.layout import write_bucketed_table
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed_table(orders, "t_bkt_files",
+                         str(tmp_path / "b"), "o_orderkey", 8)
+    try:
+        files = [f for f in os.listdir(tmp_path / "b")
+                 if f.endswith(".parquet")]
+        assert len(files) == 8  # repartition-by-key ⇒ 1 file/bucket
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_files")
+
+
+# ---------------------------------------------------------------------------
+# CSV codec quoting torture
+# ---------------------------------------------------------------------------
+
+def test_csv_roundtrips_quotes_commas_and_unicode(spark, tmp_path):
+    from pyspark.sql import types as T
+    from parallel_svms_spark.io.sources import read_csv, write_csv
+    nasty = [
+        (1, 'plain'),
+        (2, 'comma, inside'),
+        (3, 'quote " inside'),
+        (4, '{"json": "va,l\\"ue", "n": 3}'),
+        (5, 'trailing space '),
+        (6, 'unicode é漢字'),
+        (7, None),
+    ]
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("payload", T.StringType())])
+    df = spark.createDataFrame(nasty, schema)
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    back = {r["id"]: r["payload"]
+            for r in read_csv(spark, path, schema).collect()}
+    assert back == dict(nasty)

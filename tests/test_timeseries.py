@@ -192,3 +192,124 @@ def test_fuzzy_pairs_length_band_is_lossless(spark, sf_dir):
              .filter(F.col("dist") <= 2))
     assert sorted(map(tuple, fuzzy_name_pairs(part).collect())) == \
         sorted(map(tuple, naive.collect()))
+
+
+# ---------------------------------------------------------------------------
+# rolling_features / rolling_features_bucketed
+# ---------------------------------------------------------------------------
+
+def test_rolling_features_hand_case(spark):
+    ev = _mk_events(spark, [
+        (1, "2024-01-01 09:00:00", 7, 10.0),
+        (2, "2024-01-01 09:30:00", 7, 20.0),
+        (3, "2024-01-01 10:00:00", 7, 40.0),   # 09:00 still in [t-1h, t]
+        (4, "2024-01-01 11:30:00", 7, 80.0),   # window empty of others
+        (5, "2024-01-01 10:00:00", 8, 5.0),    # other user: isolated
+    ])
+    out = {r["event_id"]: (r["n_win"], r["value_millis_win"])
+           for r in TS.rolling_features(ev).collect()}
+    assert out == {
+        1: (1, 10_000),
+        2: (2, 30_000),
+        3: (3, 70_000),          # closed interval: 09:00 included
+        4: (1, 80_000),
+        5: (1, 5_000),
+    }
+
+
+def test_rolling_features_ties_are_range_peers(spark):
+    # two events at the identical (user, ts): RANGE frames include the
+    # whole peer group for BOTH rows — no tiebreak dependence
+    ev = _mk_events(spark, [
+        (1, "2024-01-01 09:00:00", 7, 1.0),
+        (2, "2024-01-01 09:00:00", 7, 2.0),
+    ])
+    out = {r["event_id"]: (r["n_win"], r["value_millis_win"])
+           for r in TS.rolling_features(ev).collect()}
+    assert out == {1: (2, 3_000), 2: (2, 3_000)}
+
+
+def test_rolling_bucketed_equivalence_across_boundaries(spark, events):
+    """The bucketed variant must be value-identical on the fixture —
+    including with a pathological 1h bucket (= horizon), where nearly
+    every event needs the replicated context from the previous
+    bucket."""
+    plain = {(r["event_id"]): (r["n_win"], r["value_millis_win"])
+             for r in TS.rolling_features(events).collect()}
+    for bucket_hours in (1, 6):
+        got = {(r["event_id"]): (r["n_win"], r["value_millis_win"])
+               for r in TS.rolling_features_bucketed(
+                   events, bucket_hours=bucket_hours).collect()}
+        assert got == plain
+
+
+def test_rolling_bucketed_rejects_bucket_below_horizon(spark, events):
+    with pytest.raises(ValueError):
+        TS.rolling_features_bucketed(events, window_minutes=120,
+                                     bucket_hours=1)
+
+
+def test_rolling_plain_window_is_user_partitioned(spark, events):
+    p = phys(TS.rolling_features(events))
+    # the window's required distribution is hashpartitioning(user_id),
+    # never a single-partition global sort
+    assert "windowspecdefinition" in p.lower() or "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_rolling_bucketed_window_keyed_finer_than_user(spark, events):
+    p = phys(TS.rolling_features_bucketed(events))
+    assert "__bkt" in p  # partition key includes the time bucket
+    assert "SinglePartition" not in p
+
+
+# ---------------------------------------------------------------------------
+# grouped_exact_percentiles
+# ---------------------------------------------------------------------------
+
+def test_percentiles_hand_case(spark):
+    from parallel_svms_spark.operators.partitioning import (
+        grouped_exact_percentiles)
+    ev = _mk_events(spark, [
+        (1, "2024-01-01 09:00:00", 1, 10.0),
+        (2, "2024-01-01 09:01:00", 1, 20.0),
+        (3, "2024-01-01 09:02:00", 1, 30.0),
+        (4, "2024-01-01 09:03:00", 1, 40.0),
+        (5, "2024-01-01 09:04:00", 2, 7.0),    # singleton group
+    ])
+    out = {r["user_id"]: r for r in grouped_exact_percentiles(
+        ev, "user_id", "value").collect()}
+    g = out[1]
+    # n=4: pos50 = 1 + .5*3 = 2.5 -> 25.0 ; pos90 = 3.7 -> 37.0
+    assert g["n"] == 4
+    assert g["p50"] == pytest.approx(25.0, abs=0)
+    assert g["p90"] == pytest.approx(37.0)
+    assert g["p99"] == pytest.approx(39.7)
+    s = out[2]
+    assert (s["n"], s["p50"], s["p90"], s["p99"]) == (1, 7.0, 7.0, 7.0)
+
+
+def test_percentiles_exclude_nulls_and_match_sorted_def(spark):
+    from parallel_svms_spark.operators.partitioning import (
+        grouped_exact_percentiles)
+    rows = [(i, datetime.datetime(2024, 1, 1, 9, 0, 0), 1,
+             float(v) if v is not None else None)
+            for i, v in enumerate([None, 5.0, 1.0, 3.0, None, 2.0, 4.0])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    r = grouped_exact_percentiles(ev, "user_id", "value").collect()[0]
+    assert r["n"] == 5 and r["p50"] == 3.0
+
+
+def test_percentiles_plan_has_no_pergroup_window(spark, events):
+    """The whole point: a low-cardinality group column must NOT plan a
+    per-group sort window. The operator is range-partition + counts +
+    bracket selection; its only window-free Arrow pass emits ≤ 6 rows
+    per group."""
+    from parallel_svms_spark.operators.partitioning import (
+        grouped_exact_percentiles)
+    out = grouped_exact_percentiles(events, "event_type", "value")
+    # result frame is a driver-assembled literal: tiny by construction
+    assert out.count() == 5
+    p = phys(out)
+    assert "windowspecdefinition" not in p.lower()
