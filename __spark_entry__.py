@@ -458,8 +458,8 @@ _QKEY_ORDER = [
     "dedup_anti", "merge_upsert", "repartition_balanced",
     "repartition_stratified",
     "agg_bucket_count", "merge_pairs", "exchange_identity",
-    "salted_join_agg", "set_union", "set_except", "set_intersect",
-    "eval_confusion",
+    "salted_join_agg", "heavy_keys", "set_union", "set_except",
+    "set_intersect", "eval_confusion",
     # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes + rollup
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
@@ -486,7 +486,7 @@ _QKEY_ORDER = [
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
     "doc_fingerprint", "token_count", "length_profile",
     "boilerplate_score", "quality_filter", "quality_deciles",
-    "unigram_logprob", "bigram_logprob",
+    "unigram_logprob", "bigram_logprob", "compression_profile",
     "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
     "compaction_roundtrip", "csv_roundtrip", "bucketed_join",
     # dedup / corpus assembly
@@ -494,6 +494,7 @@ _QKEY_ORDER = [
     "dedup_cluster_stats", "shard_pack",
     "pack_sequences",
     "sample_stratified", "sample_uniform", "sample_weighted",
+    "dataset_split",
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
@@ -570,6 +571,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_items"),
                  F.sum(F.floor(F.col("l_extendedprice") * 100))
                  .cast("long").alias("revenue_cents")),
+        # hot-key skew diagnostic: the top-20 heaviest users in the
+        # event stream — the preflight before salted_join/AQE choices
+        "heavy_keys": lambda s, d: X.heavy_keys(
+            load_table(s, d, "events"), "user_id", k=20),
         # §2.5 — set operations
         "set_union": lambda s, d: R.set_union(load_table(s, d, "orders")),
         "set_except": lambda s, d: R.set_except(
@@ -636,6 +641,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
             .select("doc_id", "source", "n_chars"),
             weight=F.col("n_chars") / F.lit(2000.0)),
+        # deterministic train/valid/test carve — hash-interval
+        # assignment, stable under corpus growth
+        "dataset_split": lambda s, d: SH.dataset_split(
+            load_table(s, d, "documents").select("doc_id", "source"))
+            .select("doc_id", "source", "split"),
         "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "dedup_minhash": lambda s, d: D.minhash_near_dups(
@@ -823,6 +833,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles": lambda s, d: TX.quality_deciles(
             load_table(s, d, "documents")),
         "unigram_logprob": lambda s, d: TX.unigram_logprob(
+            load_table(s, d, "documents")),
+        # zlib compressibility rollup (the one justified Python hop
+        # in the text family; golden-literal oracle)
+        "compression_profile": lambda s, d: TX.compression_profile(
             load_table(s, d, "documents")),
         "bigram_logprob": lambda s, d: TX.bigram_logprob(
             load_table(s, d, "documents")),
@@ -2115,6 +2129,34 @@ FROM documents
 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
 LIMIT 200
 """,
+        # heavy_keys: exact LONG ppm share (CAST the DuckDB SUM —
+        # HUGEINT would surface as decimal128, the r5 interval_join
+        # divergence class); // is floor-div = Spark DIV on positives
+        "heavy_keys": """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c
+)
+SELECT user_id, n_rows,
+       CAST((n_rows * 1000000) // t.total AS BIGINT) AS share_ppm
+FROM c, t
+ORDER BY n_rows DESC, user_id
+LIMIT 20
+""",
+        # dataset_split: hash-interval carve — thresholds are
+        # _rate_threshold_hex(0.9)/(0.95) (literal-equality pinned in
+        # tests/test_pipeline_ops_r6.py); fixed-width hex compares
+        # numerically in both engines
+        "dataset_split": """
+SELECT doc_id, source,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'e6666666' THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 < 'f3333333' THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
         # sample_weighted: per-row keep probability min(n_chars/2000,1)
         # via the same md5-hex coin; hex/lpad/lower agree across engines
         "sample_weighted": """
@@ -2127,6 +2169,7 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
     }
     out.update(_ml_golden_oracles())
     out.update(_sketch_golden_oracles())
+    out.update(_compression_golden_oracles())
     return out
 
 
@@ -2686,6 +2729,19 @@ _SKETCH_GOLDEN_TYPES: dict[str, dict[str, str]] = {
 }
 
 
+# compression_profile (operators/text.py): all-integer rollup of the
+# zlib per-doc signal. DEFLATE has no DuckDB SQL twin, but zlib output
+# is a pure function of the bytes — deterministic across sessions
+# (verified at recording time), so the golden-literal oracle is the
+# strongest honest check; per-doc values re-pinned against direct
+# zlib in tests/test_pipeline_ops_r6.py
+_COMPRESSION_GOLDEN_TYPES: dict[str, dict[str, str]] = {
+    "compression_profile": {"source": "VARCHAR", "n_docs": "BIGINT",
+                            "sum_chars": "BIGINT", "sum_comp": "BIGINT",
+                            "ratio_ppm": "BIGINT"},
+}
+
+
 def _golden_literal_oracles(file_prefix: str,
                             types_map: dict[str, dict[str, str]]
                             ) -> dict[str, str]:
@@ -2743,6 +2799,14 @@ def _sketch_golden_oracles() -> dict[str, str]:
     return _golden_literal_oracles("sketch_profile", _SKETCH_GOLDEN_TYPES)
 
 
+def _compression_golden_oracles() -> dict[str, str]:
+    """Golden-literal oracle for the zlib compressibility rollup:
+    DEFLATE is not SQL-expressible, but its output is a pure function
+    of the input bytes; see _COMPRESSION_GOLDEN_TYPES."""
+    return _golden_literal_oracles("compression_profile",
+                                   _COMPRESSION_GOLDEN_TYPES)
+
+
 # DuckDB twin of operators/text.lang_id: same marker sets, same
 # alphabetical tie-break (CASE checks langs in sorted order), same
 # zero-evidence → 'und'
@@ -2769,7 +2833,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 127 per-operator qkeys, 77 could never get a
+# time budget). With 130 per-operator qkeys, 80 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2833,6 +2897,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                  _rowhash("bucket*1000000 + merged_count")]),
         ("exchange_identity", ["sum(vec_id*bucket)", "sum(bucket)",
                        _rowhash("vec_id*100 + bucket")]),
+        ("heavy_keys", ["sum(user_id*n_rows)", "sum(share_ppm)",
+                        _rowhash("(user_id*1000000 + n_rows)*1000000"
+                                 " + share_ppm")]),
     ],
     "setops_suite": [
         ("set_union", ["sum(o_orderkey)", "count(distinct o_orderkey)",
@@ -2991,6 +3058,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                             "sum(cast(floor(quality*100000) as bigint))"]),
         ("quality_deciles", ["sum(doc_id*decile)", "sum(decile)",
                              "sum(cast(floor(quality*100000) as bigint))"]),
+        ("compression_profile", ["sum(n_docs*ratio_ppm)",
+                                 "sum(sum_chars + sum_comp)",
+                                 _rowhash("sum_comp*1000000 + ratio_ppm")]),
     ],
     "lm_suite": [
         ("unigram_logprob", ["sum(doc_id*n_tokens)",
@@ -3056,6 +3126,12 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                         "sum(shard)"]),
         ("pack_sequences", ["sum(shard*n_docs)", "sum(n_tokens)",
                             "sum(length(text))"]),
+        ("dataset_split", ["sum(doc_id)",
+                           "count(distinct source)",
+                           _rowhash("doc_id*10 + (case split "
+                                    "when 'train' then 0 "
+                                    "when 'valid' then 1 "
+                                    "else 2 end)")]),
     ],
     "ann_suite": [
         ("topk_cosine", ["sum(vec_id)",
@@ -3194,7 +3270,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 127 per-operator
+    per-round correctness budget), covering all 130 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

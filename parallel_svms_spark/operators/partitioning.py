@@ -384,3 +384,43 @@ def grouped_exact_percentiles(df: DataFrame, group_col: str,
          T.StructField("n", T.LongType())]
         + [T.StructField(c, T.DoubleType()) for c in pcols])
     return spark.createDataFrame(out_rows, schema)
+
+
+def heavy_keys(df: DataFrame, key: str, k: int = 20) -> DataFrame:
+    """Hot-key diagnostic: the ``k`` most frequent values of ``key``
+    with their exact row counts and corpus share — the preflight an
+    engineer runs BEFORE choosing between a plain join, ``salted_join``
+    and AQE skew handling (SKEW.md's measured decision table needs the
+    share numbers this emits). Output ``(key, n_rows, share_ppm)``,
+    share in exact integer parts-per-million so the result is
+    FP-noise-free and engine-hashable.
+
+    Scale shape: the per-key count is one map-side-combinable
+    group-by (shuffle carries ≤ |distinct keys| partial rows, never
+    the corpus); the global total is the SUM of those per-key counts.
+    Both branches share the same count subtree, and at runtime AQE
+    substitutes a ``ReusedExchange`` for the total branch's shuffle
+    (plan-tested), so the corpus is scanned and partially aggregated
+    exactly once. The one-row total joins back by broadcast
+    cross-join (1×|keys| — free), and the final top-k is a heap
+    ``TakeOrderedAndProject`` (orderBy+limit fusion), never a full
+    sort. Skewed keys are the POINT here, and they are harmless: skew
+    lands in the corpus scan's partial aggregation, which is per-task
+    and pre-shuffle.
+
+    ``share_ppm = (n_rows · 10⁶) DIV total`` in exact LONG integer
+    division (never a double divide + floor, whose 2⁻⁵³ rounding
+    could flip a ppm at ≥10⁸-row keys) — overflow-safe through
+    ~9·10¹² rows per key. Deterministic total order: (n_rows DESC,
+    key ASC) tie-break.
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(
+                key,
+                "n_rows",
+                F.expr("(n_rows * CAST(1000000 AS BIGINT)) DIV __total")
+                .alias("share_ppm"))
+            .orderBy(F.desc("n_rows"), F.asc(key))
+            .limit(int(k)))

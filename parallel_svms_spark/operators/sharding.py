@@ -341,3 +341,44 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 4096,
                                       F.col(text_col).alias("t")))),
                          lambda s: s["t"]),
                      sep).alias("text")))
+
+
+def dataset_split(df: DataFrame,
+                  fractions: list[tuple[str, float]] | None = None,
+                  id_col: str = "doc_id",
+                  salt: str = "") -> DataFrame:
+    """Deterministic train/valid/test assignment: every row gets a
+    ``split`` label from its md5 hash coin — the carve every training
+    pipeline performs before anything else touches the corpus.
+    ``fractions`` is an ORDERED list of (name, fraction) laying the
+    splits end-to-end on [0, 1); a row lands in the split whose
+    cumulative interval contains the first 8 hex chars of
+    md5(salt‖id) (fixed-width lowercase hex compares
+    lexicographically = numerically — the ``mixture_sample_hash``
+    coin). The last split absorbs the residual, so the assignment is
+    a PARTITION: disjoint and exhaustive by construction (tested).
+
+    The contracts that make this the right shape at 100 TB:
+    membership depends only on (salt, id, fractions), so re-runs,
+    engines (the DuckDB oracle reproduces the exact assignment), and
+    corpus GROWTH never flip an existing row — new documents join a
+    split without re-dealing the old ones (the leakage disaster
+    hash-splits exist to prevent). ``salt`` rotates the whole deal
+    when an intentional re-split is wanted. Plan shape: one narrow
+    codegen'd projection — no window, no exchange, no RNG state; at
+    any scale this is a zero-shuffle map over the scan.
+    """
+    fractions = fractions or [("train", 0.9), ("valid", 0.05),
+                              ("test", 0.05)]
+    assert len(fractions) >= 1
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    cum = 0.0
+    expr = F.lit(fractions[-1][0])  # last split absorbs the residual
+    cases: list[tuple[str, str]] = []
+    for name, frac in fractions[:-1]:
+        cum += float(frac)
+        cases.append((name, _rate_threshold_hex(cum)))
+    for name, thr in reversed(cases):
+        expr = F.when(h8 < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -1,0 +1,218 @@
+"""Round-6 pipeline operators: hot-key skew diagnostics
+(``partitioning.heavy_keys``), deterministic train/valid/test carve
+(``sharding.dataset_split``) and the zlib compressibility signal
+(``text.compression_signals`` / ``compression_profile``).
+
+Each operator's CONTRACT is pinned here (exact values against an
+independent local recomputation, partition/stability properties, edge
+cases) and its SCALE SHAPE is pinned as a plan assertion — the same
+two-sided standard as the rest of the suite.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.io.sources import load_table
+from parallel_svms_spark.operators import partitioning as X
+from parallel_svms_spark.operators import sharding as SH
+from parallel_svms_spark.operators import text as TX
+
+
+def phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------- heavy_keys
+
+def test_heavy_keys_exact_counts_and_shares(events):
+    rows = X.heavy_keys(events, "user_id", k=5).collect()
+    pdf = events.groupBy("user_id").count().collect()
+    counts = {r["user_id"]: r["count"] for r in pdf}
+    total = sum(counts.values())
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["user_id"], r["n_rows"]) for r in rows] == want
+    for r in rows:
+        assert r["share_ppm"] == (r["n_rows"] * 1000000) // total
+
+
+def test_heavy_keys_k_larger_than_cardinality(events):
+    n_keys = events.select("user_id").distinct().count()
+    rows = X.heavy_keys(events, "user_id", k=n_keys + 50).collect()
+    assert len(rows) == n_keys
+    # shares over the FULL key set sum to ≤ 1e6 (floor rounding) and
+    # within |keys| of it
+    s = sum(r["share_ppm"] for r in rows)
+    assert 1000000 - n_keys <= s <= 1000000
+
+
+def test_heavy_keys_plan_heap_topk_and_reused_exchange(events):
+    out = X.heavy_keys(events, "user_id", k=10)
+    out.collect()  # AQE finalizes the plan at runtime
+    p = phys(out)
+    # top-k is a heap, never a global sort
+    assert "TakeOrderedAndProject" in p
+    # the total branch must REUSE the per-key count shuffle — the
+    # corpus is scanned + partially aggregated exactly once
+    assert "ReusedExchange" in p
+
+
+# ------------------------------------------------------------- dataset_split
+
+def test_dataset_split_is_a_partition(docs):
+    out = SH.dataset_split(docs).select("doc_id", "split")
+    n = docs.count()
+    assert out.count() == n  # exhaustive: every row labeled
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert set(r["split"] for r in
+               out.select("split").distinct().collect()) <= {
+                   "train", "valid", "test"}
+
+
+def test_dataset_split_fractions_approximate(docs):
+    n = docs.count()
+    got = {r["split"]: r["cnt"] for r in
+           SH.dataset_split(docs).groupBy("split")
+           .agg(F.count("*").alias("cnt")).collect()}
+    # Binomial(n, p): allow 4 sigma around each target fraction
+    for name, p in [("train", 0.9), ("valid", 0.05), ("test", 0.05)]:
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(got.get(name, 0) - n * p) <= 4 * sigma + 1, (name, got)
+
+
+def test_dataset_split_stable_under_corpus_growth(docs):
+    """THE hash-split contract: a document's assignment never changes
+    when other documents are added — membership depends only on
+    (salt, id, fractions)."""
+    full = {r["doc_id"]: r["split"]
+            for r in SH.dataset_split(docs).collect()}
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    sub = {r["doc_id"]: r["split"]
+           for r in SH.dataset_split(subset).collect()}
+    assert sub == {k: v for k, v in full.items() if k % 3 == 0}
+
+
+def test_dataset_split_salt_redeals(docs):
+    a = {r["doc_id"]: r["split"] for r in SH.dataset_split(docs).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in SH.dataset_split(docs, salt="v2").collect()}
+    assert a != b  # a rotation actually re-deals ...
+    assert set(a) == set(b)  # ... without dropping or duplicating rows
+
+
+def test_dataset_split_custom_fractions_and_single_split(docs):
+    two = SH.dataset_split(docs, fractions=[("fit", 0.5), ("holdout", 0.5)])
+    assert set(r["split"] for r in
+               two.select("split").distinct().collect()) == {
+                   "fit", "holdout"}
+    one = SH.dataset_split(docs, fractions=[("all", 1.0)])
+    assert one.filter(F.col("split") != "all").count() == 0
+
+
+def test_dataset_split_oracle_thresholds_match_helper():
+    """The hand-inlined hex literals in the DuckDB oracle must equal
+    _rate_threshold_hex at the default cumulative fractions — the
+    drift guard for the oracle's CASE constants."""
+    import __spark_entry__ as entrymod
+
+    sql = entrymod.oracle_sql_all()["dataset_split"]
+    assert SH._rate_threshold_hex(0.9) == "e6666666"
+    assert SH._rate_threshold_hex(0.9 + 0.05) == "f3333333"
+    assert "'e6666666'" in sql and "'f3333333'" in sql
+
+
+def test_dataset_split_plan_zero_exchange(docs):
+    p = phys(SH.dataset_split(docs).select("doc_id", "split"))
+    assert "Exchange" not in p  # one codegen'd projection, no shuffle
+    assert "*(1) Project" in p  # the * marks a WholeStageCodegen span
+
+
+def test_dataset_split_streaming_twin_shared_code(spark, tmp_path, docs):
+    """Stateless ⇒ the batch function IS the streaming operator: run
+    dataset_split verbatim over a file stream and require row-for-row
+    agreement with the batch result across micro-batch boundaries."""
+    src = str(tmp_path / "stream_src")
+    docs.select("doc_id").write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = SH.dataset_split(stream, id_col="doc_id")
+    from parallel_svms_spark.streaming.windows import run_stream_to_memory
+    name = run_stream_to_memory(out, "split_stream")
+    got = {r["doc_id"]: r["split"]
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {r["doc_id"]: r["split"]
+            for r in SH.dataset_split(docs).collect()}
+    assert got == want
+
+
+# ------------------------------------------------- compression signal family
+
+def test_compression_signals_match_direct_zlib(docs):
+    rows = TX.compression_signals(docs).collect()
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.select("doc_id", "text").collect()}
+    assert len(rows) == len(texts)
+    for r in rows:
+        t = texts[r["doc_id"]]
+        comp = len(zlib.compress(t.encode("utf-8"), 6))
+        assert r["n_chars"] == len(t)
+        assert r["comp_len"] == comp
+        assert r["ratio"] == round(comp / max(len(t), 1), 6)
+
+
+def test_compression_signals_level_changes_output(docs):
+    fast = TX.compression_signals(docs, level=1)
+    best = TX.compression_signals(docs, level=9)
+    sum1 = fast.agg(F.sum("comp_len")).first()[0]
+    sum9 = best.agg(F.sum("comp_len")).first()[0]
+    assert sum9 <= sum1  # level 9 never compresses worse in total
+
+
+def test_compression_signal_discriminates_repetition(spark):
+    """The reason the signal exists: repeated boilerplate must score a
+    clearly lower ratio than high-entropy text of the same length."""
+    import random
+
+    rng = random.Random(7)
+    junk = "spam ham " * 200
+    prose = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                             for _ in range(7)) for _ in range(225))
+    df = spark.createDataFrame(
+        [(1, junk[:1800]), (2, prose[:1800])], "doc_id long, text string")
+    r = {x["doc_id"]: x["ratio"]
+         for x in TX.compression_signals(df).collect()}
+    assert r[1] < 0.1 < r[2]
+
+
+def test_compression_profile_consistent_with_signals(docs):
+    prof = {r["source"]: r for r in TX.compression_profile(docs).collect()}
+    per_doc = (TX.compression_signals(docs, carry=("source",))
+               .groupBy("source")
+               .agg(F.count("*").alias("n"), F.sum("n_chars").alias("c"),
+                    F.sum("comp_len").alias("z")).collect())
+    for r in per_doc:
+        p = prof[r["source"]]
+        assert (p["n_docs"], p["sum_chars"], p["sum_comp"]) == (
+            r["n"], r["c"], r["z"])
+        assert p["ratio_ppm"] == (r["z"] * 1000000) // r["c"]
+
+
+def test_compression_plan_single_map_no_shuffle_before_agg(docs):
+    p = phys(TX.compression_signals(docs))
+    assert "Exchange" not in p  # the per-doc signal is a pure map
+    # the rollup adds exactly the one partial-agg shuffle
+    p2 = phys(TX.compression_profile(docs))
+    assert p2.count("Exchange") == 1

@@ -88,3 +88,25 @@ def test_sketch_golden_oracle_types(monkeypatch, sf):
         assert str(f.type) == _ARROW_OF[types[f.name]], (sf, f)
     assert tbl.num_rows == 1
     con.close()
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_compression_golden_oracle_types(monkeypatch, sf):
+    """compression_profile golden oracles (r6): integer rollup columns
+    surface as int64, the source as string — never DECIMAL. Value
+    agreement with live Spark is covered by tests/test_oracles_all.py
+    (sf0.001) and selfcheck at the larger sfs; per-doc zlib parity by
+    tests/test_pipeline_ops_r6.py."""
+    import duckdb
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", f"/root/testdata/{sf}")
+    oracles = entrymod._compression_golden_oracles()
+    assert sorted(oracles) == ["compression_profile"]
+    con = duckdb.connect()
+    tbl = con.execute(oracles["compression_profile"]).arrow()
+    types = entrymod._COMPRESSION_GOLDEN_TYPES["compression_profile"]
+    arrow_of = dict(_ARROW_OF, VARCHAR="string")
+    for f in tbl.schema:
+        assert str(f.type) == arrow_of[types[f.name]], (sf, f)
+    assert tbl.num_rows >= 1
+    con.close()

@@ -18,8 +18,10 @@ Usage:
     python tools/record_goldens.py sf0.01 [sf0.1 ...] [--runs 2]
         [--only qkey,qkey]
 
-Writes tests/goldens/training_qkeys_<sf>.json (five ML qkeys) and
-tests/goldens/sketch_profile_<sf>.json. Only rewrite after an
+Writes tests/goldens/training_qkeys_<sf>.json (five ML qkeys),
+tests/goldens/sketch_profile_<sf>.json and
+tests/goldens/compression_profile_<sf>.json (zlib is a pure function
+of the bytes, so its rollup is golden-eligible too). Only rewrite after an
 INTENDED numerics change; tests/test_training_goldens.py pins the
 committed values in CI.
 """
@@ -77,7 +79,7 @@ def main() -> int:
     runs, only = ns.runs, ns.only
     for sf_name in ns.sf_names:
         sf_dir = f"/root/testdata/{sf_name}"
-        qkeys = ML_QKEYS + ["sketch_profile"]
+        qkeys = ML_QKEYS + ["sketch_profile", "compression_profile"]
         if only:
             unknown = only - set(qkeys)
             if unknown:
@@ -114,6 +116,10 @@ def main() -> int:
             merge_write(REPO / "tests" / "goldens"
                         / f"sketch_profile_{sf_name}.json",
                         {"sketch_profile": got["sketch_profile"]})
+        if "compression_profile" in got:
+            merge_write(REPO / "tests" / "goldens"
+                        / f"compression_profile_{sf_name}.json",
+                        {"compression_profile": got["compression_profile"]})
     return 0
 
 
