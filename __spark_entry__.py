@@ -476,6 +476,7 @@ _QKEY_ORDER = [
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
     "retention_cohorts", "gap_fill_daily", "activity_streaks",
     "value_histogram", "outlier_events", "event_transitions",
+    "event_bursts", "dedup_events_burst",
     "pseudonymize_events", "pipeline_events", "kanonymity_risk",
     "rolling_features", "rolling_features_bucketed", "value_percentiles",
     # multimodal plumbing — cheap digest UDFs
@@ -787,6 +788,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         "event_transitions": lambda s, d: E.event_transitions(
             load_table(s, d, "events")),
+        # burst debounce family (r6): retry-storm collapse — rollup
+        # and the deduplicated (first-of-burst) stream itself
+        "event_bursts": lambda s, d: E.collapse_bursts(
+            load_table(s, d, "events"), gap_seconds=3600),
+        "dedup_events_burst": lambda s, d: E.burst_starters(
+            load_table(s, d, "events"), gap_seconds=3600)
+            .select("event_id", "user_id", "event_type", "ts"),
         # GDPR-style salted tokenization; md5+concat share NULL
         # semantics across engines, so the oracle is a plain projection
         "pseudonymize_events": lambda s, d: __import__(
@@ -1211,6 +1219,43 @@ WITH p AS (
   FROM events)
 SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
 FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+""",
+        # burst rollup: the sessionize recurrence per (user, type) at
+        # a 1h gap; burst_seq CAST to BIGINT (HUGEINT/decimal128 —
+        # the r5 interval_join divergence class)
+        "event_bursts": """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+                THEN 1
+              ELSE 0 END AS new_burst
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), b AS (
+  SELECT user_id, event_type, ts,
+         CAST(SUM(new_burst) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS burst_seq
+  FROM flagged
+)
+SELECT user_id, event_type, burst_seq, COUNT(*) AS n_events,
+       MIN(ts) AS burst_start, MAX(ts) AS burst_end
+FROM b GROUP BY 1, 2, 3
+""",
+        # the kept (first-of-burst) stream: a starter is a row whose
+        # (ts, event_id)-ordered predecessor gap exceeds 1h
+        "dedup_events_burst": """
+SELECT event_id, user_id, event_type, ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+WHERE prev_ts IS NULL
+   OR epoch_ms(ts) - epoch_ms(prev_ts) > 3600000
 """,
         # salted-token projection; '||' and md5 are NULL-propagating
         # in both engines, matching the operator's NULL-transparency
@@ -2833,7 +2878,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 130 per-operator qkeys, 80 could never get a
+# time budget). With 132 per-operator qkeys, 82 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2999,6 +3044,11 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("event_transitions", ["sum(length(prev_type)*n_transitions)",
                                "sum(length(next_type)*n_transitions)",
                                "sum(n_transitions)"]),
+        ("event_bursts", ["sum(user_id*burst_seq)", "sum(n_events)",
+                          _rowhash("user_id*100000000 + burst_seq*1000"
+                                   " + n_events")]),
+        ("dedup_events_burst", ["sum(event_id)", "sum(user_id)",
+                                _rowhash("event_id")]),
         ("pseudonymize_events", ["sum(event_id)",
                                  "count(distinct user_token)",
                                  "sum(length(event_type))"]),
@@ -3270,7 +3320,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 130 per-operator
+    per-round correctness budget), covering all 132 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

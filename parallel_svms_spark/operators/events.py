@@ -423,3 +423,56 @@ def event_transitions(events: DataFrame) -> DataFrame:
     return (pairs.groupBy("prev_type",
                           F.col("event_type").alias("next_type"))
             .agg(F.count("*").alias("n_transitions")))
+
+
+def collapse_bursts(events: DataFrame, gap_seconds: int = 600,
+                    keys: tuple[str, ...] = ("user_id", "event_type")
+                    ) -> DataFrame:
+    """Burst rollup — debounce semantics: within each ``keys`` group,
+    consecutive events ≤ ``gap_seconds`` apart belong to one burst
+    (retry storms, double-clicks, at-least-once redelivery). One row
+    per burst with its span and size. This is TRAILING-gap debounce —
+    a burst ends only after a quiet period — the same recurrence as
+    ``sessionize`` at a finer grain and per (user, type) instead of
+    per user; the fixed-throttle alternative ("drop within N of last
+    KEPT") is a different, inherently sequential recurrence — use the
+    streaming twin's per-key state for that shape if ever needed.
+
+    Scale shape: identical to sessionize — shuffle on the group keys,
+    two linear window passes per group, map-side-combinable rollup.
+    The finer (user, type) key only helps skew: a mega-user's events
+    split across their event types.
+    """
+    by = W.partitionBy(*keys).orderBy("ts", "event_id")
+    prev = F.lag("ts").over(by)
+    is_new = (F.unix_millis(F.col("ts")) - F.unix_millis(prev)
+              > int(gap_seconds) * 1000).cast("int")
+    w = (events
+         .withColumn("new_burst", F.coalesce(is_new, F.lit(1)))
+         .withColumn("burst_seq", F.sum("new_burst").over(
+             by.rowsBetween(W.unboundedPreceding, 0))))
+    return (w.groupBy(*keys, "burst_seq")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("burst_start"),
+                 F.max("ts").alias("burst_end")))
+
+
+def burst_starters(events: DataFrame, gap_seconds: int = 600,
+                   keys: tuple[str, ...] = ("user_id", "event_type")
+                   ) -> DataFrame:
+    """The deduplicated event stream itself: the FIRST event of every
+    burst (see ``collapse_bursts``) — what a pipeline keeps when it
+    collapses retry storms before sessionization/funnels. A burst
+    starter is exactly a row whose gap from its (ts, event_id)-ordered
+    predecessor exceeds the gap (or has no predecessor), so this is
+    ONE lag window + a codegen'd filter — no groupBy at all, and the
+    (ts, event_id) tie order makes the kept set deterministic and
+    engine-reproducible (DuckDB oracle replays the same recurrence).
+    """
+    by = W.partitionBy(*keys).orderBy("ts", "event_id")
+    prev = F.lag("ts").over(by)
+    is_new = F.coalesce(
+        (F.unix_millis(F.col("ts")) - F.unix_millis(prev)
+         > int(gap_seconds) * 1000), F.lit(True))
+    return (events.withColumn("__new", is_new)
+            .filter(F.col("__new")).drop("__new"))

@@ -416,6 +416,10 @@ def heavy_keys(df: DataFrame, key: str, k: int = 20) -> DataFrame:
     """
     counts = df.groupBy(key).agg(F.count("*").alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("__total"))
+    # the scalar reattach IS a BroadcastNestedLoopJoin in the plan —
+    # benign by construction (build side = the ONE-row total; a
+    # constant-key equi-join folds back to the same plan), so the
+    # plan audit carries a named exemption for this qkey
     return (counts.crossJoin(F.broadcast(total))
             .select(
                 key,

@@ -762,3 +762,64 @@ def asof_stateful(stream: DataFrame, left_type: str = "error",
             .groupBy("user_id").applyInPandasWithState(
                 fn, ASOF_OUT_SCHEMA, _ASOF_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+_BURST_STATE_SCHEMA = "last_ts_us long, last_eid long"
+BURST_OUT_SCHEMA = ("event_id long, user_id long, event_type string, "
+                    "ts timestamp")
+
+
+def burst_starters_stateful(stream: DataFrame, gap_seconds: int = 3600,
+                            watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``operators.events.burst_starters``: emit
+    each arriving event that OPENS a burst (gap from the previous
+    event of the same (user, event_type) exceeds ``gap_seconds``) —
+    the continuous retry-storm/debounce dedup feed, each kept event
+    emitted the moment it arrives.
+
+    State per (user, event_type) is ONE (ts, event_id) register — the
+    previous event the batch operator's ``lag`` window reads, made
+    explicit. O(|users|·|types|) state forever, no timeout needed.
+    Events sort by (ts, event_id) within a micro-batch — the batch
+    operator's total order — and the stored register drops
+    batch-leading events that arrive out of order across micro-batches
+    (same time-ordered-source contract, and the same guard, as the
+    asof/transitions twins). Row-for-row equivalence with the batch
+    operator is pinned in tests/test_streaming_stateful.py.
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        user_id, event_type = key
+        ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if len(ev) == 0:
+            return
+        last_ts_us, last_eid = state.get if state.exists else (None, -1)
+        ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+        if last_ts_us is not None:
+            keep = (ts_us > last_ts_us) | (
+                (ts_us == last_ts_us) & (ev["event_id"] > last_eid))
+            ev, ts_us = ev[keep], ts_us[keep]
+            if len(ev) == 0:
+                return
+        rows = []
+        prev = last_ts_us
+        for eid, ts, t_us in zip(ev["event_id"], ev["ts"], ts_us):
+            if prev is None or int(t_us) - prev > gap_us:
+                rows.append((int(eid), user_id, event_type, ts))
+            prev = int(t_us)
+        state.update((int(ts_us.iloc[-1]), int(ev["event_id"].iloc[-1])))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "event_id", "user_id", "event_type", "ts"])
+
+    return (stream
+            .select("event_id", "ts", "user_id", "event_type")
+            .withWatermark("ts", watermark)
+            .groupBy("user_id", "event_type").applyInPandasWithState(
+                fn, BURST_OUT_SCHEMA, _BURST_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

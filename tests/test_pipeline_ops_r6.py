@@ -68,6 +68,15 @@ def test_heavy_keys_plan_heap_topk_and_reused_exchange(events):
     # the total branch must REUSE the per-key count shuffle — the
     # corpus is scanned + partially aggregated exactly once
     assert "ReusedExchange" in p
+    # the scalar reattach is a nested-loop join whose BUILD side is
+    # the one-row total aggregate — the named SCALAR_REATTACH_OK
+    # exemption in tools/plan_audit.py; pin that the broadcast input
+    # really is the ungrouped (global) aggregate, not a data relation
+    assert "BroadcastNestedLoopJoin" in p
+    import re
+    bx = re.search(r"BroadcastExchange IdentityBroadcastMode(.*)",
+                   p, re.S)
+    assert bx and "HashAggregate" in bx.group(1)[:600]
 
 
 # ------------------------------------------------------------- dataset_split
@@ -216,3 +225,56 @@ def test_compression_plan_single_map_no_shuffle_before_agg(docs):
     # the rollup adds exactly the one partial-agg shuffle
     p2 = phys(TX.compression_profile(docs))
     assert p2.count("Exchange") == 1
+
+
+# ------------------------------------------------------ burst debounce family
+
+def test_collapse_bursts_partitions_events(events):
+    from parallel_svms_spark.operators import events as EV
+    bursts = EV.collapse_bursts(events, gap_seconds=3600)
+    assert (bursts.agg(F.sum("n_events")).first()[0]
+            == events.count())  # every event in exactly one burst
+    # burst bounds are consistent
+    assert bursts.filter(F.col("burst_end") < F.col("burst_start")
+                         ).count() == 0
+
+
+def test_burst_starters_are_first_of_each_burst(events):
+    from parallel_svms_spark.operators import events as EV
+    bursts = EV.collapse_bursts(events, gap_seconds=3600)
+    starters = EV.burst_starters(events, gap_seconds=3600)
+    assert starters.count() == bursts.count()
+    # every starter's ts is its burst's start
+    j = starters.join(
+        bursts,
+        on=[starters["user_id"] == bursts["user_id"],
+            starters["event_type"] == bursts["event_type"],
+            starters["ts"] == bursts["burst_start"]])
+    assert j.count() == bursts.count()
+
+
+def test_burst_gap_boundary_strictly_greater(spark):
+    """Gap EXACTLY equal to the threshold stays in the same burst
+    (strict > breaks), matching the sessionize convention and the
+    DuckDB oracle."""
+    from parallel_svms_spark.operators import events as EV
+    rows = [(1, 10, "a", "2024-01-01 00:00:00"),
+            (2, 10, "a", "2024-01-01 01:00:00"),   # gap == 3600s
+            (3, 10, "a", "2024-01-01 02:00:01"),   # gap 3601s -> new
+            (4, 10, "b", "2024-01-01 00:30:00")]   # other type: own burst
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    kept = sorted(r["event_id"] for r in
+                  EV.burst_starters(df, gap_seconds=3600).collect())
+    assert kept == [1, 3, 4]
+    b = {(r["event_type"], r["burst_seq"]): r["n_events"]
+         for r in EV.collapse_bursts(df, gap_seconds=3600).collect()}
+    assert b == {("a", 1): 2, ("a", 2): 1, ("b", 1): 1}
+
+
+def test_burst_plan_user_keyed_windows_only(events):
+    from parallel_svms_spark.operators import events as EV
+    p = phys(EV.burst_starters(events, gap_seconds=3600))
+    assert "Exchange SinglePartition" not in p  # never a global window
+    assert "CartesianProduct" not in p

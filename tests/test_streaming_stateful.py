@@ -787,3 +787,65 @@ def test_streaming_embedding_near_dup_stream_static(spark):
              if r.vec_b >= 100}  # corpus side only (a<b flips ids)
     want = {(min(a, b), max(a, b)): c for (a, b), c in got.items()}
     assert want == batch, (want, batch)
+
+
+def test_burst_starters_stateful_matches_batch(spark, sf_dir):
+    """r6 burst-debounce twin: one (ts, event_id) register per
+    (user, event_type); the emitted starter feed must equal the batch
+    operator's kept set row-for-row across micro-batch boundaries."""
+    import pyarrow.parquet as pq
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import burst_starters
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.event_id, r.user_id, r.event_type, r.ts)
+             for r in burst_starters(events, gap_seconds=3600)
+             .select("event_id", "user_id", "event_type", "ts")
+             .collect()}
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        n = tbl.num_rows
+        for i, c in enumerate([tbl.slice(0, n // 3),
+                               tbl.slice(n // 3, n // 3),
+                               tbl.slice(2 * (n // 3))]):
+            pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+        stream = SW.stream_events_from_dir(spark, tmp)
+        feed = SW.burst_starters_stateful(stream, gap_seconds=3600)
+        q = (feed.writeStream.outputMode("append")
+             .format("memory").queryName("stream_bursts").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.event_id, r.user_id, r.event_type, r.ts)
+               for r in spark.sql("SELECT * FROM stream_bursts").collect()}
+    assert got == batch
+
+
+def test_burst_starters_stateful_boundary_gap(spark):
+    """A burst straddling a micro-batch boundary must NOT re-open: the
+    register carries the previous event's ts across batches, and a gap
+    exactly equal to the threshold stays inside the burst (strict >)."""
+    base = datetime(2024, 1, 1)
+    f1 = [(1, base, 10, "a", 0.0, "{}"),
+          (2, base + timedelta(seconds=3600), 10, "a", 0.0, "{}")]
+    # second file: gap from event 2 is exactly 3600 (same burst),
+    # then 3601 (new burst)
+    f2 = [(3, base + timedelta(seconds=7200), 10, "a", 0.0, "{}"),
+          (4, base + timedelta(seconds=10801), 10, "a", 0.0, "{}")]
+    with tempfile.TemporaryDirectory() as tmp:
+        dst = f"{tmp}/ev"
+        spark.createDataFrame(f1, SW.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(dst)
+        spark.createDataFrame(f2, SW.EVENTS_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(dst)
+        stream = SW.stream_events_from_dir(spark, dst,
+                                           max_files_per_trigger=1)
+        feed = SW.burst_starters_stateful(stream, gap_seconds=3600)
+        q = (feed.writeStream.outputMode("append")
+             .format("memory").queryName("stream_bursts_edge").start())
+        q.processAllAvailable()
+        q.stop()
+        kept = sorted(r.event_id for r in spark.sql(
+            "SELECT * FROM stream_bursts_edge").collect())
+    assert kept == [1, 4]

@@ -71,6 +71,11 @@ def main() -> None:
         # layout family: the clustered write's cost is its one range
         # exchange + sort — should stay linear in rows
         "write_zordered": lambda ev: _zorder_leg(ev),
+        # r6 skew diagnostic: count shuffle (≤|keys| rows) + reused
+        # exchange for the total — slope must track the scan
+        "heavy_keys": lambda ev: __import__(
+            "parallel_svms_spark.operators.partitioning",
+            fromlist=["x"]).heavy_keys(ev, "user_id", k=20).count(),
     }
 
     def _zorder_leg(ev):
@@ -104,6 +109,16 @@ def main() -> None:
             "parallel_svms_spark.operators.sharding",
             fromlist=["x"]).weighted_sample(
                 d, F.col("n_chars") / 2000.0).count(),
+        # r6 zero-exchange hash carve — same pure-scan slope claim
+        "dataset_split": lambda d: __import__(
+            "parallel_svms_spark.operators.sharding",
+            fromlist=["x"]).dataset_split(d).count(),
+        # r6 Python-hop zlib map: linear, Arrow-batch-bound — the one
+        # mapInPandas in the text family, slope-checked to prove the
+        # Python boundary itself doesn't bend the growth curve
+        "compression_profile": lambda d: __import__(
+            "parallel_svms_spark.operators.text",
+            fromlist=["x"]).compression_profile(d).count(),
     }
     WH_OPS = {
         "pricing_summary": lambda li, orr, cust: AN.pricing_summary(

@@ -217,6 +217,13 @@ def main() -> None:
               docs, F.col("n_chars") / 2000.0).count())
     timed("sample_uniform_10k", n_docs,
           lambda: SHOP.uniform_sample_exact(docs, k=10_000).count())
+    # r6: zero-exchange hash carve — should track the pure scan
+    timed("dataset_split", n_docs,
+          lambda: SHOP.dataset_split(docs).count())
+    # r6: the Python-hop zlib map + |sources|-row rollup — linear,
+    # Arrow-batch-bound
+    timed("compression_profile", n_docs,
+          lambda: text.compression_profile(docs).count())
 
     def _zorder_compact_leg():
         import shutil
@@ -276,6 +283,10 @@ def main() -> None:
           lambda: EV.outlier_events(ev).count())
     timed("event_transitions", n_ev,
           lambda: EV.event_transitions(ev).count())
+    # r6: skew diagnostic — count shuffle + reused-exchange total
+    from parallel_svms_spark.operators import partitioning as XP
+    timed("heavy_keys", n_ev,
+          lambda: XP.heavy_keys(ev, "user_id", k=20).count())
     from parallel_svms_spark.operators import timeseries as TSOP
     timed("gap_fill_daily", n_ev,
           lambda: TSOP.gap_fill_daily(ev).count())
