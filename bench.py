@@ -210,6 +210,13 @@ def run_stress() -> dict:
               lambda: text.tfidf_topk(docs, top_n=5).count())
         timed("boilerplate_score",
               lambda: text.boilerplate_score(docs).count())
+        # r6: zero-exchange carve + the zlib Python-boundary map at
+        # 10x docs — slope evidence for the two new doc-side shapes
+        from parallel_svms_spark.operators import sharding as SHOP
+        timed("dataset_split",
+              lambda: SHOP.dataset_split(docs).count())
+        timed("compression_profile",
+              lambda: text.compression_profile(docs).count())
         from parallel_svms_spark.operators import events as EV
         ev = spark.read.parquet(stress_mod.build_events(spark, mult_docs))
         if dict(ev.dtypes).get("ts") == "timestamp_ntz":
@@ -223,6 +230,12 @@ def run_stress() -> dict:
               lambda: EV.funnel(ev).count())
         timed("interval_join",
               lambda: EV.sessions_containing(ev).count())
+        # r6: skew diagnostic + burst debounce at 10x events
+        from parallel_svms_spark.operators import partitioning as XP
+        timed("heavy_keys",
+              lambda: XP.heavy_keys(ev, "user_id", k=20).count())
+        timed("collapse_bursts",
+              lambda: EV.collapse_bursts(ev, gap_seconds=3600).count())
         # warehouse analytics at 10× facts (6M lineitem / 1.5M orders,
         # dims kept at sf0.1 size — the real-warehouse scale shape)
         from parallel_svms_spark.io.sources import load_table

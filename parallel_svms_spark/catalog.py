@@ -72,6 +72,16 @@ def register_views(spark: SparkSession, prefix: str = "") -> list[str]:
         # per-type value-multiset aggregation behind a SELECT — the
         # exact twin stays a function call (outlier_events(approx=False))
         "event_outliers": E.outlier_events(events, approx=True),
+        # r6: default train/valid/test assignment — a zero-shuffle
+        # projection, so SQL over the view costs exactly a scan
+        "doc_splits": __import__(
+            "parallel_svms_spark.operators.sharding",
+            fromlist=["x"]).dataset_split(docs).select(
+                "doc_id", "split"),
+        # r6: the deduplicated (burst-collapsed) event stream — the
+        # debounced feed funnels/sessions SHOULD consume when retry
+        # storms are present
+        "events_debounced": E.burst_starters(events, gap_seconds=3600),
     }
     for name, df in views.items():
         df.createOrReplaceTempView(prefix + name)

@@ -69,3 +69,30 @@ def test_pushdown_crosses_view_boundary(spark, registered):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_shipdate" in \
         plan.split("PushedFilters")[1][:300]
+
+
+def test_r6_views_registered_and_consistent(spark, sf_dir, registered):
+    """doc_splits / events_debounced (r6) resolve from SQL and match
+    the operator calls; the split view's filter plans as a pure scan
+    (zero exchange through the view boundary)."""
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import burst_starters
+    from parallel_svms_spark.operators.sharding import dataset_split
+
+    assert {"doc_splits", "events_debounced"} <= set(registered)
+    docs = load_table(spark, sf_dir, "documents")
+    want = {(r.doc_id, r.split)
+            for r in dataset_split(docs).select("doc_id", "split")
+            .collect()}
+    got = {(r.doc_id, r.split)
+           for r in spark.sql("SELECT * FROM doc_splits").collect()}
+    assert got == want
+
+    ev = load_table(spark, sf_dir, "events")
+    assert (spark.sql("SELECT count(*) AS n FROM events_debounced")
+            .first().n
+            == burst_starters(ev, gap_seconds=3600).count())
+
+    q = spark.sql("SELECT doc_id FROM doc_splits WHERE split = 'valid'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # still a zero-shuffle projection
