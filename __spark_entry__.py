@@ -491,7 +491,8 @@ _QKEY_ORDER = [
     "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
     "compaction_roundtrip", "csv_roundtrip", "bucketed_join",
     # dedup / corpus assembly
-    "dedup_exact", "dedup_incremental", "dedup_clusters",
+    "dedup_exact", "dedup_exact_normalized", "dedup_incremental",
+    "dedup_clusters",
     "dedup_cluster_stats", "shard_pack",
     "pack_sequences",
     "sample_stratified", "sample_uniform", "sample_weighted",
@@ -623,6 +624,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iterative_svm": _iterative_svm,
         # §2.8 extension ops — dedup / similarity / text / events
         "dedup_exact": lambda s, d: D.exact_dedup_keys(load_table(s, d, "documents")),
+        # normalize-then-dedup (CCNet ordering): scrub fused into the
+        # scan, then the same 40 B (digest, id) aggregation
+        "dedup_exact_normalized": lambda s, d: D.exact_dedup_keys_normalized(
+            load_table(s, d, "documents")),
         "dedup_clusters": lambda s, d: D.dedup_clusters(
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "dedup_cluster_stats": lambda s, d: D.cluster_size_stats(
@@ -1497,6 +1502,19 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        # normalize-then-dedup: ground-truth grouping on the SAME
+        # scrub expression as the scrub_text oracle — agreement
+        # certifies digest grouping == clean-text grouping
+        "dedup_exact_normalized": r"""
+SELECT MIN(doc_id) AS doc_id FROM (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<email>', 'g'),
+           '[0-9]+', '<num>', 'g'),
+           ' +', ' ', 'g') AS clean_text
+  FROM documents
+) GROUP BY clean_text
+""",
         "simjoin_candidates": _JACCARD_PAIRS_ORACLE,
         "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         # size histogram over the same recursive-CTE components
@@ -2878,7 +2896,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 132 per-operator qkeys, 82 could never get a
+# time budget). With 133 per-operator qkeys, 83 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3146,6 +3164,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
     "dedup_exact_suite": [
         ("dedup_exact", ["sum(doc_id)", "count(distinct doc_id)",
                  _rowhash("doc_id")]),
+        ("dedup_exact_normalized", ["sum(doc_id)",
+                                    "count(distinct doc_id)",
+                                    _rowhash("doc_id")]),
         ("dedup_incremental", ["sum(doc_id)", "sum(n_chars)",
                                "sum(length(text))"]),
         ("dedup_cluster_stats", ["sum(cluster_size*n_clusters)",
@@ -3320,7 +3341,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 132 per-operator
+    per-round correctness budget), covering all 133 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -708,3 +708,26 @@ def keep_canonical(documents: DataFrame, k: int = 3,
             .filter(F.col("doc_id") == F.col("cluster_rep"))
             .select("doc_id"))
     return documents.join(reps, "doc_id", "left_semi")
+
+
+def exact_dedup_keys_normalized(documents: DataFrame) -> DataFrame:
+    """Normalize-THEN-dedup (the CCNet ordering): exact dedup over the
+    scrubbed text (lowercase, emails/digit-runs masked, whitespace
+    collapsed — ``text.scrub_text``), so trivially-variant copies
+    ("Call 555-1234" vs "Call 555-9876") collapse to one canonical
+    doc. Representative = min(doc_id) per distinct CLEAN text.
+
+    Same 100 TB shape as ``exact_dedup_keys``: the scrub is a narrow
+    codegen'd map fused into the scan, then only (digest, id) rows —
+    40 B/doc — enter the aggregation shuffle. The oracle groups by the
+    clean text itself, so agreement certifies digest grouping == clean
+    text grouping (the dedup_exact pattern applied post-normalization).
+    """
+    from parallel_svms_spark.operators.text import scrub_text
+
+    clean = scrub_text(documents)
+    return (clean
+            .select("doc_id",
+                    F.sha2(F.col("clean_text"), 256).alias("digest"))
+            .groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))

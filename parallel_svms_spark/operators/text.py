@@ -502,3 +502,38 @@ def compression_profile(documents: DataFrame,
             .select("source", "n_docs", "sum_chars", "sum_comp",
                     F.floor(F.col("sum_comp") * F.lit(1000000)
                             / F.col("sum_chars")).alias("ratio_ppm")))
+
+
+def compression_screen(documents: DataFrame, min_ratio: float = 0.25,
+                       level: int = 6) -> DataFrame:
+    """The deflate-ratio junk GATE: keep only documents whose zlib
+    ratio (see ``compression_signals``) is at least ``min_ratio`` —
+    dropping the highly-repetitive machine-generated boilerplate that
+    compresses far below prose. Passes every input column through
+    unchanged (the filter decision is made INSIDE the Arrow batch, so
+    no signal join / reattach is needed), which also makes it
+    streaming-safe verbatim: stateless, each doc's fate depends only
+    on its own bytes — ``streaming/windows.streaming_compression_screen``
+    IS this function applied to an unbounded frame (equivalence-tested
+    across micro-batch boundaries).
+    """
+    import zlib
+
+    lvl = int(level)
+    thr = float(min_ratio)
+    schema = documents.schema
+
+    def run(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            keep = [
+                len(zlib.compress(t.encode("utf-8"), lvl))
+                / max(len(t), 1) >= thr
+                for t in pdf["text"]
+            ]
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    return documents.mapInPandas(run, schema=schema)

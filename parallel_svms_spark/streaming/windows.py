@@ -823,3 +823,18 @@ def burst_starters_stateful(stream: DataFrame, gap_seconds: int = 3600,
             .groupBy("user_id", "event_type").applyInPandasWithState(
                 fn, BURST_OUT_SCHEMA, _BURST_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_compression_screen(stream_docs: DataFrame,
+                                 min_ratio: float = 0.25,
+                                 level: int = 6) -> DataFrame:
+    """Streaming twin of ``text.compression_screen``: the deflate-
+    ratio junk gate on continuous ingest. STATELESS and literally
+    shared code — the batch operator already decides each doc's fate
+    from its own bytes inside the Arrow batch, so the streaming form
+    IS the batch function applied to an unbounded DataFrame (the
+    ``streaming_weighted_sample`` / ``streaming_quality_screen``
+    pattern); replays and micro-batch boundaries cannot flip a row."""
+    from parallel_svms_spark.operators.text import compression_screen
+    return compression_screen(stream_docs, min_ratio=min_ratio,
+                              level=level)

@@ -278,3 +278,66 @@ def test_burst_plan_user_keyed_windows_only(events):
     p = phys(EV.burst_starters(events, gap_seconds=3600))
     assert "Exchange SinglePartition" not in p  # never a global window
     assert "CartesianProduct" not in p
+
+
+# --------------------------------------- normalized dedup + compression gate
+
+def test_exact_dedup_normalized_merges_trivial_variants(spark):
+    from parallel_svms_spark.operators import dedup as D
+    rows = [(1, "Call 555 please"),
+            (2, "call 99 please"),      # same after <num> mask + lower
+            (3, "call me maybe"),
+            (4, "Email a@b.com now"),
+            (5, "email c@d.org  now")]  # same after <email> + ws collapse
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  D.exact_dedup_keys_normalized(df).collect())
+    assert kept == [1, 3, 4]
+    # plain exact dedup would keep all five — normalization IS the delta
+    assert D.exact_dedup_keys(df).count() == 5
+
+
+def test_compression_screen_gates_junk_keeps_prose(spark):
+    import random
+
+    from parallel_svms_spark.operators import text as TXm
+    rng = random.Random(11)
+    junk = ("na " * 600)[:1800]
+    prose = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                             for _ in range(7)) for _ in range(225))[:1800]
+    df = spark.createDataFrame(
+        [(1, junk, "a"), (2, prose, "b")],
+        "doc_id long, text string, source string")
+    out = TXm.compression_screen(df, min_ratio=0.25)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    # all input columns pass through unchanged
+    assert out.columns == df.columns
+
+
+def test_compression_screen_matches_signals_threshold(docs):
+    from parallel_svms_spark.operators import text as TXm
+    thr = 0.45
+    want = {r["doc_id"] for r in
+            TXm.compression_signals(docs).collect()
+            if r["comp_len"] / max(r["n_chars"], 1) >= thr}
+    got = {r["doc_id"] for r in
+           TXm.compression_screen(docs, min_ratio=thr).collect()}
+    assert got == want and 0 < len(got) < docs.count()
+
+
+def test_compression_screen_streaming_twin(spark, tmp_path, docs):
+    from parallel_svms_spark.operators.text import compression_screen
+    from parallel_svms_spark.streaming.windows import (
+        run_stream_to_memory, streaming_compression_screen)
+    src = str(tmp_path / "docs_stream")
+    docs.select("doc_id", "text").write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = streaming_compression_screen(stream, min_ratio=0.45)
+    name = run_stream_to_memory(out, "comp_screen_stream")
+    got = {r["doc_id"]
+           for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+    want = {r["doc_id"]
+            for r in compression_screen(
+                docs.select("doc_id", "text"), min_ratio=0.45).collect()}
+    assert got == want
