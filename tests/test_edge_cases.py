@@ -383,3 +383,78 @@ def test_weighted_sample_matches_python_model(spark, weights):
     kept = {r.doc_id for r in weighted_sample(df, F.col("w")).collect()}
     want = {i for i, w in rows if _weighted_keep_model(i, w)}
     assert kept == want
+
+
+def _split_model(doc_id: int, fractions, salt: str = "") -> str:
+    """Pure-Python reference of sharding.dataset_split: first 8 md5
+    hex chars of (salt + str(id)) against cumulative thresholds."""
+    import hashlib
+
+    from parallel_svms_spark.operators.sharding import _rate_threshold_hex
+    h8 = hashlib.md5((salt + str(doc_id)).encode()).hexdigest()[:8]
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += float(frac)
+        if h8 < _rate_threshold_hex(cum):
+            return name
+    return fractions[-1][0]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 10 ** 12), min_size=1, max_size=40,
+                unique=True),
+       st.sampled_from([
+           [("train", 0.9), ("valid", 0.05), ("test", 0.05)],
+           [("a", 0.5), ("b", 0.5)],
+           [("x", 0.01), ("y", 0.01), ("z", 0.98)],
+           [("all", 1.0)],
+           # fractions summing past 1: later thresholds clamp to the
+           # hex ceiling, so trailing splits legitimately go empty
+           [("big", 0.9), ("over", 0.9), ("rest", 0.1)],
+       ]))
+def test_dataset_split_matches_python_model(spark, ids, fractions):
+    """Property: for ANY id set and fraction layout (incl. one that
+    over-fills [0,1)), Spark's assignment equals the pure-Python md5
+    model — the invariant the DuckDB oracle and the growth-stability
+    contract both stand on; the labels always partition the input."""
+    from parallel_svms_spark.operators.sharding import dataset_split
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.split
+           for r in dataset_split(df, fractions=fractions).collect()}
+    assert got == {i: _split_model(i, fractions) for i in ids}
+
+
+def test_heavy_keys_null_and_tie_behavior(spark):
+    """NULL keys count as a real group (a NULL-heavy corpus IS a skew
+    hazard — dropping them would hide exactly what the diagnostic
+    exists to find), and exact count ties break ascending by key."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from parallel_svms_spark.operators.partitioning import heavy_keys
+    rows = ([(None,)] * 5) + ([(7,)] * 3) + ([(3,)] * 3) + [(9,)]
+    df = spark.createDataFrame(rows, "k int")
+    got = [(r["k"], r["n_rows"], r["share_ppm"])
+           for r in heavy_keys(df, "k", k=3).collect()]
+    # NULL sorts first among Spark ascending ties ONLY if reached;
+    # here NULL wins outright (5 rows), then the 3-count tie breaks
+    # 3 < 7
+    assert got == [(None, 5, 416666), (3, 3, 250000), (7, 3, 250000)]
+
+
+def test_compression_signals_empty_and_unicode(spark):
+    """Empty text: n_chars 0, ratio guarded by the max(chars,1) floor
+    (zlib of b'' is 8 bytes → ratio 8.0 — the >1 'incompressible'
+    extreme, kept by any sane screen threshold). Unicode: n_chars is
+    CHARACTERS (Spark length semantics) while zlib sees utf-8 BYTES,
+    so multibyte text can legitimately exceed ratio 1."""
+    from parallel_svms_spark.operators.text import compression_signals
+    df = spark.createDataFrame(
+        [(1, ""), (2, "déjà vu ✓ déjà vu ✓")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in compression_signals(df).collect()}
+    assert rows[1].n_chars == 0 and rows[1].comp_len == 8
+    assert rows[1].ratio == 8.0
+    import zlib
+    t = "déjà vu ✓ déjà vu ✓"
+    assert rows[2].n_chars == len(t)  # 19 characters
+    assert rows[2].comp_len == len(zlib.compress(t.encode("utf-8"), 6))
