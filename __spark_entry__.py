@@ -500,7 +500,7 @@ _QKEY_ORDER = [
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
-    "mixture_sample",
+    "split_decontaminate", "mixture_sample",
     "mixture_sample_hash", "pipeline_curate",
     # similarity / ANN
     "label_centroids",
@@ -684,6 +684,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 docs.filter("source = 'src0'"), k=4)
             .select("doc_id", "lang", "source"))(
                 load_table(s, d, "documents")),
+        # eval-leakage firewall: split the corpus, then scrub the
+        # train split of held-out shingle overlap — one composed DAG
+        "split_decontaminate": lambda s, d: __import__(
+            "parallel_svms_spark.operators.contamination",
+            fromlist=["x"]).decontaminate_splits(
+                load_table(s, d, "documents"), k=4)
+            .select("doc_id", "source"),
         "mixture_sample": lambda s, d: SH.mixture_sample(
             load_table(s, d, "documents"),
             rates={"src0": 0.5, "src1": 0.25}, default_rate=0.1),
@@ -2220,6 +2227,32 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM documents
 """,
+        # split_decontaminate: the dataset_split CASE defines the
+        # train/held partition, then the decontaminate shingle algebra
+        # (k=4 — same CTE shape as the decontaminate oracle) scrubs
+        # the train side of held-out overlap
+        "split_decontaminate": """
+WITH labeled AS (
+  SELECT doc_id, source, text,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < 'e6666666' THEN 'train' ELSE 'held' END AS split
+  FROM documents
+), corp AS (SELECT * FROM labeled WHERE split = 'train'),
+bench AS (SELECT * FROM labeled WHERE split = 'held'),
+bsh AS (
+  SELECT DISTINCT UNNEST(CASE WHEN len(t) >= 4 THEN list_distinct(
+      [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+csh AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 4 THEN list_distinct(
+      [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp)),
+bad AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (shingle))
+SELECT doc_id, source FROM corp
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""",
         # sample_weighted: per-row keep probability min(n_chars/2000,1)
         # via the same md5-hex coin; hex/lpad/lower agree across engines
         "sample_weighted": """
@@ -2896,7 +2929,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 133 per-operator qkeys, 83 could never get a
+# time budget). With 134 per-operator qkeys, 84 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3181,6 +3214,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                            "sum(length(lang))"]),
         ("decontaminate_hashed", ["sum(doc_id)", "count(distinct source)",
                                   "sum(length(lang))"]),
+        ("split_decontaminate", ["sum(doc_id)", "count(distinct source)",
+                                 _rowhash("doc_id")]),
     ],
     "sampling_suite": [
         ("mixture_sample", ["sum(doc_id)", "count(distinct source)",
@@ -3341,7 +3376,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 133 per-operator
+    per-round correctness budget), covering all 134 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -138,3 +138,35 @@ def decontaminate_hashed(corpus: DataFrame, benchmark: DataFrame,
     if broadcast_ids:
         bad = F.broadcast(bad)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def decontaminate_splits(documents: DataFrame,
+                         fractions: list[tuple[str, float]] | None = None,
+                         train_split: str = "train",
+                         k: int = 3, min_overlap: int = 1,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """The eval-leakage firewall as ONE composed dataflow: hash-split
+    the corpus (``sharding.dataset_split``), then remove from the
+    TRAIN split every doc sharing ≥ ``min_overlap`` k-shingles with
+    the held-out splits — so a near-copy of an eval document can never
+    be trained on. This is `decontaminate` with the benchmark DERIVED
+    from the corpus itself rather than an external eval set; run it
+    after the carve, before anything else sees the train split.
+
+    Scale shape: the split is a zero-exchange projection, and the
+    held-out side here is a constant FRACTION of the corpus (not a
+    benchmark-sized sliver), so the composition passes
+    ``broadcast_benchmark=False`` — both contamination joins
+    hash-partition and nothing corpus-fraction-sized is broadcast
+    (decontaminate's own docstring contract for exactly this regime).
+    The two split branches share the one split projection subtree.
+    """
+    from parallel_svms_spark.operators.sharding import dataset_split
+
+    s = dataset_split(documents, fractions=fractions, id_col=id_col)
+    train = s.filter(F.col("split") == train_split).drop("split")
+    held = s.filter(F.col("split") != train_split).drop("split")
+    return decontaminate(train, held, k=k, min_overlap=min_overlap,
+                         id_col=id_col, text_col=text_col,
+                         broadcast_benchmark=False)

@@ -458,3 +458,30 @@ def test_compression_signals_empty_and_unicode(spark):
     t = "déjà vu ✓ déjà vu ✓"
     assert rows[2].n_chars == len(t)  # 19 characters
     assert rows[2].comp_len == len(zlib.compress(t.encode("utf-8"), 6))
+
+
+def test_r6_operators_handle_empty_input(spark):
+    from parallel_svms_spark.operators.dedup import (
+        exact_dedup_keys_normalized)
+    from parallel_svms_spark.operators.events import (burst_starters,
+                                                      collapse_bursts)
+    from parallel_svms_spark.operators.partitioning import heavy_keys
+    from parallel_svms_spark.operators.sharding import dataset_split
+    from parallel_svms_spark.operators.text import (compression_profile,
+                                                    compression_screen,
+                                                    compression_signals)
+
+    no_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+    assert heavy_keys(no_events, "user_id").count() == 0
+    assert collapse_bursts(no_events).count() == 0
+    assert burst_starters(no_events).count() == 0
+
+    no_docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string")
+    assert dataset_split(no_docs).count() == 0
+    assert compression_signals(no_docs).count() == 0
+    assert compression_profile(no_docs).count() == 0
+    assert compression_screen(no_docs).count() == 0
+    assert exact_dedup_keys_normalized(no_docs).count() == 0

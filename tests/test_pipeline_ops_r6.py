@@ -341,3 +341,51 @@ def test_compression_screen_streaming_twin(spark, tmp_path, docs):
             for r in compression_screen(
                 docs.select("doc_id", "text"), min_ratio=0.45).collect()}
     assert got == want
+
+
+# ------------------------------------------------ split-decontaminate compose
+
+def test_split_decontaminate_composition(docs):
+    """The composed firewall equals decontaminate(train, held) run on
+    explicit dataset_split halves, and no surviving train doc shares a
+    4-shingle with the held-out side."""
+    from parallel_svms_spark.operators.contamination import (
+        contaminated_ids, decontaminate, decontaminate_splits)
+    from parallel_svms_spark.operators.sharding import dataset_split
+
+    s = dataset_split(docs)
+    train = s.filter(F.col("split") == "train").drop("split")
+    held = s.filter(F.col("split") != "train").drop("split")
+    want = {r.doc_id for r in decontaminate(
+        train, held, k=4, broadcast_benchmark=False).collect()}
+    got = {r.doc_id
+           for r in decontaminate_splits(docs, k=4).collect()}
+    assert got == want
+    # firewall property: surviving ∩ contaminated = ∅, and the kept
+    # set is exactly train minus the contaminated ids
+    bad = {r.doc_id for r in contaminated_ids(train, held, k=4).collect()}
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert got == train_ids - bad and not (got & bad)
+
+
+def test_split_decontaminate_requests_no_broadcast_path(docs, monkeypatch):
+    """The held side is a constant corpus FRACTION, so the composition
+    must request decontaminate's broadcast_benchmark=False path — no
+    STATIC broadcast hint on a corpus-fraction-sized side (AQE may
+    still choose broadcast at runtime from measured sizes, which is
+    the correct adaptive behavior at small scale and exactly why the
+    assertion is on the CALL contract, not the executed plan)."""
+    from parallel_svms_spark.operators import contamination as C
+
+    seen = {}
+    orig = C.decontaminate
+
+    def spy(corpus, benchmark, **kw):
+        seen.update(kw)
+        return orig(corpus, benchmark, **kw)
+
+    monkeypatch.setattr(C, "decontaminate", spy)
+    out = C.decontaminate_splits(docs, k=4)
+    assert seen.get("broadcast_benchmark") is False
+    p = phys(out)
+    assert "CartesianProduct" not in p
