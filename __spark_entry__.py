@@ -458,8 +458,8 @@ _QKEY_ORDER = [
     "dedup_anti", "merge_upsert", "repartition_balanced",
     "repartition_stratified",
     "agg_bucket_count", "merge_pairs", "exchange_identity",
-    "salted_join_agg", "heavy_keys", "set_union", "set_except",
-    "set_intersect", "eval_confusion",
+    "salted_join_agg", "heavy_keys", "heavy_keys_approx", "set_union",
+    "set_except", "set_intersect", "eval_confusion",
     # relational analytics — TPC-H Q1/Q3/Q4/Q5 silhouettes + rollup
     "pricing_summary", "top_revenue_orders", "revenue_by_nation",
     "late_order_priority", "sales_rollup", "sketch_profile",
@@ -576,6 +576,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hot-key skew diagnostic: the top-20 heaviest users in the
         # event stream — the preflight before salted_join/AQE choices
         "heavy_keys": lambda s, d: X.heavy_keys(
+            load_table(s, d, "events"), "user_id", k=20),
+        # bounded-shuffle Misra-Gries twin — value-identical in the
+        # capacity ≥ per-partition-distinct regime (the fixture), so
+        # it shares heavy_keys' oracle (the salted_join pattern)
+        "heavy_keys_approx": lambda s, d: X.heavy_keys_approx(
             load_table(s, d, "events"), "user_id", k=20),
         # §2.5 — set operations
         "set_union": lambda s, d: R.set_union(load_table(s, d, "orders")),
@@ -2214,6 +2219,21 @@ FROM c, t
 ORDER BY n_rows DESC, user_id
 LIMIT 20
 """,
+        # heavy_keys_approx: value-identical to heavy_keys in the
+        # lossless-capacity regime (the fixture) — shares its oracle,
+        # the salted_join_agg pattern for equivalent rewrites
+        "heavy_keys_approx": """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c
+)
+SELECT user_id, n_rows,
+       CAST((n_rows * 1000000) // t.total AS BIGINT) AS share_ppm
+FROM c, t
+ORDER BY n_rows DESC, user_id
+LIMIT 20
+""",
         # dataset_split: hash-interval carve — thresholds are
         # _rate_threshold_hex(0.9)/(0.95) (literal-equality pinned in
         # tests/test_pipeline_ops_r6.py); fixed-width hex compares
@@ -2929,7 +2949,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 134 per-operator qkeys, 84 could never get a
+# time budget). With 135 per-operator qkeys, 85 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -2996,6 +3016,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("heavy_keys", ["sum(user_id*n_rows)", "sum(share_ppm)",
                         _rowhash("(user_id*1000000 + n_rows)*1000000"
                                  " + share_ppm")]),
+        ("heavy_keys_approx", ["sum(user_id*n_rows)", "sum(share_ppm)",
+                               _rowhash("(user_id*1000000 + n_rows)"
+                                        "*1000000 + share_ppm")]),
     ],
     "setops_suite": [
         ("set_union", ["sum(o_orderkey)", "count(distinct o_orderkey)",
@@ -3376,7 +3399,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 134 per-operator
+    per-round correctness budget), covering all 135 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

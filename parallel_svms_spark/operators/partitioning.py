@@ -428,3 +428,97 @@ def heavy_keys(df: DataFrame, key: str, k: int = 20) -> DataFrame:
                 .alias("share_ppm"))
             .orderBy(F.desc("n_rows"), F.asc(key))
             .limit(int(k)))
+
+
+def heavy_keys_approx(df: DataFrame, key: str, k: int = 20,
+                      capacity: int = 4096) -> DataFrame:
+    """``heavy_keys``' bounded-shuffle scale twin, same output
+    contract ``(key, n_rows, share_ppm)``. ``heavy_keys`` shuffles one
+    partial row per DISTINCT key — fine to ~10⁹ keys, but a corpus
+    keyed on near-unique values (URLs, session ids) would exchange
+    rows ≈ the corpus. This variant bounds the exchange at
+    ``capacity × partitions`` regardless of key cardinality:
+
+    1. per-partition Misra-Gries summaries (Arrow-batched, ≤
+       ``capacity`` counters each) nominate CANDIDATE keys; each
+       summary also carries its partition's exact row count (a marker
+       row), so the global total needs no second aggregate;
+    2. one exact recount of the candidates only (broadcast semi-join
+       against the candidate set, then the same count/total/heap-top-k
+       tail as ``heavy_keys``).
+
+    Guarantee (the merged-MG bound): any key whose GLOBAL frequency
+    exceeds n/capacity survives step 1, so its recounted value — and
+    therefore the emitted top-k — is EXACT whenever every true top-k
+    key clears that bar; a key can only be missing if its share is
+    below 1/capacity (⇒ below 244 ppm at the default), which is also
+    the regime where it cannot be a skew hazard. When ``capacity`` ≥
+    per-partition distinct keys the summaries are lossless and the
+    result is identical to ``heavy_keys`` unconditionally (the fixture
+    regime — the qkey shares heavy_keys' oracle verbatim, the
+    salted-join pattern for value-identical rewrites).
+
+    Cost trade vs ``heavy_keys``: two scans of ``df`` instead of one,
+    in exchange for a key-cardinality-independent shuffle. Keys must
+    be integral (the diagnostic's join-key use case); NULL keys count
+    as a real group, as in ``heavy_keys``.
+    """
+    import pandas as pd
+
+    cap = int(capacity)
+
+    def summarize(it):
+        counters: dict = {}
+        n_rows = 0
+        for pdf in it:
+            n_rows += len(pdf)
+            for v in pdf[key]:
+                v = None if pd.isna(v) else int(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < cap:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        out = pd.DataFrame({
+            "cand": pd.array(list(counters) + [None],
+                             dtype="Int64"),
+            "part_rows": [0] * len(counters) + [n_rows],
+        })
+        yield out
+
+    # materialize the summaries ONCE (they are tiny — ≤ cap×P rows of
+    # two longs): total and candidates both read the checkpointed
+    # result, so the summary scan never re-runs when the returned
+    # lazy plan executes (the extract_features eager pattern)
+    summaries = (df.select(key)
+                 .mapInPandas(summarize,
+                              schema="cand long, part_rows long")
+                 .localCheckpoint(eager=True))
+    total = int(summaries.agg(F.sum("part_rows")).first()[0] or 0)
+    if total == 0:
+        return (df.select(key).limit(0)
+                .select(key, F.lit(0).cast("long").alias("n_rows"),
+                        F.lit(0).cast("long").alias("share_ppm")))
+    cands = (summaries.filter(F.col("part_rows") == 0)
+             .select(F.col("cand").alias(key)).distinct())
+    # no broadcast hint: candidates are usually ~capacity rows (AQE
+    # broadcasts), but a pathological cap×P candidate set must be
+    # allowed to hash-partition
+    counts = (df.select(key)
+              .join(cands, [df[key].eqNullSafe(cands[key])], "left_semi")
+              .groupBy(key).agg(F.count("*").alias("n_rows")))
+    return (counts.select(
+                key, "n_rows",
+                F.expr(f"(n_rows * CAST(1000000 AS BIGINT)) "
+                       f"DIV CAST({total} AS BIGINT)")
+                .alias("share_ppm"))
+            .orderBy(F.desc("n_rows"), F.asc(key))
+            .limit(int(k)))

@@ -389,3 +389,34 @@ def test_split_decontaminate_requests_no_broadcast_path(docs, monkeypatch):
     assert seen.get("broadcast_benchmark") is False
     p = phys(out)
     assert "CartesianProduct" not in p
+
+
+def test_heavy_keys_approx_equals_exact_in_lossless_regime(events):
+    a = X.heavy_keys(events, "user_id", k=10).collect()
+    b = X.heavy_keys_approx(events, "user_id", k=10).collect()
+    assert a == b
+
+
+def test_heavy_keys_approx_mg_bound_tiny_capacity(spark):
+    """The merged Misra-Gries guarantee: a key whose global frequency
+    exceeds n/capacity ALWAYS survives summarization, and its
+    recounted value is exact — even at a capacity far below the key
+    cardinality."""
+    df = (spark.range(10000)
+          .select((F.col("id") % 1000).alias("k"))
+          .union(spark.range(5000).select(F.lit(7).alias("k"))))
+    r = X.heavy_keys_approx(df, "k", k=1, capacity=8).collect()
+    assert (r[0]["k"], r[0]["n_rows"]) == (7, 5010)
+    assert r[0]["share_ppm"] == (5010 * 1000000) // 15000
+
+
+def test_heavy_keys_approx_null_keys_and_empty(spark):
+    from pyspark.sql import functions as Fn
+    rows = ([(None,)] * 6) + ([(3,)] * 2)
+    df = spark.createDataFrame(rows, "k int")
+    got = [(r["k"], r["n_rows"]) for r in
+           X.heavy_keys_approx(df, "k", k=2).collect()]
+    assert got == [(None, 6), (3, 2)]
+    empty = spark.createDataFrame([], "k long")
+    assert X.heavy_keys_approx(empty, "k").count() == 0
+    assert Fn is not None

@@ -287,6 +287,8 @@ def main() -> None:
     from parallel_svms_spark.operators import partitioning as XP
     timed("heavy_keys", n_ev,
           lambda: XP.heavy_keys(ev, "user_id", k=20).count())
+    timed("heavy_keys_approx", n_ev,
+          lambda: XP.heavy_keys_approx(ev, "user_id", k=20).count())
     # r6: burst debounce — sessionize's exchange shape at (user, type)
     timed("collapse_bursts", n_ev,
           lambda: EV.collapse_bursts(ev, gap_seconds=3600).count())
