@@ -22,10 +22,22 @@ from pyspark.sql import Window as W
 
 def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
                 id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """Greedy sequential shard packing: walk docs in ``id_col`` order,
-    cut a new shard whenever the running token total would pass a
-    multiple of ``budget_tokens``. Returns (id, n_tokens, shard).
+                text_col: str = "text",
+                order: str = "id") -> DataFrame:
+    """Greedy sequential shard packing: walk docs in a deterministic
+    total order, cut a new shard whenever the running token total
+    would pass a multiple of ``budget_tokens``. Returns
+    (id, n_tokens, shard).
+
+    ``order='id'`` (default) walks in ``id_col`` order — the original
+    layout. ``order='hash'`` walks in ``(md5(id), id)`` order: a
+    seedless DETERMINISTIC PSEUDO-SHUFFLE, the "shuffle the corpus
+    before packing" step training pipelines perform so adjacent
+    documents in a shard are decorrelated (same md5 coin as the
+    sampling family, so the order — and therefore every shard
+    assignment — is engine-reproducible and the DuckDB oracle
+    hash-matches). Identical machinery either way: only the range
+    key changes.
 
     shard = floor(prefix_tokens_before_this_doc / budget) — the
     standard "concatenate then split every N tokens" layout used to
@@ -51,29 +63,37 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
 
     spark = documents.sparkSession
     id_type = dict(documents.dtypes)[id_col]
+    if order == "id":
+        ordc = F.col(id_col)
+    elif order == "hash":
+        ordc = F.md5(F.col(id_col).cast("string"))
+    else:
+        raise ValueError(f"unknown order: {order!r}")
     toks = documents.select(
-        F.col(id_col),
+        F.col(id_col), ordc.alias("__ord"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"))
     n_part = max(2, spark.sparkContext.defaultParallelism)
     # materialize the ranged layout ONCE: repartitionByRange samples
     # its bounds per execution, and the two passes below must see the
-    # SAME partition→rows mapping (the checkpointed frame is 16 B/doc
-    # — ids and counts, never text)
-    ranged = (toks.repartitionByRange(n_part, F.col(id_col))
-              .sortWithinPartitions(id_col)
+    # SAME partition→rows mapping (the checkpointed frame is ≤48 B/doc
+    # — ids, order key and counts, never text)
+    ranged = (toks.repartitionByRange(n_part, F.col("__ord"),
+                                      F.col(id_col))
+              .sortWithinPartitions("__ord", id_col)
               .localCheckpoint())
 
-    # pass 1: per-partition (partition_id, partial_sum, min_id) —
+    # pass 1: per-partition (partition_id, partial_sum, min_ord) —
     # spark_partition_id() is the RDD-free partition index
     parts = (ranged
              .groupBy(F.spark_partition_id().alias("pid"))
              .agg(F.sum("n_tokens").alias("psum"),
-                  F.min(id_col).alias("min_id"))
+                  F.min(F.struct("__ord", id_col)).alias("min_ord"))
              .collect())
-    # driver: exclusive prefix offsets in id order (P rows — tiny).
-    # order by min_id, not pid: range partitions are id-ordered but
-    # nothing guarantees pid numbering follows the range order
-    parts.sort(key=lambda r: r["min_id"])
+    # driver: exclusive prefix offsets in walk order (P rows — tiny).
+    # order by min_ord, not pid: range partitions are order-key-ranged
+    # but nothing guarantees pid numbering follows the range order
+    parts.sort(key=lambda r: (r["min_ord"]["__ord"],
+                              r["min_ord"][id_col]))
     offsets: dict[int, int] = {}
     acc = 0
     for r in parts:
@@ -93,7 +113,7 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
                 continue
             if running is None:
                 running = offs.get(int(pdf["pid"].iloc[0]), 0)
-            pdf = pdf.sort_values(id_col, kind="mergesort")
+            pdf = pdf.sort_values(["__ord", id_col], kind="mergesort")
             csum = pdf["n_tokens"].cumsum() - pdf["n_tokens"] + running
             running += int(pdf["n_tokens"].sum())
             yield pd.DataFrame({

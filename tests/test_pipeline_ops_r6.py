@@ -420,3 +420,45 @@ def test_heavy_keys_approx_null_keys_and_empty(spark):
     empty = spark.createDataFrame([], "k long")
     assert X.heavy_keys_approx(empty, "k").count() == 0
     assert Fn is not None
+
+
+# ----------------------------------------------------- shuffled shard packing
+
+def test_pack_shards_hash_order_is_a_permutation(docs):
+    """The pseudo-shuffle repacks the SAME docs/token counts under the
+    (md5, id) walk: token totals and doc sets agree with the id-order
+    packing, assignments differ, and every shard except the last is
+    budget-full in walk order."""
+    a = SH.pack_shards(docs, budget_tokens=4096)
+    b = SH.pack_shards(docs, budget_tokens=4096, order="hash")
+    assert (a.agg(F.sum("n_tokens")).first()[0]
+            == b.agg(F.sum("n_tokens")).first()[0])
+    assert ({r.doc_id for r in a.collect()}
+            == {r.doc_id for r in b.collect()})
+    am = {r.doc_id: r.shard for r in a.collect()}
+    bm = {r.doc_id: r.shard for r in b.collect()}
+    assert am != bm  # the shuffle actually reorders
+
+
+def test_pack_shards_hash_order_matches_serial_model(docs):
+    """Distributed prefix sum under the hash walk equals the serial
+    single-threaded recurrence computed in Python."""
+    import hashlib
+
+    rows = docs.select("doc_id", "text").collect()
+    order = sorted(
+        ((hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id,
+          len(r.text.split(" "))) for r in rows))
+    want, acc = {}, 0
+    for _h, did, n in order:
+        want[did] = acc // 4096
+        acc += n
+    got = {r.doc_id: r.shard for r in
+           SH.pack_shards(docs, budget_tokens=4096,
+                          order="hash").collect()}
+    assert got == want
+
+
+def test_pack_shards_unknown_order_rejected(docs):
+    with pytest.raises(ValueError):
+        SH.pack_shards(docs, order="random")
