@@ -224,6 +224,31 @@ def _pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SH.pack_shards(final, budget_tokens=2048)
 
 
+def _pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 pretraining assembly line as ONE lazily-planned DAG:
+    hash split → train decontaminated against its own held-out splits
+    → normalize-then-dedup → length-weighted importance sampling →
+    pseudo-shuffled token-budget packing. Every stage is an existing
+    oracle-checked operator; the qkey pins that the ROUND'S additions
+    compose (the pipeline_curate contract applied to the r6 surface).
+    """
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.operators import contamination as CN
+    from parallel_svms_spark.operators import dedup as D
+    from parallel_svms_spark.operators import sharding as SH
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = CN.decontaminate_splits(docs, k=4)
+    keys = D.exact_dedup_keys_normalized(clean)
+    deduped = clean.join(keys, "doc_id", "left_semi")
+    sampled = SH.weighted_sample(
+        deduped.select("doc_id", "source", "n_chars"),
+        weight=F.col("n_chars") / F.lit(2000.0))
+    final = deduped.join(sampled.select("doc_id"), "doc_id", "left_semi")
+    return SH.pack_shards(final, budget_tokens=2048, order="hash")
+
+
 def _scratch_dir(prefix: str) -> str:
     """mkdtemp that self-removes at interpreter exit (ADVICE r5: the
     roundtrip/lake qkeys re-run every driver round and bench session,
@@ -501,7 +526,7 @@ _QKEY_ORDER = [
     "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
     "split_decontaminate", "mixture_sample",
-    "mixture_sample_hash", "pipeline_curate",
+    "mixture_sample_hash", "pipeline_curate", "pipeline_pretrain",
     # similarity / ANN
     "label_centroids",
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
@@ -884,6 +909,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": _bucketed_join,
         "compaction_roundtrip": _compaction_roundtrip,
         "pipeline_curate": _pipeline_curate,
+        "pipeline_pretrain": _pipeline_pretrain,
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
         "audio_windows": _audio_windows,
@@ -2289,6 +2315,54 @@ bad AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (shingle))
 SELECT doc_id, source FROM corp
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """,
+        # pipeline_pretrain: the r6 chain — split CASE → decontaminate
+        # CTE → scrub + clean-text dedup → weighted-sample coin →
+        # pseudo-shuffled pack window, each stage verbatim from its
+        # member oracle
+        "pipeline_pretrain": """
+WITH labeled AS (
+  SELECT doc_id, source, text, n_chars,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < 'e6666666' THEN 'train' ELSE 'held' END AS split
+  FROM documents
+), corp AS (SELECT * FROM labeled WHERE split = 'train'),
+bench AS (SELECT * FROM labeled WHERE split = 'held'),
+bsh AS (
+  SELECT DISTINCT UNNEST(CASE WHEN len(t) >= 4 THEN list_distinct(
+      [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT string_split(text, ' ') AS t FROM bench)),
+csh AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 4 THEN list_distinct(
+      [array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp)),
+bad AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (shingle)),
+clean AS (
+  SELECT doc_id, text, n_chars,
+         regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<email>', 'g'),
+           '[0-9]+', '<num>', 'g'),
+           ' +', ' ', 'g') AS clean_text
+  FROM corp WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+), ded AS (
+  SELECT doc_id, text, n_chars FROM clean c
+  WHERE c.doc_id = (SELECT MIN(c2.doc_id) FROM clean c2
+                    WHERE c2.clean_text = c.clean_text)
+), samp AS (
+  SELECT doc_id, text FROM ded
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        < lower(lpad(hex(CAST(FLOOR(LEAST(n_chars / 2000.0, 1.0)
+                                    * 4294967295) AS BIGINT)), 8, '0'))
+)
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST((SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ROWS UNBOUNDED PRECEDING)
+             - len(string_split(text, ' '))) // 2048 AS BIGINT) AS shard
+FROM samp
+""",
         # sample_weighted: per-row keep probability min(n_chars/2000,1)
         # via the same md5-hex coin; hex/lpad/lower agree across engines
         "sample_weighted": """
@@ -2965,7 +3039,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 136 per-operator qkeys, 86 could never get a
+# time budget). With 137 per-operator qkeys, 87 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3255,6 +3329,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                   "sum(length(lang))"]),
         ("split_decontaminate", ["sum(doc_id)", "count(distinct source)",
                                  _rowhash("doc_id")]),
+        ("pipeline_pretrain", ["sum(doc_id*shard)", "sum(n_tokens)",
+                               _rowhash("doc_id*10000 + shard")]),
     ],
     "sampling_suite": [
         ("mixture_sample", ["sum(doc_id)", "count(distinct source)",
@@ -3417,7 +3493,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 136 per-operator
+    per-round correctness budget), covering all 137 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

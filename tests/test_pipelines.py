@@ -136,3 +136,39 @@ def test_events_daily_lake_prunes_partitions(spark, sf_dir, tmp_path):
         (F.col("ts") >= F.lit(start).cast("timestamp"))
         & (F.col("ts") < F.lit(end_noon).cast("timestamp")))
     assert got_noon.count() == want_noon.count() > want.count()
+
+
+def test_pipeline_pretrain_stagewise_equivalence(spark, sf_dir):
+    """The composed r6 pretraining DAG equals running its stages
+    explicitly, and its outputs satisfy the per-stage contracts:
+    no held-out contamination, no normalized-text duplicates, and the
+    hash-walk packing recurrence."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import contamination as CN
+    from parallel_svms_spark.operators import dedup as D
+    from parallel_svms_spark.operators import sharding as SH
+
+    out = em.queries_all()["pipeline_pretrain"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = CN.decontaminate_splits(docs, k=4)
+    deduped = clean.join(D.exact_dedup_keys_normalized(clean),
+                         "doc_id", "left_semi")
+    sampled = SH.weighted_sample(
+        deduped.select("doc_id", "source", "n_chars"),
+        weight=F.col("n_chars") / F.lit(2000.0))
+    final = deduped.join(sampled.select("doc_id"), "doc_id", "left_semi")
+    want = {(r.doc_id, r.n_tokens, r.shard) for r in
+            SH.pack_shards(final, budget_tokens=2048,
+                           order="hash").collect()}
+    assert {(r.doc_id, r.n_tokens, r.shard) for r in rows} == want
+
+    # stage contracts on the surviving set
+    ids = {r.doc_id for r in rows}
+    clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert ids <= clean_ids  # nothing contaminated survived
