@@ -329,7 +329,7 @@ def weighted_sample(df: DataFrame, weight: Column,
 
 def pack_sequences(documents: DataFrame, budget_tokens: int = 4096,
                    id_col: str = "doc_id", text_col: str = "text",
-                   sep: str = "\n\n") -> DataFrame:
+                   sep: str = "\n\n", order: str = "id") -> DataFrame:
     """Sequence packing — the step AFTER ``pack_shards``: concatenate
     each shard's documents (in id order, ``sep``-joined) into one
     training sequence. Returns (shard, n_docs, n_tokens, text): the
@@ -347,19 +347,30 @@ def pack_sequences(documents: DataFrame, budget_tokens: int = 4096,
     The doc→shard assignment is ``pack_shards``' exact prefix-sum
     layout (shared code, shared oracle semantics); texts join back by
     id AFTER assignment so the prefix-sum passes never carry text.
+    ``order='hash'`` threads the pseudo-shuffle through BOTH the
+    assignment and the within-sequence concatenation order, so a
+    sequence is a contiguous slice of the shuffled stream (pinned in
+    pytest against the serial recurrence).
     """
-    assign = pack_shards(documents, budget_tokens, id_col, text_col)
+    assign = pack_shards(documents, budget_tokens, id_col, text_col,
+                         order=order)
     joined = assign.join(documents.select(id_col, text_col), id_col)
+    if order == "id":
+        skey = F.struct(F.col(id_col).alias("i"),
+                        F.col(text_col).alias("t"))
+    else:  # hash walk: concatenate in the SAME (md5, id) order the
+        # shard assignment walked, so a sequence is a contiguous
+        # slice of the shuffled stream
+        skey = F.struct(F.md5(F.col(id_col).cast("string")).alias("o"),
+                        F.col(id_col).alias("i"),
+                        F.col(text_col).alias("t"))
     return (joined
             .groupBy("shard")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("n_tokens"),
                  F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(
-                             F.struct(F.col(id_col).alias("i"),
-                                      F.col(text_col).alias("t")))),
-                         lambda s: s["t"]),
+                     F.transform(F.array_sort(F.collect_list(skey)),
+                                 lambda s: s["t"]),
                      sep).alias("text")))
 
 

@@ -388,6 +388,20 @@ def boilerplate_score(documents: DataFrame, n: int = 3,
                     frac.alias("boilerplate_frac")))
 
 
+def clean_text_col(text_col: str = "text"):
+    """The scrub normalization as a reusable Column expression —
+    THE single definition shared by ``scrub_text``, the normalized
+    dedup family and its streaming twin, so the normalization can
+    never drift between them (each consumer's oracle re-states the
+    same regex subset)."""
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+"
+    out = F.lower(F.col(text_col))
+    out = F.regexp_replace(out, email, "<email>")
+    out = F.regexp_replace(out, r"[0-9]+", "<num>")
+    out = F.regexp_replace(out, r" +", " ")
+    return out
+
+
 def scrub_text(documents: DataFrame) -> DataFrame:
     """Normalization/redaction pass: lowercase, mask emails →
     ``<email>``, mask digit runs → ``<num>``, collapse whitespace
@@ -397,11 +411,7 @@ def scrub_text(documents: DataFrame) -> DataFrame:
     Patterns deliberately stay in the regex subset with identical
     semantics in Java regex (Spark) and RE2 (DuckDB oracle): character
     classes, ``+`` quantifiers — no backrefs, no lookaround."""
-    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+"
-    out = F.lower(F.col("text"))
-    out = F.regexp_replace(out, email, "<email>")
-    out = F.regexp_replace(out, r"[0-9]+", "<num>")
-    out = F.regexp_replace(out, r" +", " ")
+    out = clean_text_col("text")
     return documents.select(
         "doc_id", out.alias("clean_text"),
         F.length(out).alias("clean_chars"))

@@ -838,3 +838,24 @@ def streaming_compression_screen(stream_docs: DataFrame,
     from parallel_svms_spark.operators.text import compression_screen
     return compression_screen(stream_docs, min_ratio=min_ratio,
                               level=level)
+
+
+def streaming_exact_dedup_normalized(stream: DataFrame,
+                                     watermark: str = "2 hours"
+                                     ) -> DataFrame:
+    """Streaming twin of ``dedup.exact_dedup_keys_normalized``'s keep
+    semantics: drop arriving docs whose NORMALIZED content (the
+    ``text.scrub_text`` lowercase/email/digit-mask/ws-collapse pass —
+    shared expressions, so the normalization can never drift from the
+    batch operator) was already seen within the watermark horizon.
+    Same bounded-state shape and the same trade as
+    ``streaming_exact_dedup``: 32 B of digest state per doc, horizon-
+    scoped exactness, periodic batch compaction for the long tail.
+    """
+    from parallel_svms_spark.operators.text import clean_text_col
+    clean = clean_text_col("text")
+    return (stream
+            .withColumn("digest", F.sha2(clean, 256))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["digest"])
+            .drop("digest"))

@@ -462,3 +462,24 @@ def test_pack_shards_hash_order_matches_serial_model(docs):
 def test_pack_shards_unknown_order_rejected(docs):
     with pytest.raises(ValueError):
         SH.pack_shards(docs, order="random")
+
+
+def test_pack_sequences_hash_order_contiguous_slices(docs):
+    """With order='hash' a sequence concatenates its docs in the same
+    (md5, id) walk the shard assignment used — each sequence is a
+    contiguous slice of the shuffled stream (serial model check)."""
+    import hashlib
+
+    rows = docs.select("doc_id", "text").collect()
+    walk = sorted(
+        ((hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id,
+          r.text) for r in rows))
+    acc, shards = 0, {}
+    for _h, did, text in walk:
+        shards.setdefault(acc // 4096, []).append(text)
+        acc += len(text.split(" "))
+    want = {s: "\n\n".join(ts) for s, ts in shards.items()}
+    got = {r.shard: r.text for r in
+           SH.pack_sequences(docs, budget_tokens=4096,
+                             order="hash").collect()}
+    assert got == want

@@ -849,3 +849,32 @@ def test_burst_starters_stateful_boundary_gap(spark):
         kept = sorted(r.event_id for r in spark.sql(
             "SELECT * FROM stream_bursts_edge").collect())
     assert kept == [1, 4]
+
+
+def test_streaming_normalized_dedup_drops_variant_copies(spark):
+    """The normalized streaming dedup keeps one of a pair that differs
+    only by digits/case (batch operator's merge rule) even when the
+    copies arrive in DIFFERENT micro-batches, while keeping genuinely
+    distinct docs."""
+    base = datetime(2024, 1, 1)
+    schema = "doc_id long, ts timestamp, text string"
+    f1 = [(1, base, "Call 555 please"),
+          (2, base + timedelta(minutes=1), "call me maybe")]
+    f2 = [(3, base + timedelta(minutes=2), "call 99 please"),   # dup of 1
+          (4, base + timedelta(minutes=3), "Email a@b.com now")]
+    with tempfile.TemporaryDirectory() as tmp:
+        dst = f"{tmp}/docs"
+        spark.createDataFrame(f1, schema).coalesce(1) \
+            .write.mode("append").parquet(dst)
+        spark.createDataFrame(f2, schema).coalesce(1) \
+            .write.mode("append").parquet(dst)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(dst))
+        feed = SW.streaming_exact_dedup_normalized(stream)
+        q = (feed.writeStream.outputMode("append")
+             .format("memory").queryName("norm_dedup_stream").start())
+        q.processAllAvailable()
+        q.stop()
+        kept = sorted(r.doc_id for r in spark.sql(
+            "SELECT * FROM norm_dedup_stream").collect())
+    assert kept == [1, 2, 4]
