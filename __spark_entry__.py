@@ -283,6 +283,29 @@ def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+def _split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-lake round trip: documents → split-partitioned sink →
+    pruned single-split read → per-source rollup of the TRAIN split.
+    Hash-matching the oracle (which recomputes the split CASE over the
+    parquet directly) proves the materialized layout is value-lossless
+    AND that the pruned read returns exactly the assignment —
+    dataset_split's hash carve surviving a physical round trip."""
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import (read_split,
+                                                write_split_corpus)
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = _scratch_dir("split_rt_")
+    write_split_corpus(docs, tmp)
+    back = read_split(spark, tmp, "train")
+    return (back.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.length("text")).alias("total_text_chars"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
 def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC codec round trip: documents → ORC sink → ORC source →
     per-lang rollup, hash-matched against the parquet-side oracle —
@@ -514,7 +537,8 @@ _QKEY_ORDER = [
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob", "compression_profile",
     "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
-    "compaction_roundtrip", "csv_roundtrip", "bucketed_join",
+    "compaction_roundtrip", "csv_roundtrip", "split_roundtrip",
+    "bucketed_join",
     # dedup / corpus assembly
     "dedup_exact", "dedup_exact_normalized", "dedup_incremental",
     "dedup_clusters",
@@ -905,6 +929,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _jsonl_roundtrip,
         "orc_roundtrip": _orc_roundtrip,
         "zorder_roundtrip": _zorder_roundtrip,
+        "split_roundtrip": _split_roundtrip,
         "csv_roundtrip": _csv_roundtrip,
         "bucketed_join": _bucketed_join,
         "compaction_roundtrip": _compaction_roundtrip,
@@ -2184,6 +2209,18 @@ SELECT lang, COUNT(*) AS n_docs,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM documents GROUP BY lang
 """,
+        # split-lake roundtrip: recompute the split CASE over the
+        # parquet — agreement proves the partitioned layout + pruned
+        # read reproduce the assignment losslessly
+        "split_roundtrip": """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+GROUP BY source
+""",
         # identical rollup: the ORC round trip must be value-lossless
         # for the same corpus surface the JSONL one certifies
         "orc_roundtrip": """
@@ -3039,7 +3076,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 137 per-operator qkeys, 87 could never get a
+# time budget). With 138 per-operator qkeys, 88 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3303,6 +3340,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                            "sum(props_bytes+sum_ts_ms)"]),
         ("bucketed_join", ["sum(length(o_orderstatus)*n_items)",
                            "sum(n_items)", "sum(price_cents)"]),
+            ("split_roundtrip", ["sum(n_docs)", "sum(total_chars)",
+                             _rowhash("min_doc_id*1000000 + max_doc_id")]),
     ],
     # historical name (kept for round-over-round CORRECTNESS
     # continuity): since r6 this is the exact + INCREMENTAL dedup
@@ -3493,7 +3532,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 137 per-operator
+    per-round correctness budget), covering all 138 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

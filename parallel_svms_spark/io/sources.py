@@ -442,3 +442,29 @@ def read_events_range(spark: SparkSession, path: str,
             .filter((F.col("ts") >= F.lit(start).cast("timestamp"))
                     & (F.col("ts") < F.lit(end).cast("timestamp")))
             .drop("event_date"))
+
+
+def write_split_corpus(documents: DataFrame, path: str,
+                       fractions: list[tuple[str, float]] | None = None,
+                       salt: str = "") -> None:
+    """Split-partitioned corpus sink (``split=train/`` directories):
+    materialize ``sharding.dataset_split``'s assignment as the
+    physical layout, so every downstream consumer reads exactly its
+    split as a pruned scan — the trainer never enumerates eval files
+    and vice versa (the leakage story made physical). The derived
+    partition key rides the same zero-shuffle projection as the
+    operator; partitionBy splits files within each task, no exchange.
+    """
+    from parallel_svms_spark.operators.sharding import dataset_split
+    (dataset_split(documents, fractions=fractions, salt=salt)
+     .write.mode("overwrite").partitionBy("split").parquet(path))
+
+
+def read_split(spark: SparkSession, path: str, split: str) -> DataFrame:
+    """Read ONE split of a ``write_split_corpus`` lake: the equality
+    predicate lands on the partition column, so Spark enumerates only
+    the ``split=<name>/`` directory (PartitionFilters — plan-tested)
+    and never opens the others. The partition column is dropped so the
+    result schema matches the unpartitioned documents table."""
+    return (spark.read.parquet(path)
+            .filter(F.col("split") == split).drop("split"))

@@ -212,3 +212,32 @@ def test_csv_roundtrips_quotes_commas_and_unicode(spark, tmp_path):
     back = {r["id"]: r["payload"]
             for r in read_csv(spark, path, schema).collect()}
     assert back == dict(nasty)
+
+
+def test_split_lake_pruned_read_and_losslessness(spark, sf_dir, tmp_path):
+    """write_split_corpus + read_split (r6): the single-split read
+    must prune to its directory (PartitionFilters on split) and
+    reproduce dataset_split's assignment exactly, schema-unchanged."""
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import (load_table, read_split,
+                                                write_split_corpus)
+    from parallel_svms_spark.operators.sharding import dataset_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "split_lake")
+    write_split_corpus(docs, path)
+
+    want = {r.doc_id for r in
+            dataset_split(docs).filter(F.col("split") == "valid")
+            .collect()}
+    back = read_split(spark, path, "valid")
+    assert {r.doc_id for r in back.collect()} == want
+    assert sorted(back.columns) == sorted(docs.columns)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "split#" in plan.split("PartitionFilters")[1][:120]
+    # all three splits together are lossless
+    total = sum(read_split(spark, path, s).count()
+                for s in ("train", "valid", "test"))
+    assert total == docs.count()
