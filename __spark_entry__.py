@@ -326,6 +326,30 @@ def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+def _evolve_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round trip: two differently-schemaed parquet
+    GENERATIONS under one root (gen 1 wrote (doc_id, lang); gen 2
+    migrated to (doc_id, source, n_chars)) → mergeSchema read → rollup
+    over the reconciled union schema. Hash-matching the oracle (which
+    recomputes the union with explicit NULL-typed missing columns)
+    proves the reader reconstructs exactly
+    ``unionByName(allowMissingColumns)`` semantics from the footers —
+    the migration-window read every long-lived lake table needs."""
+    from pyspark.sql import functions as F
+    from parallel_svms_spark.io.sources import (read_evolved,
+                                                write_schema_generation)
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = _scratch_dir("evolve_rt_")
+    write_schema_generation(docs.select("doc_id", "lang"), tmp, 1)
+    write_schema_generation(docs.select("doc_id", "source", "n_chars"),
+                            tmp, 2)
+    return (read_evolved(spark, tmp)
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum("doc_id").alias("sum_doc_id")))
+
+
 def _zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout round trip: events → Morton-clustered parquet on
     (user_id, value) → read back through a 2-D box predicate →
@@ -538,14 +562,15 @@ _QKEY_ORDER = [
     "unigram_logprob", "bigram_logprob", "compression_profile",
     "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
     "compaction_roundtrip", "csv_roundtrip", "split_roundtrip",
-    "bucketed_join",
+    "evolve_roundtrip", "bucketed_join", "merge_survivorship",
     # dedup / corpus assembly
     "dedup_exact", "dedup_exact_normalized", "dedup_incremental",
     "dedup_clusters",
     "dedup_cluster_stats", "shard_pack", "shard_pack_shuffled",
     "pack_sequences",
     "sample_stratified", "sample_uniform", "sample_weighted",
-    "dataset_split",
+    "dataset_split", "chunk_documents", "cv_folds", "padding_stats",
+    "dedup_editdist",
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
@@ -931,7 +956,27 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_roundtrip": _zorder_roundtrip,
         "split_roundtrip": _split_roundtrip,
         "csv_roundtrip": _csv_roundtrip,
+        "evolve_roundtrip": _evolve_roundtrip,
         "bucketed_join": _bucketed_join,
+        # survivorship input: deterministic partial-update stream
+        # derived from events (NULL = attribute not touched)
+        "merge_survivorship": lambda s, d: __import__(
+            "parallel_svms_spark.operators.relational", fromlist=["x"]
+        ).merge_survivorship(
+            load_table(s, d, "events").select(
+                "user_id", "ts", "event_id",
+                F.when(F.col("value") < 0.3, None)
+                .otherwise(F.col("event_type")).alias("event_type"),
+                F.when(F.col("event_type") == "click", None)
+                .otherwise(F.col("value")).alias("value"))),
+        "chunk_documents": lambda s, d: SH.chunk_documents(
+            load_table(s, d, "documents")),
+        "cv_folds": lambda s, d: SH.fold_balance(
+            load_table(s, d, "embeddings"), k=5),
+        "padding_stats": lambda s, d: SH.padding_stats(
+            load_table(s, d, "documents")),
+        "dedup_editdist": lambda s, d: D.editdist_near_dups(
+            load_table(s, d, "documents")),
         "compaction_roundtrip": _compaction_roundtrip,
         "pipeline_curate": _pipeline_curate,
         "pipeline_pretrain": _pipeline_pretrain,
@@ -2326,6 +2371,108 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM documents
 """,
+        # chunk_documents: identical inclusive-stop stride walk —
+        # Spark sequence() and DuckDB generate_series agree on
+        # inclusive bounds; start<len drops the empty-doc [0] row
+        "chunk_documents": """
+WITH st AS (
+  SELECT doc_id, text,
+         UNNEST(generate_series(0, greatest(length(text) - 1, 0), 224))
+           AS start
+  FROM documents)
+SELECT doc_id,
+       CAST(start // 224 AS BIGINT) AS chunk_ix,
+       CAST(start AS BIGINT) AS chunk_start,
+       substring(text, CAST(start AS INT) + 1, 256) AS chunk_text,
+       CAST(length(substring(text, CAST(start AS INT) + 1, 256))
+            AS BIGINT) AS n_chunk_chars
+FROM st WHERE start < length(text)
+""",
+        # cv_folds: hash-interval fold deal (thresholds are
+        # _rate_threshold_hex(i/5)) + the balance-audit rollup
+        "cv_folds": """
+WITH f AS (
+  SELECT CASE
+    WHEN substring(md5(CAST(vec_id AS VARCHAR)),1,8) < '33333333' THEN 0
+    WHEN substring(md5(CAST(vec_id AS VARCHAR)),1,8) < '66666666' THEN 1
+    WHEN substring(md5(CAST(vec_id AS VARCHAR)),1,8) < '99999999' THEN 2
+    WHEN substring(md5(CAST(vec_id AS VARCHAR)),1,8) < 'cccccccc' THEN 3
+    ELSE 4 END AS fold, label
+  FROM embeddings)
+SELECT CAST(fold AS BIGINT) AS fold, label,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM f GROUP BY fold, label
+""",
+        # padding_stats: same whitespace split as token_count's
+        # oracle; both padding columns CAST (HUGEINT trap)
+        "padding_stats": """
+WITH t AS (
+  SELECT CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), b AS (
+  SELECT n_tok, CAST(n_tok // 32 AS BIGINT) AS len_bucket FROM t
+)
+SELECT len_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+       CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT)
+         AS pad_bucketed,
+       CAST(SUM(greatest(128 - n_tok, 0)) AS BIGINT) AS pad_fixed
+FROM b GROUP BY len_bucket
+""",
+        # dedup_editdist: identical (prefix, length-band) blocking +
+        # levenshtein head verify as a self-join; both engines
+        # implement plain unweighted Levenshtein so distances match
+        "dedup_editdist": """
+WITH s AS (
+  SELECT doc_id AS id,
+         substring(lower(text), 1, 12) AS blk,
+         CAST(length(lower(text)) // 8 AS BIGINT) AS lb,
+         substring(lower(text), 1, 64) AS head
+  FROM documents
+), blocks AS (
+  SELECT blk, lb FROM s GROUP BY blk, lb HAVING COUNT(*) <= 256
+), c AS (SELECT s.* FROM s JOIN blocks USING (blk, lb))
+SELECT a.id AS doc_a, b.id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+FROM c a JOIN c b ON a.blk = b.blk AND a.lb = b.lb AND a.id < b.id
+WHERE levenshtein(a.head, b.head) <= 3
+""",
+        # merge_survivorship: LAST_VALUE(IGNORE NULLS) over the same
+        # (ts, event_id) order; QUALIFY keeps one row per key
+        "merge_survivorship": """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value < 0.3 THEN NULL ELSE event_type END
+           AS event_type,
+         CASE WHEN event_type = 'click' THEN NULL ELSE value END
+           AS value
+  FROM events
+)
+SELECT user_id,
+       LAST_VALUE(event_type IGNORE NULLS) OVER w AS last_event_type,
+       LAST_VALUE(value IGNORE NULLS) OVER w AS last_value
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+        # evolve_roundtrip: the mergeSchema read must equal the
+        # explicit NULL-typed union of the two generations
+        "evolve_roundtrip": """
+WITH u AS (
+  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+         CAST(NULL AS BIGINT) AS n_chars FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(NULL AS VARCHAR), source, n_chars FROM documents
+)
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM u GROUP BY lang, source
+""",
         # split_decontaminate: the dataset_split CASE defines the
         # train/held partition, then the decontaminate shingle algebra
         # (k=4 — same CTE shape as the decontaminate oracle) scrubs
@@ -3076,7 +3223,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 138 per-operator qkeys, 88 could never get a
+# time budget). With 144 per-operator qkeys, 94 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3127,6 +3274,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                    _rowhash("errorsum*37 + length(event_type)")]),
         ("eval_confusion", ["sum(label*100+pred)", "sum(n)",
                             "sum((label*100+pred)*n)"]),
+        ("merge_survivorship",
+         ["sum(user_id)", "sum(length(last_event_type))",
+          _rowhash("user_id*1000000 + cast(floor("
+                   "coalesce(last_value, 0)*1000) as bigint)")]),
     ],
     "partition_suite": [
         ("repartition_balanced", ["sum(vec_id)", "sum(bucket)",
@@ -3342,6 +3493,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                            "sum(n_items)", "sum(price_cents)"]),
             ("split_roundtrip", ["sum(n_docs)", "sum(total_chars)",
                              _rowhash("min_doc_id*1000000 + max_doc_id")]),
+        ("evolve_roundtrip", ["sum(n_rows)", "sum(total_chars)",
+                              "sum(sum_doc_id)"]),
     ],
     # historical name (kept for round-over-round CORRECTNESS
     # continuity): since r6 this is the exact + INCREMENTAL dedup
@@ -3360,6 +3513,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
          ["sum(doc_a*doc_b)",
           "sum(cast(floor(jaccard*100000) as bigint))",
           _rowhash("doc_a*100000 + doc_b")]),
+        ("dedup_editdist", ["sum(doc_a+doc_b)", "sum(edit_dist)",
+                            _rowhash("doc_a*1000000 + doc_b")]),
     ],
     "decontaminate_suite": [
         ("decontaminate", ["sum(doc_id)", "count(distinct source)",
@@ -3394,6 +3549,12 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                     "when 'train' then 0 "
                                     "when 'valid' then 1 "
                                     "else 2 end)")]),
+        ("chunk_documents", ["sum(doc_id)", "sum(n_chunk_chars)",
+                             _rowhash("doc_id*1000 + chunk_ix")]),
+        ("cv_folds", ["sum(fold*n_rows)", "sum(n_rows)",
+                      _rowhash("fold*1000000 + label*10000 + n_rows")]),
+        ("padding_stats", ["sum(pad_bucketed)", "sum(pad_fixed)",
+                           _rowhash("len_bucket*10000000 + sum_tokens")]),
     ],
     "ann_suite": [
         ("topk_cosine", ["sum(vec_id)",
@@ -3532,7 +3693,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 138 per-operator
+    per-round correctness budget), covering all 144 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -468,3 +468,32 @@ def read_split(spark: SparkSession, path: str, split: str) -> DataFrame:
     result schema matches the unpartitioned documents table."""
     return (spark.read.parquet(path)
             .filter(F.col("split") == split).drop("split"))
+
+
+def write_schema_generation(df: DataFrame, path: str, gen: int) -> None:
+    """Append one schema GENERATION to an evolving parquet dataset:
+    each generation lands in its own ``gen=<n>/`` directory, so a
+    dataset whose producers added/dropped columns over time coexists
+    as differently-schemaed parquet footers under one root — the
+    situation every long-lived lake table is in after a schema
+    migration."""
+    df.write.mode("overwrite").parquet(f"{path}/gen={int(gen)}")
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read an evolving parquet dataset with SCHEMA MERGING: Spark
+    reconciles the per-file footers into the union schema
+    (``mergeSchema=true``) and fills columns a generation never wrote
+    with NULL — ``unionByName(allowMissingColumns)`` semantics applied
+    at the STORAGE layer, where the reader (not the writer) absorbs
+    the migration.
+
+    Scale note: mergeSchema's footer reconciliation is a parallel
+    job over file footers (not data), paid once per read — the
+    standard advice holds: bake the merged schema into the catalog
+    after a migration settles and pass it explicitly; this reader is
+    the migration-window path. Column pruning and predicate pushdown
+    still apply per-file against whatever subset of the merged schema
+    the file physically has."""
+    return (spark.read.option("mergeSchema", "true").parquet(path)
+            .drop("gen"))

@@ -223,3 +223,41 @@ def set_intersect(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     finished = orders.filter(F.col("o_orderstatus") == "F") \
                      .select(F.col("o_orderkey").alias("okey"))
     return shipped.intersect(finished)
+
+
+def merge_survivorship(changes: DataFrame, key: str = "user_id",
+                       ts_col: str = "ts", tiebreak: str = "event_id",
+                       cols: tuple[str, ...] = ("event_type", "value"),
+                       ) -> DataFrame:
+    """Survivorship merge — the column-level generalization of
+    ``merge_upsert``: collapse a change stream to ONE row per key
+    where each attribute carries its LATEST NON-NULL value (ordered by
+    ``(ts_col, tiebreak)``). This is the "golden record" rule CDC
+    compaction and master-data pipelines apply: a later partial update
+    (NULL = "not touched") must not erase an earlier attribute, which
+    plain keep-newest-row upserting would do.
+
+    Expressed as ``last(col, ignorenulls=True)`` over an
+    unbounded key-ordered window plus a keep-one-row-per-key rank —
+    the DuckDB oracle is the identical ``LAST_VALUE(col IGNORE
+    NULLS)`` window, so the per-attribute survivorship (not just the
+    row count) is pinned engine-portably.
+
+    Scale shape: one hash exchange on the key, per-key sorted window —
+    the sessionize plan shape; state per task is one key-group. Keys
+    are users/entities, so group sizes are event-scale bounded (the
+    mega-key hazard and its bucketing fix are shared with
+    ``sessionize_bucketed``).
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
+    w = (W.partitionBy(key).orderBy(*order)
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    rn = F.row_number().over(
+        W.partitionBy(key).orderBy(F.col(ts_col).desc(),
+                                   F.col(tiebreak).desc()))
+    lasts = [F.last(c, ignorenulls=True).over(w).alias(f"last_{c}")
+             for c in cols]
+    return (changes
+            .select(key, *lasts, rn.alias("__rn"))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn"))

@@ -413,3 +413,126 @@ def dataset_split(df: DataFrame,
     for name, thr in reversed(cases):
         expr = F.when(h8 < F.lit(thr), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def chunk_documents(documents: DataFrame, chunk_chars: int = 256,
+                    overlap: int = 32, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping fixed-width character chunking — the "split long
+    documents into model-sized windows" step every pretraining / RAG
+    corpus build runs before tokenization. Chunk c starts at offset
+    c·(chunk_chars − overlap) and spans ``chunk_chars`` characters;
+    consecutive chunks share ``overlap`` characters so no sentence is
+    cut without a copy surviving in a neighbor. Returns
+    (id, chunk_ix, chunk_start, chunk_text, n_chunk_chars); a chunk
+    exists iff its start offset is inside the text, so empty documents
+    yield zero chunks (documented contract, tested).
+
+    Scale shape: a pure narrow transformation — ``sequence`` +
+    ``explode`` + ``substring`` inside whole-stage codegen, zero
+    exchange at any corpus size. Output amplification is
+    ≈ n_chars / stride rows per document (bounded by the fixture's
+    max doc length / stride); the text column is never shuffled, just
+    scanned and sliced. The DuckDB oracle is the identical
+    generate_series formulation, so the chunk boundaries — not just
+    counts — are pinned engine-portably.
+    """
+    stride = int(chunk_chars) - int(overlap)
+    assert stride > 0, "overlap must be smaller than chunk_chars"
+    n = F.length(F.col(text_col))
+    # inclusive-stop sequence = DuckDB generate_series; the start<n
+    # filter drops both the empty-doc [0] row and any overrun
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    return (documents
+            .select(id_col, text_col,
+                    F.explode(starts).alias("chunk_start"))
+            .filter(F.col("chunk_start") < F.length(F.col(text_col)))
+            .select(
+                id_col,
+                (F.col("chunk_start") / stride).cast("long")
+                .alias("chunk_ix"),
+                F.col("chunk_start").cast("long").alias("chunk_start"),
+                F.col(text_col).substr(
+                    F.col("chunk_start") + 1,
+                    F.lit(int(chunk_chars))).alias("chunk_text"))
+            .withColumn("n_chunk_chars", F.length("chunk_text")
+                        .cast("long")))
+
+
+def kfold_assign(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                 salt: str = "") -> DataFrame:
+    """Deterministic k-fold assignment: fold i gets the rows whose
+    md5(salt‖id) 8-hex-char prefix lands in [i/k, (i+1)/k) — the
+    ``dataset_split`` hash-interval coin with k equal fractions and an
+    integer fold id. The cross-validation carve the reference's
+    cascade driver performs (cascade_svm/Driver.java:37-102 runs
+    k-validation rounds); here it is a zero-shuffle codegen'd
+    projection whose assignment is stable under corpus growth and
+    engine-portable (the DuckDB oracle reproduces every fold id).
+    """
+    k = int(k)
+    assert k >= 2
+    h8 = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+    expr = F.lit(k - 1)  # last fold absorbs the residual interval
+    for i in range(k - 1, 0, -1):
+        expr = F.when(h8 < F.lit(_rate_threshold_hex(i / k)),
+                      F.lit(i - 1)).otherwise(expr)
+    return df.withColumn("fold", expr.cast("long"))
+
+
+def fold_balance(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                 label_col: str = "label", salt: str = "") -> DataFrame:
+    """Per-(fold, label) row counts over a ``kfold_assign`` carve —
+    the class-balance audit run before trusting a cross-validation
+    estimate (a fold that lost a class entirely invalidates the run;
+    the reference's k-validation assumes balanced folds without ever
+    checking). Output is k·|labels| rows.
+
+    Scale shape: narrow fold projection + one map-side-partial hash
+    aggregation on (fold, label) — the same plan as any groupBy count;
+    no window, no driver work.
+    """
+    return (kfold_assign(df, k, id_col, salt)
+            .groupBy("fold", label_col)
+            .agg(F.count("*").alias("n_rows")))
+
+
+def padding_stats(documents: DataFrame, context_len: int = 128,
+                  bucket: int = 32, text_col: str = "text") -> DataFrame:
+    """Padding-waste accounting for batch assembly: bucket documents
+    by whitespace-token length (bucket b = lengths [b·bucket,
+    (b+1)·bucket)) and report, per bucket, the padding cost of the two
+    standard batching strategies — pad-to-fixed-context
+    (``pad_fixed`` = Σ max(context_len − n_tok, 0); docs longer than
+    the context cost 0 because they truncate/split instead) and
+    length-bucketed batching (``pad_bucketed`` = bucket_max·n_docs −
+    Σ n_tok, the waste when each batch pads only to its bucket's
+    longest member). The gap between the two columns IS the measured
+    value of length-bucketed batching — the efficiency audit run
+    before choosing a packing strategy (sequence packing,
+    ``pack_sequences``, is the third option and wastes ~0).
+
+    Scale shape: one narrow tokenize+project, one hash aggregation on
+    the bucket id (≈ max_len/bucket groups). The token counter is the
+    same whitespace ``tokens_col`` split as ``token_count`` — shared
+    semantics, shared oracle algebra (DuckDB ``string_split``).
+    """
+    from parallel_svms_spark.operators.dedup import tokens_col
+    n_tok = F.size(tokens_col(text_col)).cast("long")
+    per_doc = documents.select(
+        n_tok.alias("n_tok"),
+        F.floor(n_tok / int(bucket)).cast("long").alias("len_bucket"))
+    ctx = int(context_len)
+    return (per_doc.groupBy("len_bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("sum_tokens"),
+                 F.max("n_tok").alias("max_tokens"),
+                 F.sum(F.greatest(F.lit(ctx) - F.col("n_tok"),
+                                  F.lit(0))).alias("pad_fixed"))
+            .withColumn("pad_bucketed",
+                        (F.col("max_tokens") * F.col("n_docs")
+                         - F.col("sum_tokens")).cast("long"))
+            .select("len_bucket", "n_docs", "sum_tokens", "max_tokens",
+                    "pad_bucketed", "pad_fixed"))
