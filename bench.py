@@ -42,7 +42,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # headline set: the curated driver surface (all 50 qkeys — suites
-# union every per-operator query, so this times the full 144-query
+# union every per-operator query, so this times the full 148-query
 # surface). The one-line stdout JSON must fit the driver's 2000-char
 # tail buffer (BENCH_r04 lesson: a 4 KB line parsed as null), so the
 # per-query dict uses these 50 keys and the stress detail goes to
@@ -217,6 +217,15 @@ def run_stress() -> dict:
               lambda: SHOP.dataset_split(docs).count())
         timed("compression_profile",
               lambda: text.compression_profile(docs).count())
+        # r6b: zero-exchange chunk explode (rows_out records the
+        # amplification), the tokenize+bucket-agg padding audit, and
+        # the blocked levenshtein near-dup at 10x docs
+        timed("chunk_documents",
+              lambda: SHOP.chunk_documents(docs).count())
+        timed("padding_stats",
+              lambda: SHOP.padding_stats(docs).count())
+        timed("dedup_editdist",
+              lambda: dedup.editdist_near_dups(docs).count())
         from parallel_svms_spark.operators import events as EV
         ev = spark.read.parquet(stress_mod.build_events(spark, mult_docs))
         if dict(ev.dtypes).get("ts") == "timestamp_ntz":
@@ -236,6 +245,20 @@ def run_stress() -> dict:
               lambda: XP.heavy_keys(ev, "user_id", k=20).count())
         timed("collapse_bursts",
               lambda: EV.collapse_bursts(ev, gap_seconds=3600).count())
+        # r6b: survivorship merge at 10x events (sessionize's
+        # exchange shape; output = |users| golden records)
+        from pyspark.sql import functions as FF
+        from parallel_svms_spark.operators import relational as RL
+        timed("merge_survivorship",
+              lambda: RL.merge_survivorship(
+                  ev.select("user_id", "ts", "event_id",
+                            FF.when(FF.col("value") < 0.3, None)
+                            .otherwise(FF.col("event_type"))
+                            .alias("event_type"),
+                            FF.when(FF.col("event_type") == "click",
+                                    None)
+                            .otherwise(FF.col("value")).alias("value"))
+              ).count())
         # warehouse analytics at 10× facts (6M lineitem / 1.5M orders,
         # dims kept at sf0.1 size — the real-warehouse scale shape)
         from parallel_svms_spark.io.sources import load_table

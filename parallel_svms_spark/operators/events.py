@@ -476,3 +476,58 @@ def burst_starters(events: DataFrame, gap_seconds: int = 600,
          > int(gap_seconds) * 1000), F.lit(True))
     return (events.withColumn("__new", is_new)
             .filter(F.col("__new")).drop("__new"))
+
+
+def attribution(events: DataFrame, conversion_type: str = "purchase",
+                touch_type: str = "click", model: str = "last",
+                horizon_hours: int | None = 24 * 7) -> DataFrame:
+    """Conversion attribution: credit each ``conversion_type`` event
+    to a ``touch_type`` event by the same user — ``model='last'`` is
+    last-touch (the most recent touch at or before the conversion,
+    NULLed when it falls outside ``horizon_hours``), ``model='first'``
+    is first-touch (the user's earliest touch at or before the
+    conversion; the horizon still gates on the LAST touch's recency,
+    the standard lookback-window rule). Returns (event_id, user_id,
+    ts, touch_event_id, touch_ts, gap_us) with NULL touches for
+    unattributed conversions (kept — the "organic" bucket every
+    attribution report needs).
+
+    Scale shape: the as-of carry-forward formulation
+    (``asof_prev_event``'s plan — one hash exchange on user_id, one
+    in-partition sort, O(1) running state), NOT a range join: both
+    the first- and last-touch carries ride the same window, and the
+    horizon is a post-hoc filter on the carried timestamp — no second
+    exchange, no per-conversion probe. The DuckDB oracle is the
+    identical FIRST_VALUE/LAST_VALUE(IGNORE NULLS) window algebra.
+    """
+    assert model in ("first", "last")
+    e = (events.filter(
+            F.col("event_type").isin([conversion_type, touch_type]))
+         .select("event_id", "ts", "user_id", "event_type"))
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    mark_id = F.when(F.col("event_type") == touch_type,
+                     F.col("event_id"))
+    mark_ts = F.when(F.col("event_type") == touch_type, F.col("ts"))
+    carried = (e
+               .withColumn("last_id", F.last(mark_id, True).over(w))
+               .withColumn("last_ts", F.last(mark_ts, True).over(w))
+               .withColumn("first_id", F.first(mark_id, True).over(w))
+               .withColumn("first_ts", F.first(mark_ts, True).over(w))
+               .filter(F.col("event_type") == conversion_type))
+    # lookback gate: the LAST touch must be inside the horizon for
+    # the conversion to be attributed at all (both models)
+    in_window = F.lit(True) if horizon_hours is None else (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_ts"))
+        <= int(horizon_hours) * 3_600_000_000)
+    pick = "last" if model == "last" else "first"
+    tid = F.when(in_window, F.col(f"{pick}_id"))
+    tts = F.when(in_window, F.col(f"{pick}_ts"))
+    return (carried
+            .select("event_id", "user_id", "ts",
+                    tid.alias("touch_event_id"),
+                    tts.alias("touch_ts"),
+                    F.when(in_window,
+                           F.unix_micros(F.col("ts"))
+                           - F.unix_micros(F.col(f"{pick}_ts")))
+                    .alias("gap_us")))

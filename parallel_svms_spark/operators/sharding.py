@@ -536,3 +536,32 @@ def padding_stats(documents: DataFrame, context_len: int = 128,
                          - F.col("sum_tokens")).cast("long"))
             .select("len_bucket", "n_docs", "sum_tokens", "max_tokens",
                     "pad_bucketed", "pad_fixed"))
+
+
+def pack_chunks(documents: DataFrame, chunk_chars: int = 256,
+                overlap: int = 32, budget_tokens: int = 512,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Chunk-then-pack composition: split documents into overlapping
+    fixed-width chunks (``chunk_documents``) and pack THE CHUNKS into
+    token-budget training shards (``pack_shards``) — the long-document
+    pipeline where a 500-page manual must not land in one shard.
+    Returns (chunk_id, n_tokens, shard) where ``chunk_id = doc_id ·
+    1000 + chunk_ix`` (documented bound: docs up to 1000 chunks ≈
+    224k chars at the defaults; raise the factor for longer corpora
+    — it only has to keep the walk order equal to (doc, chunk)
+    lexicographic order).
+
+    Scale shape: the chunk explode is narrow; packing adds exactly
+    pack_shards' one range exchange over (chunk_id) — the composition
+    introduces no new shuffle class. The walk order is (doc, chunk),
+    so a document's chunks stay consecutive: a shard is a contiguous
+    window of the chunk stream, the layout sequence-trainers expect.
+    """
+    chunks = chunk_documents(documents, chunk_chars, overlap,
+                             id_col=id_col, text_col=text_col)
+    keyed = chunks.select(
+        (F.col(id_col) * 1000 + F.col("chunk_ix")).alias("chunk_id"),
+        F.col("chunk_text"))
+    return pack_shards(keyed, budget_tokens=budget_tokens,
+                       id_col="chunk_id", text_col="chunk_text")

@@ -547,3 +547,86 @@ def compression_screen(documents: DataFrame, min_ratio: float = 0.25,
                 yield out
 
     return documents.mapInPandas(run, schema=schema)
+
+
+def quality_quantile_norm(documents: DataFrame) -> DataFrame:
+    """Cross-source quality normalization: each document's quality
+    score re-expressed as its PERCENTILE WITHIN ITS SOURCE
+    (percent_rank over (quality, doc_id) — the doc_id tiebreak makes
+    the rank, and therefore the oracle hash, deterministic). The
+    mixture-building step that makes "top 30% of every source"
+    meaningful when sources have incomparable raw score
+    distributions (a web crawl's 0.6 is not a reference corpus's
+    0.6) — rank-normalize first, THEN threshold or weight.
+
+    Scale shape: one hash exchange on source + per-source sort —
+    sources are the partition key, so parallelism = |sources| and the
+    sort is per-source. SCALE CAVEAT (same as mixture_sample's): a
+    billion-row source makes a single sort task; at that size trade
+    exactness for the two-pass distributed histogram
+    (``partitioning.grouped_deciles``'s machinery at finer bins) —
+    rank from bin counts, error ≤ bin width.
+    """
+    from pyspark.sql import Window as W
+    _, _, _, score = quality_cols("text")
+    return (documents
+            .select("doc_id", "source", score.alias("quality"))
+            .withColumn("q_norm", F.round(
+                F.percent_rank().over(
+                    W.partitionBy("source")
+                    .orderBy(F.col("quality").asc(), F.col("doc_id"))),
+                6)))
+
+
+def term_postings(documents: DataFrame, max_doc_freq: int | None = None,
+                  max_df_frac: float | None = 0.2,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Inverted-index postings: one row per (token, document) with the
+    occurrence count and first position — the IR primitive behind
+    span-level contamination lookup, keyword search and collocation
+    mining. Hot tokens are dropped — the stopword-posting cap every
+    practical index applies (a token in every doc contributes |docs|
+    rows and no selectivity; same default-on skew-guard contract as
+    ``ngram_jaccard_pairs``' hot-shingle cap). The default cap is
+    RELATIVE (``max_df_frac``: document frequency ≤ 20% of the
+    corpus — the classic max-df rule), so the semantics survive
+    corpus growth where any absolute cap eventually drops everything;
+    ``max_doc_freq`` adds an absolute ceiling when both are set. The
+    corpus size enters as a broadcast one-row count, not a driver
+    action.
+
+    Scale shape: posexplode is a narrow per-doc expansion; the
+    (token, doc) aggregation is the one corpus-sized exchange
+    (shuffles (token, doc_id, pos) triples — positions as ints, text
+    never moves); the doc-frequency filter is a second, much smaller
+    aggregation over the postings themselves plus a semi-join back.
+    Postings are ≈ distinct-terms-per-doc rows/doc (~100 at 4 KB docs
+    → 2.5 T posting rows at 25 B docs — partition by token hash and
+    this is a boring linear shuffle, no task sees more than its hash
+    range).
+
+    DuckDB oracle: UNNEST ... WITH ORDINALITY reproduces positions.
+    """
+    toks = tokens_col(text_col)
+    per = (documents
+           .select(F.col(id_col),
+                   F.posexplode(toks).alias("pos", "token"))
+           .groupBy("token", id_col)
+           .agg(F.count("*").alias("n_occ"),
+                F.min("pos").cast("long").alias("first_pos")))
+    dfreq = per.groupBy("token").agg(F.count("*").alias("df"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= int(max_doc_freq))
+    if max_df_frac is not None:
+        # scalar reattach: the corpus total is a ONE-ROW aggregate
+        # broadcast over the df table (plans BroadcastNestedLoop —
+        # benign at |build| = 1; heavy_keys' audited pattern, pinned
+        # by a plan test + the SCALAR_REATTACH_OK audit exemption)
+        total = documents.agg(F.count("*").alias("__n"))
+        dfreq = (dfreq.crossJoin(F.broadcast(total))
+                 .filter(F.col("df")
+                         <= F.col("__n") * float(max_df_frac)))
+    return (per.join(dfreq.select("token"), "token", "left_semi")
+            .select("token", id_col, F.col("n_occ").cast("long")
+                    .alias("n_occ"), "first_pos"))

@@ -395,6 +395,25 @@ def streaming_weighted_sample(stream_docs: DataFrame, weight,
     return weighted_sample(stream_docs, weight, id_col=id_col)
 
 
+def streaming_chunk_documents(stream_docs: DataFrame,
+                              chunk_chars: int = 256,
+                              overlap: int = 32,
+                              id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Streaming twin of ``sharding.chunk_documents``: chunk documents
+    as they arrive — continuous-ingest corpus preparation.
+
+    STATELESS and literally shared code: the batch operator is a pure
+    per-row explode (chunk boundaries depend only on the row's own
+    text), so the streaming form IS the batch function applied to the
+    unbounded DataFrame — replays and micro-batch boundaries cannot
+    change a document's chunk set, and no watermark or state store is
+    involved."""
+    from parallel_svms_spark.operators.sharding import chunk_documents
+    return chunk_documents(stream_docs, chunk_chars, overlap,
+                           id_col=id_col, text_col=text_col)
+
+
 def run_stream_to_memory(agg: DataFrame, query_name: str = "stream_out",
                          output_mode: str = "append"):
     """Drive a bounded file-stream to completion synchronously (test

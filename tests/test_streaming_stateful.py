@@ -350,6 +350,43 @@ def test_streaming_weighted_sample_matches_batch(spark, sf_dir):
     assert got  # fixture must keep a non-trivial subset
 
 
+def test_streaming_chunk_documents_matches_batch(spark, sf_dir):
+    """The stateless chunking screen must emit exactly the batch
+    operator's chunk set (shared code, per-row explode) — streamed
+    file-by-file so micro-batch boundaries are exercised."""
+    import glob
+    import os
+    import shutil
+
+    from parallel_svms_spark.io.sources import DOCUMENTS_SCHEMA, load_table
+    from parallel_svms_spark.operators import sharding as SH
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = sorted((r.doc_id, r.chunk_ix, r.chunk_text) for r in
+                   SH.chunk_documents(docs).collect())
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{tmp}/d/0")
+        docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(f"{tmp}/d/1")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/d/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = (spark.readStream.schema(DOCUMENTS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(dst))
+        chunks = SW.streaming_chunk_documents(stream)
+        name = "stream_chunk_test"
+        q = (chunks.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = sorted((r.doc_id, r.chunk_ix, r.chunk_text) for r in
+                     spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == batch
+    assert got
+
+
 def test_streaming_interval_join_matches_batch(spark, sf_dir):
     """The stream-static interval join must produce exactly the batch
     interval_join's matches on the fixture (stateless equi-join: no

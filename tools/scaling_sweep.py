@@ -76,6 +76,18 @@ def main() -> None:
         "heavy_keys": lambda ev: __import__(
             "parallel_svms_spark.operators.partitioning",
             fromlist=["x"]).heavy_keys(ev, "user_id", k=20).count(),
+        # r6b survivorship merge: sessionize's exchange shape — the
+        # slope claim is "one user-keyed window, linear in events"
+        "merge_survivorship": lambda ev: __import__(
+            "parallel_svms_spark.operators.relational",
+            fromlist=["x"]).merge_survivorship(
+                ev.select("user_id", "ts", "event_id",
+                          F.when(F.col("value") < 0.3, None)
+                          .otherwise(F.col("event_type"))
+                          .alias("event_type"),
+                          F.when(F.col("event_type") == "click", None)
+                          .otherwise(F.col("value"))
+                          .alias("value"))).count(),
     }
 
     def _zorder_leg(ev):
@@ -119,6 +131,16 @@ def main() -> None:
         "compression_profile": lambda d: __import__(
             "parallel_svms_spark.operators.text",
             fromlist=["x"]).compression_profile(d).count(),
+        # r6b zero-exchange chunk explode: slope must track the scan
+        # (output amplification is per-row, not cross-row)
+        "chunk_documents": lambda d: __import__(
+            "parallel_svms_spark.operators.sharding",
+            fromlist=["x"]).chunk_documents(d).count(),
+        # r6b blocked levenshtein near-dup: block sizes grow with the
+        # replication mult, so this is the pair-explosion watchdog —
+        # the max_block cap must keep the slope sub-quadratic
+        "dedup_editdist": lambda d: dedup.editdist_near_dups(
+            d).count(),
     }
     WH_OPS = {
         "pricing_summary": lambda li, orr, cust: AN.pricing_summary(

@@ -224,6 +224,18 @@ def main() -> None:
     # Arrow-batch-bound
     timed("compression_profile", n_docs,
           lambda: text.compression_profile(docs).count())
+    # r6b: zero-exchange chunk explode — should track the pure scan;
+    # rows_out records the amplification (≈ n_chars/stride per doc)
+    timed("chunk_documents", n_docs,
+          lambda: SHOP.chunk_documents(docs).count())
+    # r6b: tokenize + bucket-keyed agg — linear, groups ≈ max_len/32
+    timed("padding_stats", n_docs,
+          lambda: SHOP.padding_stats(docs).count())
+    # r6b: blocked levenshtein near-dup — the (prefix, band) blocking
+    # + hot-block cap must keep pair expansion sub-quadratic; the
+    # stress corpus's replicated docs make every block ~mult-sized
+    timed("dedup_editdist", n_docs,
+          lambda: dedup.editdist_near_dups(docs).count())
 
     def _zorder_compact_leg():
         import shutil
@@ -292,6 +304,18 @@ def main() -> None:
     # r6: burst debounce — sessionize's exchange shape at (user, type)
     timed("collapse_bursts", n_ev,
           lambda: EV.collapse_bursts(ev, gap_seconds=3600).count())
+    # r6b: survivorship merge — sessionize's exchange shape (one
+    # user-keyed window), output = |users| golden records
+    from parallel_svms_spark.operators import relational as RL
+    timed("merge_survivorship", n_ev,
+          lambda: RL.merge_survivorship(
+              ev.select("user_id", "ts", "event_id",
+                        F.when(F.col("value") < 0.3, None)
+                        .otherwise(F.col("event_type"))
+                        .alias("event_type"),
+                        F.when(F.col("event_type") == "click", None)
+                        .otherwise(F.col("value")).alias("value")))
+          .count())
     from parallel_svms_spark.operators import timeseries as TSOP
     timed("gap_fill_daily", n_ev,
           lambda: TSOP.gap_fill_daily(ev).count())
