@@ -2441,13 +2441,15 @@ FROM b GROUP BY len_bucket
 WITH s AS (
   SELECT doc_id AS id,
          substring(lower(text), 1, 12) AS blk,
-         CAST(length(lower(text)) // 8 AS BIGINT) AS lb,
+         CAST(length(lower(text)) // 8 AS BIGINT) AS lb0,
          substring(lower(text), 1, 64) AS head
   FROM documents
+), k AS (
+  SELECT id, blk, UNNEST([lb0, lb0 + 1]) AS lb, head FROM s
 ), blocks AS (
-  SELECT blk, lb FROM s GROUP BY blk, lb HAVING COUNT(*) <= 256
-), c AS (SELECT s.* FROM s JOIN blocks USING (blk, lb))
-SELECT a.id AS doc_a, b.id AS doc_b,
+  SELECT blk, lb FROM k GROUP BY blk, lb HAVING COUNT(*) <= 256
+), c AS (SELECT k.* FROM k JOIN blocks USING (blk, lb))
+SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
        CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
 FROM c a JOIN c b ON a.blk = b.blk AND a.lb = b.lb AND a.id < b.id
 WHERE levenshtein(a.head, b.head) <= 3

@@ -878,3 +878,94 @@ def streaming_exact_dedup_normalized(stream: DataFrame,
             .withWatermark("ts", watermark)
             .dropDuplicatesWithinWatermark(["digest"])
             .drop("digest"))
+
+
+_ATTR_STATE_SCHEMA = ("first_id long, first_ts_us long, "
+                      "last_id long, last_ts_us long, "
+                      "seen_ts_us long, seen_eid long")
+ATTR_OUT_SCHEMA = ("event_id long, user_id long, ts timestamp, "
+                   "touch_event_id long, touch_ts timestamp, "
+                   "gap_us long")
+
+
+def attribution_stateful(stream: DataFrame,
+                         conversion_type: str = "purchase",
+                         touch_type: str = "click",
+                         model: str = "last",
+                         horizon_hours: int | None = 24 * 7,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``operators.events.attribution``: emit, for
+    each arriving conversion, its first-/last-touch credit — the
+    continuous attribution feed (each conversion credited the moment
+    it lands, not at end-of-day batch).
+
+    State per user is TWO (event_id, ts) registers — the first- and
+    last-touch carries the batch window maintains implicitly, made
+    explicit — plus the (ts, id) order guard shared with the
+    asof/transitions/burst twins. O(users) state forever, no timeout
+    needed (registers never grow). The horizon gates on the LAST
+    touch's recency in both models, exactly like the batch operator
+    (row-for-row equivalence-tested on the fixture).
+    """
+    assert model in ("first", "last")
+    import pandas as pd  # noqa: F401  (worker-side)
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    horizon_us = (None if horizon_hours is None
+                  else int(horizon_hours) * 3_600_000_000)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        (user_id,) = key
+        ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if len(ev) == 0:
+            return
+        (first_id, first_ts_us, last_id, last_ts_us,
+         seen_ts_us, seen_eid) = (
+            state.get if state.exists
+            else (None, None, None, None, -1, -1))
+        ts_us = ev["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+        if seen_ts_us >= 0:
+            keep = (ts_us > seen_ts_us) | (
+                (ts_us == seen_ts_us) & (ev["event_id"] > seen_eid))
+            ev, ts_us = ev[keep], ts_us[keep]
+            if len(ev) == 0:
+                return
+        rows = []
+        for eid, ts, t_us, etype in zip(ev["event_id"], ev["ts"],
+                                        ts_us, ev["event_type"]):
+            if etype == touch_type:
+                last_id, last_ts_us = int(eid), int(t_us)
+                if first_id is None:
+                    first_id, first_ts_us = int(eid), int(t_us)
+            elif etype == conversion_type:
+                in_win = (last_ts_us is not None
+                          and (horizon_us is None
+                               or int(t_us) - last_ts_us <= horizon_us))
+                pick_id, pick_ts = ((last_id, last_ts_us)
+                                    if model == "last"
+                                    else (first_id, first_ts_us))
+                if in_win:
+                    rows.append((int(eid), user_id, ts, pick_id,
+                                 pd.Timestamp(pick_ts * 1_000),
+                                 int(t_us) - pick_ts))
+                else:
+                    rows.append((int(eid), user_id, ts, None,
+                                 pd.NaT, None))
+        state.update((first_id, first_ts_us, last_id, last_ts_us,
+                      int(ts_us.iloc[-1]),
+                      int(ev["event_id"].iloc[-1])))
+        if rows:
+            yield pd.DataFrame(rows, columns=[
+                "event_id", "user_id", "ts", "touch_event_id",
+                "touch_ts", "gap_us"])
+
+    return (stream
+            .filter(F.col("event_type").isin([conversion_type,
+                                              touch_type]))
+            .select("event_id", "ts", "user_id", "event_type")
+            .withWatermark("ts", watermark)
+            .groupBy("user_id").applyInPandasWithState(
+                fn, ATTR_OUT_SCHEMA, _ATTR_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

@@ -915,3 +915,65 @@ def test_streaming_normalized_dedup_drops_variant_copies(spark):
         kept = sorted(r.doc_id for r in spark.sql(
             "SELECT * FROM norm_dedup_stream").collect())
     assert kept == [1, 2, 4]
+
+
+def test_attribution_stateful_matches_batch(spark, sf_dir):
+    """The streaming attribution twin must credit every conversion
+    exactly as the batch window does — first/last registers, the
+    7-day lookback gate, and the NULL organic bucket included."""
+    import pyarrow.parquet as pq
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import attribution
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.event_id, r.user_id, r.ts, r.touch_event_id,
+              r.touch_ts, r.gap_us)
+             for r in attribution(events, model="last",
+                                  horizon_hours=168).collect()}
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        n = tbl.num_rows
+        for i, c in enumerate([tbl.slice(0, n // 3),
+                               tbl.slice(n // 3, n // 3),
+                               tbl.slice(2 * (n // 3))]):
+            pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+        stream = SW.stream_events_from_dir(spark, tmp)
+        feed = SW.attribution_stateful(stream, model="last",
+                                       horizon_hours=168)
+        q = (feed.writeStream.outputMode("append")
+             .format("memory").queryName("stream_attr").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.event_id, r.user_id, r.ts, r.touch_event_id,
+                r.touch_ts, r.gap_us)
+               for r in spark.sql("SELECT * FROM stream_attr").collect()}
+    assert got == batch
+    assert batch  # fixture must produce conversions
+
+
+def test_attribution_stateful_first_touch_matches_batch(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import attribution
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.event_id, r.touch_event_id, r.gap_us)
+             for r in attribution(events, model="first",
+                                  horizon_hours=168).collect()}
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    with tempfile.TemporaryDirectory() as tmp:
+        pq.write_table(tbl, f"{tmp}/0000.parquet")
+        stream = SW.stream_events_from_dir(spark, tmp)
+        feed = SW.attribution_stateful(stream, model="first",
+                                       horizon_hours=168)
+        q = (feed.writeStream.outputMode("append")
+             .format("memory").queryName("stream_attr_f").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.event_id, r.touch_event_id, r.gap_us)
+               for r in spark.sql(
+                   "SELECT * FROM stream_attr_f").collect()}
+    assert got == batch
