@@ -548,10 +548,11 @@ _QKEY_ORDER = [
     "sessionize_bucketed", "asof_join", "interval_join", "funnel",
     "retention_cohorts", "gap_fill_daily", "activity_streaks",
     "value_histogram", "outlier_events", "event_transitions",
-    "attribution_lasttouch",
+    "attribution_lasttouch", "temporal_join",
     "event_bursts", "dedup_events_burst",
     "pseudonymize_events", "pipeline_events", "kanonymity_risk",
     "rolling_features", "rolling_features_bucketed", "value_percentiles",
+    "winsorize_events",
     # multimodal plumbing — cheap digest UDFs
     "multimodal_features", "frame_sample", "audio_windows",
     "resize_images",
@@ -894,6 +895,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_lasttouch": lambda s, d: E.attribution(
             load_table(s, d, "events"), conversion_type="purchase",
             touch_type="click", model="last", horizon_hours=168),
+        # SCD2 point-in-time lookup: purchases joined to the 'view'
+        # attribute version effective at the purchase timestamp
+        "temporal_join": lambda s, d: (lambda ev: E.temporal_join(
+            ev.filter("event_type = 'purchase'"),
+            ev.filter("event_type = 'view'")))(
+            load_table(s, d, "events")),
+        "winsorize_events": lambda s, d: E.winsorize_events(
+            load_table(s, d, "events")),
         # burst debounce family (r6): retry-storm collapse — rollup
         # and the deduplicated (first-of-burst) stream itself
         "event_bursts": lambda s, d: E.collapse_bursts(
@@ -2519,6 +2528,31 @@ SELECT event_id, user_id, ts,
             END AS gap_us
 FROM c WHERE event_type = 'purchase'
 """,
+        # temporal_join: identical union-tag LAST_VALUE(IGNORE
+        # NULLS) carry (version-before-fact tie order)
+        "temporal_join": """
+WITH u AS (
+  SELECT user_id AS k, ts AS t, 0 AS tag,
+         CAST(NULL AS BIGINT) AS fid,
+         CAST(event_id AS BIGINT) AS vid,
+         CAST(value AS DOUBLE) AS pay
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, 1, CAST(event_id AS BIGINT), NULL, NULL
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT *,
+         LAST_VALUE(vid IGNORE NULLS) OVER w AS version_id,
+         LAST_VALUE(pay IGNORE NULLS) OVER w AS version_payload
+  FROM u
+  WINDOW w AS (PARTITION BY k ORDER BY t, tag, COALESCE(vid, fid)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT fid AS fact_id, k AS user_id, t AS ts, version_id,
+       version_payload
+FROM c WHERE tag = 1
+""",
+        "winsorize_events": _WINSORIZE_ORACLE,
         # quality_quantile_norm: the quality_filter score algebra +
         # PERCENT_RANK over the (quality, doc_id) tie-broken order
         "quality_quantile_norm": """
@@ -2726,6 +2760,37 @@ FROM b
            b99=_pctl_sql("0.99")[0],
            v50=_pctl_sql("0.5")[1], v90=_pctl_sql("0.9")[1],
            v99=_pctl_sql("0.99")[1])
+
+
+_WINSORIZE_ORACLE = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+    {b01},
+    {b99}
+  FROM r GROUP BY event_type, n
+), t AS (
+  SELECT event_type, {v01} AS thr_lo, {v99} AS thr_hi FROM b
+), j AS (
+  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, t.thr_lo, t.thr_hi
+  FROM events e JOIN t USING (event_type) WHERE e.value IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v < thr_lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(SUM(CASE WHEN v > thr_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       round(AVG(v), 6) AS mean_raw,
+       round(AVG(greatest(thr_lo, least(thr_hi, v))), 6)
+         AS mean_winsorized,
+       MIN(thr_lo) AS thr_lo, MIN(thr_hi) AS thr_hi
+FROM j GROUP BY event_type
+""".format(b01=_pctl_sql("0.01")[0], b99=_pctl_sql("0.99")[0],
+           v01=_pctl_sql("0.01")[1], v99=_pctl_sql("0.99")[1])
 
 
 _INTERVAL_JOIN_ORACLE = """
@@ -3336,7 +3401,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 148 per-operator qkeys, 98 could never get a
+# time budget). With 150 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3512,6 +3577,14 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("attribution_lasttouch",
          ["sum(event_id)", "sum(coalesce(touch_event_id, 0))",
           _rowhash("event_id*100 + coalesce(gap_us, 0) % 97")]),
+        ("temporal_join",
+         ["sum(fact_id)", "sum(coalesce(version_id, 0))",
+          _rowhash("fact_id*1000000 + coalesce(version_id, 0)")]),
+        ("winsorize_events",
+         ["sum(n)", "sum(n_clipped_lo*1000 + n_clipped_hi)",
+          "sum(cast(floor(mean_winsorized*100000) as bigint)"
+          "+cast(floor(thr_lo*100000) as bigint)"
+          "+cast(floor(thr_hi*100000) as bigint))"]),
         ("event_bursts", ["sum(user_id*burst_seq)", "sum(n_events)",
                           _rowhash("user_id*100000000 + burst_seq*1000"
                                    " + n_events")]),
@@ -3818,7 +3891,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 148 per-operator
+    per-round correctness budget), covering all 150 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

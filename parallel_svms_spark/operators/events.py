@@ -531,3 +531,91 @@ def attribution(events: DataFrame, conversion_type: str = "purchase",
                            F.unix_micros(F.col("ts"))
                            - F.unix_micros(F.col(f"{pick}_ts")))
                     .alias("gap_us")))
+
+
+def temporal_join(facts: DataFrame, versions: DataFrame,
+                  key: str = "user_id", ts_col: str = "ts",
+                  fact_id: str = "event_id",
+                  version_id: str = "event_id",
+                  payload: str = "value") -> DataFrame:
+    """Point-in-time dimension lookup (the SCD-2 read path): join each
+    FACT row to the VERSION row of the same ``key`` that was effective
+    AT the fact's timestamp — "the price/plan/segment the customer had
+    when the order happened". A version effective at T applies to
+    facts at T (version-before-fact tie order). Facts preceding any
+    version keep NULLs (LEFT point-in-time semantics). Returns
+    (fact_id, key, ts, version_id, version_payload).
+
+    This is the cross-TABLE generalization of ``asof_prev_event``
+    (same-stream as-of), and deliberately NOT a range join against
+    materialized [valid_from, valid_to) intervals: the union-tag
+    formulation needs no interval table maintenance and no
+    bucketizing. Scale shape: union the two inputs (zero-exchange
+    merge), ONE hash exchange on the key, per-key sorted window
+    carrying the last version id/payload forward — sessionize's plan;
+    state is one register. The DuckDB oracle is the identical
+    union-tag LAST_VALUE(IGNORE NULLS) algebra.
+    """
+    v = versions.select(
+        F.col(key).alias("k"), F.col(ts_col).alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("fid"),
+        F.col(version_id).cast("long").alias("vid"),
+        F.col(payload).cast("double").alias("pay"))
+    f = facts.select(
+        F.col(key).alias("k"), F.col(ts_col).alias("t"),
+        F.lit(1).alias("tag"),
+        F.col(fact_id).cast("long").alias("fid"),
+        F.lit(None).cast("long").alias("vid"),
+        F.lit(None).cast("double").alias("pay"))
+    w = (W.partitionBy("k")
+         .orderBy("t", "tag", F.coalesce(F.col("vid"), F.col("fid")))
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (v.unionByName(f)
+            .withColumn("version_id", F.last("vid", True).over(w))
+            .withColumn("version_payload", F.last("pay", True).over(w))
+            .filter(F.col("tag") == 1)
+            .select(F.col("fid").alias("fact_id"),
+                    F.col("k").alias(key),
+                    F.col("t").alias(ts_col),
+                    "version_id", "version_payload"))
+
+
+def winsorize_events(events: DataFrame, lo: float = 0.01,
+                     hi: float = 0.99) -> DataFrame:
+    """Winsorization audit: per event type, clip ``value`` at the
+    EXACT lo/hi percentiles and report what clipping does — row
+    counts clipped at each tail and the mean before/after — the
+    robust-statistics preflight run before feeding heavy-tailed
+    telemetry into a model (a handful of sentinel 1e9 readings can
+    move a raw mean arbitrarily; the winsorized mean bounds any
+    single row's influence).
+
+    The thresholds come from ``grouped_exact_percentiles`` — the
+    distributed SELECTION machinery (no per-group sort task) whose
+    interpolation is bit-identical to the DuckDB oracle's — and
+    attach back as a broadcast |types|-row table; the clip pass is
+    one narrow projection + one hash aggregation. Means are rounded
+    to 6 dp on both sides (the suite's standard float contract).
+    """
+    from parallel_svms_spark.operators.partitioning import (
+        grouped_exact_percentiles)
+    lo_c = f"p{int(round(lo * 100))}"
+    hi_c = f"p{int(round(hi * 100))}"
+    thr = grouped_exact_percentiles(events, "event_type", "value",
+                                    ps=(lo, hi))
+    src = (events.filter(F.col("value").isNotNull())
+           .select("event_type", F.col("value").cast("double")
+                   .alias("v"))
+           .join(F.broadcast(thr), "event_type"))
+    clipped = F.greatest(F.col(lo_c), F.least(F.col(hi_c), F.col("v")))
+    return (src.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("v") < F.col(lo_c)).cast("long"))
+                 .alias("n_clipped_lo"),
+                 F.sum((F.col("v") > F.col(hi_c)).cast("long"))
+                 .alias("n_clipped_hi"),
+                 F.round(F.avg("v"), 6).alias("mean_raw"),
+                 F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+                 F.min(lo_c).alias("thr_lo"),
+                 F.min(hi_c).alias("thr_hi")))

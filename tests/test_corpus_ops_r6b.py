@@ -390,3 +390,86 @@ def test_term_postings_nested_loop_build_is_one_row(docs):
         assert "count(1)" in p or "count(*)" in p
         total = docs.agg(F.count("*")).count()
         assert total == 1
+
+
+# -------------------------------------------------------------- temporal_join
+
+def test_temporal_join_picks_version_effective_at_fact_time(spark):
+    from parallel_svms_spark.operators import events as E
+    rows = [
+        # versions: (user 1) v10 at t0, v11 at t2
+        (1, "2024-01-01 00:00:00", 10, "view", 1.5),
+        (1, "2024-01-03 00:00:00", 11, "view", 2.5),
+        # facts: before any version, between versions, at-tie, after
+        (1, "2023-12-31 00:00:00", 100, "purchase", 0.0),
+        (1, "2024-01-02 00:00:00", 101, "purchase", 0.0),
+        (1, "2024-01-03 00:00:00", 102, "purchase", 0.0),
+        (1, "2024-01-04 00:00:00", 103, "purchase", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, "
+              "event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["fact_id"]: (r["version_id"], r["version_payload"])
+           for r in E.temporal_join(
+               df.filter("event_type = 'purchase'"),
+               df.filter("event_type = 'view'")).collect()}
+    assert got[100] == (None, None)       # before any version
+    assert got[101] == (10, 1.5)          # version 10 still effective
+    assert got[102] == (11, 2.5)          # version AT fact ts applies
+    assert got[103] == (11, 2.5)
+
+
+def test_temporal_join_one_exchange(events):
+    from parallel_svms_spark.operators import events as E
+    p = phys(E.temporal_join(events.filter("event_type = 'purchase'"),
+                             events.filter("event_type = 'view'")))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+# ----------------------------------------------------------- winsorize_events
+
+def test_winsorize_matches_local_model(events):
+    from parallel_svms_spark.operators import events as E
+    got = {r["event_type"]: r for r in E.winsorize_events(events).collect()}
+    rows = events.filter(F.col("value").isNotNull()) \
+                 .select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(float(r["value"]))
+    for etype, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+
+        def q(p):
+            pos = 1.0 + p * (n - 1)
+            import math
+            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+            return vals[lo - 1] + (pos - lo) * (vals[hi - 1] - vals[lo - 1])
+
+        t_lo, t_hi = q(0.01), q(0.99)
+        r = got[etype]
+        assert r["n"] == n
+        assert r["thr_lo"] == t_lo and r["thr_hi"] == t_hi
+        assert r["n_clipped_lo"] == sum(1 for v in vals if v < t_lo)
+        assert r["n_clipped_hi"] == sum(1 for v in vals if v > t_hi)
+        wins = [min(max(v, t_lo), t_hi) for v in vals]
+        assert abs(r["mean_winsorized"] - round(sum(wins) / n, 6)) < 2e-6
+        # winsorized mean bounded by the thresholds
+        assert t_lo <= r["mean_winsorized"] <= t_hi
+
+
+def test_winsorize_bounds_sentinel_influence(spark):
+    from parallel_svms_spark.operators import events as E
+    # 999 sane readings + one 1e9 sentinel: raw mean explodes, the
+    # winsorized mean stays in the sane range — the op's reason to exist
+    rows = [(i, "2024-01-01 00:00:00", 1, "m", float(i % 10)) for i in range(999)]
+    rows.append((999, "2024-01-01 00:00:00", 1, "m", 1e9))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, "
+              "event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = E.winsorize_events(df).first()
+    assert r["mean_raw"] > 1000
+    assert r["mean_winsorized"] < 15
+    assert r["n_clipped_hi"] >= 1
