@@ -82,6 +82,17 @@ def register_views(spark: SparkSession, prefix: str = "") -> list[str]:
         # debounced feed funnels/sessions SHOULD consume when retry
         # storms are present
         "events_debounced": E.burst_starters(events, gap_seconds=3600),
+        # r6b: the chunked corpus — a zero-exchange explode, so SQL
+        # over the view costs one scan with per-row amplification
+        "doc_chunks": __import__(
+            "parallel_svms_spark.operators.sharding",
+            fromlist=["x"]).chunk_documents(docs),
+        # r6b: default 5-fold CV assignment — zero-shuffle projection,
+        # the doc_splits pattern with integer fold ids
+        "doc_folds": __import__(
+            "parallel_svms_spark.operators.sharding",
+            fromlist=["x"]).kfold_assign(docs.select("doc_id"), k=5,
+                                         id_col="doc_id"),
     }
     for name, df in views.items():
         df.createOrReplaceTempView(prefix + name)

@@ -96,3 +96,34 @@ def test_r6_views_registered_and_consistent(spark, sf_dir, registered):
     q = spark.sql("SELECT doc_id FROM doc_splits WHERE split = 'valid'")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # still a zero-shuffle projection
+
+
+def test_r6b_views_registered_and_consistent(spark, sf_dir, registered):
+    """doc_chunks / doc_folds (r6b) resolve from SQL and match the
+    operator calls; both stay zero-exchange through the view."""
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.sharding import (chunk_documents,
+                                                        kfold_assign)
+
+    assert {"doc_chunks", "doc_folds"} <= set(registered)
+    docs = load_table(spark, sf_dir, "documents")
+    want = {(r.doc_id, r.chunk_ix, r.chunk_text)
+            for r in chunk_documents(docs).collect()}
+    got = {(r.doc_id, r.chunk_ix, r.chunk_text)
+           for r in spark.sql(
+               "SELECT doc_id, chunk_ix, chunk_text FROM doc_chunks")
+           .collect()}
+    assert got == want
+
+    wantf = {(r.doc_id, r.fold)
+             for r in kfold_assign(docs.select("doc_id"), k=5,
+                                   id_col="doc_id").collect()}
+    gotf = {(r.doc_id, r.fold)
+            for r in spark.sql("SELECT * FROM doc_folds").collect()}
+    assert gotf == wantf
+
+    for q in ("SELECT doc_id FROM doc_chunks WHERE chunk_ix = 0",
+              "SELECT doc_id FROM doc_folds WHERE fold = 2"):
+        plan = (spark.sql(q)._jdf.queryExecution().executedPlan()
+                .toString())
+        assert "Exchange" not in plan
