@@ -485,3 +485,52 @@ def test_r6_operators_handle_empty_input(spark):
     assert compression_profile(no_docs).count() == 0
     assert compression_screen(no_docs).count() == 0
     assert exact_dedup_keys_normalized(no_docs).count() == 0
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.text(alphabet="ab c", min_size=0, max_size=120),
+       st.integers(8, 40), st.integers(0, 7))
+def test_chunk_documents_matches_python_model(spark, text, chunk, overlap):
+    """chunk_documents vs the serial Python chunker: identical chunk
+    boundaries/text for arbitrary text and (chunk, overlap) params —
+    including empty text (zero chunks) and overlap 0 (disjoint)."""
+    from parallel_svms_spark.operators.sharding import chunk_documents
+
+    stride = chunk - overlap
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted((r["chunk_ix"], r["chunk_start"], r["chunk_text"])
+                 for r in chunk_documents(
+                     df, chunk_chars=chunk, overlap=overlap).collect())
+    want = []
+    s = 0
+    while s < len(text):
+        want.append((s // stride, s, text[s:s + chunk]))
+        s += stride
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(2, 9), st.lists(st.integers(0, 10_000), min_size=1,
+                                   max_size=40, unique=True))
+def test_kfold_assign_fold_ids_match_hash_intervals(spark, k, ids):
+    """kfold_assign vs the hash-interval model: fold i iff the md5
+    8-hex prefix lands in [i/k, (i+1)/k) — for arbitrary k and ids
+    (the dataset_split coin with integer fold ids)."""
+    import hashlib
+
+    from parallel_svms_spark.operators.sharding import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    got = {r["vec_id"]: r["fold"] for r in kfold_assign(df, k=k).collect()}
+    for i in ids:
+        h8 = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        u = int(h8, 16) / 16 ** 8
+        # the engine renders thresholds as floor(frac·(16^8)) hex
+        # strings and compares lexicographically; recompute exactly
+        fold = k - 1
+        for j in range(1, k):
+            thr = min(int((j / k) * 16 ** 8), 16 ** 8 - 1)
+            if int(h8, 16) < thr:
+                fold = j - 1
+                break
+        assert got[i] == fold, (i, h8, u)
