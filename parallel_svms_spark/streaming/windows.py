@@ -969,3 +969,52 @@ def attribution_stateful(stream: DataFrame,
             .groupBy("user_id").applyInPandasWithState(
                 fn, ATTR_OUT_SCHEMA, _ATTR_STATE_SCHEMA,
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def streaming_temporal_join(stream_facts: DataFrame,
+                            versions: DataFrame,
+                            key: str = "user_id", ts_col: str = "ts",
+                            fact_id: str = "event_id",
+                            version_id: str = "event_id",
+                            payload: str = "value") -> DataFrame:
+    """Streaming twin of ``events.temporal_join``: arriving facts
+    joined to the version of their key effective AT the fact's
+    timestamp, against a STATIC version table — the SCD-2 lookup at
+    ingest time ("the plan the customer had when this order landed").
+
+    The batch operator's union-tag carry needs the whole stream; the
+    stream-static form instead materializes each version's VALIDITY
+    INTERVAL once on the static side — ``[ts, next version's ts)``
+    via a ``lead`` window, the classic SCD-2 valid_from/valid_to
+    derivation, open-ended for the latest version — and the lookup
+    becomes a stream-static equi-join on the key plus a range filter.
+    LEFT semantics match the batch operator: facts preceding any
+    version (or with no version row at all) keep NULLs.
+
+    Stateless (stream-static joins hold no watermark state); each
+    fact matches AT MOST one validity interval (intervals partition
+    the timeline per key), so exactly-once emission needs no dedup.
+    Row-for-row equivalence with the batch operator is pinned on the
+    fixture. Scale: the static side is |versions| rows exchanged
+    once per micro-batch plan — broadcast when the dimension is
+    small, the usual dimension-join call.
+    """
+    from pyspark.sql import Window as W
+
+    v = (versions.select(
+            F.col(key).alias("__k"),
+            F.col(ts_col).alias("__from"),
+            F.col(version_id).cast("long").alias("version_id"),
+            F.col(payload).cast("double").alias("version_payload"))
+         .withColumn("__to", F.lead("__from").over(
+             W.partitionBy("__k").orderBy("__from", "version_id"))))
+    f = stream_facts.select(
+        F.col(fact_id).cast("long").alias("fact_id"),
+        F.col(key), F.col(ts_col))
+    cond = ((F.col(key) == F.col("__k"))
+            & (F.col(ts_col) >= F.col("__from"))
+            & (F.col("__to").isNull()
+               | (F.col(ts_col) < F.col("__to"))))
+    return (f.join(v, cond, "left")
+            .select("fact_id", key, ts_col,
+                    "version_id", "version_payload"))

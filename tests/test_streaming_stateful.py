@@ -977,3 +977,45 @@ def test_attribution_stateful_first_touch_matches_batch(spark, sf_dir):
                for r in spark.sql(
                    "SELECT * FROM stream_attr_f").collect()}
     assert got == batch
+
+
+def test_streaming_temporal_join_matches_batch(spark, sf_dir):
+    """The stream-static SCD-2 lookup (validity-interval derivation)
+    must reproduce the batch union-tag temporal_join row for row —
+    including NULLs for facts preceding any version and equal-ts
+    version ties (later version id wins)."""
+    import glob
+    import os
+    import shutil
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import temporal_join
+
+    events = load_table(spark, sf_dir, "events")
+    facts = events.filter("event_type = 'purchase'")
+    versions = events.filter("event_type = 'view'")
+    batch = {(r.fact_id, r.user_id, r.ts, r.version_id,
+              r.version_payload)
+             for r in temporal_join(facts, versions).collect()}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        facts.filter("event_id % 2 = 0").coalesce(1) \
+            .write.parquet(f"{tmp}/f/0")
+        facts.filter("event_id % 2 = 1").coalesce(1) \
+            .write.parquet(f"{tmp}/f/1")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/f/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = SW.stream_events_from_dir(spark, dst)
+        feed = SW.streaming_temporal_join(stream, versions)
+        q = (feed.writeStream.outputMode("append")
+             .format("memory").queryName("stream_tj").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.fact_id, r.user_id, r.ts, r.version_id,
+                r.version_payload)
+               for r in spark.sql("SELECT * FROM stream_tj").collect()}
+    assert got == batch
+    assert batch
