@@ -1368,8 +1368,8 @@ FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
 WITH flagged AS (
   SELECT user_id, event_type, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
-              WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
-                THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > 3600000000 THEN 1
               ELSE 0 END AS new_burst
   FROM events
   WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
@@ -1396,7 +1396,7 @@ FROM (
   FROM events
 )
 WHERE prev_ts IS NULL
-   OR epoch_ms(ts) - epoch_ms(prev_ts) > 3600000
+   OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000
 """,
         # salted-token projection; '||' and md5 are NULL-propagating
         # in both engines, matching the operator's NULL-transparency
@@ -2363,7 +2363,7 @@ WITH c AS (
 SELECT user_id, n_rows,
        CAST((n_rows * 1000000) // t.total AS BIGINT) AS share_ppm
 FROM c, t
-ORDER BY n_rows DESC, user_id
+ORDER BY n_rows DESC, user_id NULLS LAST
 LIMIT 20
 """,
         # heavy_keys_approx: value-identical to heavy_keys in the
@@ -2378,7 +2378,7 @@ WITH c AS (
 SELECT user_id, n_rows,
        CAST((n_rows * 1000000) // t.total AS BIGINT) AS share_ppm
 FROM c, t
-ORDER BY n_rows DESC, user_id
+ORDER BY n_rows DESC, user_id NULLS LAST
 LIMIT 20
 """,
         # dataset_split: hash-interval carve — thresholds are
@@ -2650,7 +2650,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         # CTE → scrub + clean-text dedup → weighted-sample coin →
         # pseudo-shuffled pack window, each stage verbatim from its
         # member oracle
-        "pipeline_pretrain": """
+        "pipeline_pretrain": r"""
 WITH labeled AS (
   SELECT doc_id, source, text, n_chars,
          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

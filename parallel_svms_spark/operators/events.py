@@ -445,8 +445,11 @@ def collapse_bursts(events: DataFrame, gap_seconds: int = 600,
     """
     by = W.partitionBy(*keys).orderBy("ts", "event_id")
     prev = F.lag("ts").over(by)
-    is_new = (F.unix_millis(F.col("ts")) - F.unix_millis(prev)
-              > int(gap_seconds) * 1000).cast("int")
+    # microsecond gaps, matching the stateful streaming twin
+    # (burst_starters_stateful compares micros) — ms truncation could
+    # classify a sub-millisecond straddler differently batch vs stream
+    is_new = (F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+              > int(gap_seconds) * 1_000_000).cast("int")
     w = (events
          .withColumn("new_burst", F.coalesce(is_new, F.lit(1)))
          .withColumn("burst_seq", F.sum("new_burst").over(
@@ -472,8 +475,8 @@ def burst_starters(events: DataFrame, gap_seconds: int = 600,
     by = W.partitionBy(*keys).orderBy("ts", "event_id")
     prev = F.lag("ts").over(by)
     is_new = F.coalesce(
-        (F.unix_millis(F.col("ts")) - F.unix_millis(prev)
-         > int(gap_seconds) * 1000), F.lit(True))
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+         > int(gap_seconds) * 1_000_000), F.lit(True))
     return (events.withColumn("__new", is_new)
             .filter(F.col("__new")).drop("__new"))
 

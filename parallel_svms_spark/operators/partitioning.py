@@ -426,7 +426,7 @@ def heavy_keys(df: DataFrame, key: str, k: int = 20) -> DataFrame:
                 "n_rows",
                 F.expr("(n_rows * CAST(1000000 AS BIGINT)) DIV __total")
                 .alias("share_ppm"))
-            .orderBy(F.desc("n_rows"), F.asc(key))
+            .orderBy(F.desc("n_rows"), F.asc_nulls_last(key))
             .limit(int(k)))
 
 
@@ -487,10 +487,15 @@ def heavy_keys_approx(df: DataFrame, key: str, k: int = 20,
                             dead.append(c)
                     for c in dead:
                         del counters[c]
+        # candidates carry the -1 sentinel; the ONE marker row per
+        # partition carries part_rows = n_rows (>= 0). A 0-sentinel
+        # would make an EMPTY partition's marker (cand=NULL,
+        # part_rows=0) indistinguishable from a candidate, injecting
+        # a spurious NULL candidate (r6 advice).
         out = pd.DataFrame({
             "cand": pd.array(list(counters) + [None],
                              dtype="Int64"),
-            "part_rows": [0] * len(counters) + [n_rows],
+            "part_rows": [-1] * len(counters) + [n_rows],
         })
         yield out
 
@@ -502,12 +507,13 @@ def heavy_keys_approx(df: DataFrame, key: str, k: int = 20,
                  .mapInPandas(summarize,
                               schema="cand long, part_rows long")
                  .localCheckpoint(eager=True))
-    total = int(summaries.agg(F.sum("part_rows")).first()[0] or 0)
+    total = int(summaries.filter(F.col("part_rows") >= 0)
+                .agg(F.sum("part_rows")).first()[0] or 0)
     if total == 0:
         return (df.select(key).limit(0)
                 .select(key, F.lit(0).cast("long").alias("n_rows"),
                         F.lit(0).cast("long").alias("share_ppm")))
-    cands = (summaries.filter(F.col("part_rows") == 0)
+    cands = (summaries.filter(F.col("part_rows") == -1)
              .select(F.col("cand").alias(key)).distinct())
     # no broadcast hint: candidates are usually ~capacity rows (AQE
     # broadcasts), but a pathological cap×P candidate set must be
@@ -520,5 +526,5 @@ def heavy_keys_approx(df: DataFrame, key: str, k: int = 20,
                 F.expr(f"(n_rows * CAST(1000000 AS BIGINT)) "
                        f"DIV CAST({total} AS BIGINT)")
                 .alias("share_ppm"))
-            .orderBy(F.desc("n_rows"), F.asc(key))
+            .orderBy(F.desc("n_rows"), F.asc_nulls_last(key))
             .limit(int(k)))

@@ -402,6 +402,18 @@ def dataset_split(df: DataFrame,
     fractions = fractions or [("train", 0.9), ("valid", 0.05),
                               ("test", 0.05)]
     assert len(fractions) >= 1
+    # the LAST split absorbs the residual, so its fraction is
+    # informational — but the preceding ones must carve a valid
+    # sub-unit prefix or later splits (incl. the residual) silently
+    # starve at the 'ffffffff' clamp (r6 advice)
+    lead = [float(f) for _, f in fractions[:-1]]
+    if any(f < 0 for f in lead) or float(fractions[-1][1]) < 0:
+        raise ValueError(f"dataset_split: negative fraction in "
+                         f"{fractions}")
+    if sum(lead) >= 1.0:
+        raise ValueError(
+            f"dataset_split: leading fractions sum to {sum(lead)} "
+            f">= 1 — the last split's residual interval is empty")
     h8 = F.substring(
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
     cum = 0.0
@@ -540,17 +552,21 @@ def padding_stats(documents: DataFrame, context_len: int = 128,
 
 def pack_chunks(documents: DataFrame, chunk_chars: int = 256,
                 overlap: int = 32, budget_tokens: int = 512,
-                id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                id_col: str = "doc_id", text_col: str = "text",
+                chunk_factor: int = 1000) -> DataFrame:
     """Chunk-then-pack composition: split documents into overlapping
     fixed-width chunks (``chunk_documents``) and pack THE CHUNKS into
     token-budget training shards (``pack_shards``) — the long-document
     pipeline where a 500-page manual must not land in one shard.
     Returns (chunk_id, n_tokens, shard) where ``chunk_id = doc_id ·
-    1000 + chunk_ix`` (documented bound: docs up to 1000 chunks ≈
-    224k chars at the defaults; raise the factor for longer corpora
-    — it only has to keep the walk order equal to (doc, chunk)
-    lexicographic order).
+    chunk_factor + chunk_ix`` (default factor 1000 bounds docs to
+    1000 chunks ≈ 224k chars at the defaults; raise ``chunk_factor``
+    for longer corpora — it only has to keep the walk order equal to
+    (doc, chunk) lexicographic order). The bound is ENFORCED, not
+    just documented: a document with ``chunk_ix >= chunk_factor``
+    raises at execution time (JVM ``raise_error`` inside the id
+    projection — zero cost on the happy path) instead of silently
+    colliding/mis-ordering chunk ids.
 
     Scale shape: the chunk explode is narrow; packing adds exactly
     pack_shards' one range exchange over (chunk_id) — the composition
@@ -558,10 +574,17 @@ def pack_chunks(documents: DataFrame, chunk_chars: int = 256,
     so a document's chunks stay consecutive: a shard is a contiguous
     window of the chunk stream, the layout sequence-trainers expect.
     """
+    factor = int(chunk_factor)
     chunks = chunk_documents(documents, chunk_chars, overlap,
                              id_col=id_col, text_col=text_col)
     keyed = chunks.select(
-        (F.col(id_col) * 1000 + F.col("chunk_ix")).alias("chunk_id"),
+        F.when(F.col("chunk_ix") < F.lit(factor),
+               F.col(id_col) * factor + F.col("chunk_ix"))
+        .otherwise(F.raise_error(F.format_string(
+            "pack_chunks: chunk_ix %s exceeds chunk_factor "
+            f"{factor} for {id_col} %s — raise chunk_factor",
+            F.col("chunk_ix"), F.col(id_col))))
+        .alias("chunk_id"),
         F.col("chunk_text"))
     return pack_shards(keyed, budget_tokens=budget_tokens,
                        id_col="chunk_id", text_col="chunk_text")

@@ -272,8 +272,14 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     toks = (ensure_parallelism(documents)
             .select("doc_id", F.explode(tokens_col("text")).alias("token")))
     freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = float(freq.agg(F.sum("cnt")).collect()[0][0] or 1)
-    nll = -F.log(F.col("cnt") / F.lit(total))
+    # the corpus token total rides along as a broadcast ONE-ROW
+    # aggregate (term_postings' scalar-reattach pattern) — NOT a
+    # driver .collect(): the whole operator stays one lazy DAG with
+    # zero eager jobs (pinned by a job-count test), and the total
+    # branch reuses freq's exchange under AQE
+    total = freq.agg(F.sum("cnt").alias("__total"))
+    freq = freq.crossJoin(F.broadcast(total))
+    nll = -F.log(F.col("cnt") / F.col("__total"))
     return (toks.join(F.broadcast(freq), "token")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
@@ -510,8 +516,15 @@ def compression_profile(documents: DataFrame,
                  F.sum("n_chars").alias("sum_chars"),
                  F.sum("comp_len").alias("sum_comp"))
             .select("source", "n_docs", "sum_chars", "sum_comp",
-                    F.floor(F.col("sum_comp") * F.lit(1000000)
-                            / F.col("sum_chars")).alias("ratio_ppm")))
+                    # Integer DIV, not floor(double /): long/long in
+                    # Spark is DOUBLE division, which loses exactness
+                    # past 2^53 — at the 100 TB regime a source's
+                    # sum_comp*1e6 exceeds that and the ppm could flip
+                    # from FP rounding. DIV keeps the whole expression
+                    # in exact LONG arithmetic; the product overflows
+                    # BIGINT only past ~9.2 PB compressed per source.
+                    F.expr("(sum_comp * CAST(1000000 AS BIGINT)) "
+                           "DIV sum_chars").alias("ratio_ppm")))
 
 
 def compression_screen(documents: DataFrame, min_ratio: float = 0.25,

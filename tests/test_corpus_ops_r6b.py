@@ -363,6 +363,45 @@ def test_pack_chunks_matches_serial_model(docs):
     assert got == want
 
 
+def test_pack_chunks_factor_overflow_raises_not_corrupts(spark):
+    """ADVICE r6: a document with >= chunk_factor chunks must FAIL
+    LOUDLY (raise_error in the id projection), never silently
+    collide/mis-order chunk ids."""
+    import pytest as _pytest
+
+    from parallel_svms_spark.operators import sharding as SH
+    long_doc = spark.createDataFrame(
+        [(1, "w " * 3000)], "doc_id long, text string")
+    # factor 4 → the ~13 chunks at chunk_chars=512 overflow it
+    # (pack_shards' prefix-sum pass is eager, so the guard can fire
+    # at construction time already — wrap the whole call)
+    with _pytest.raises(Exception, match="chunk_factor"):
+        SH.pack_chunks(long_doc, chunk_chars=512, overlap=0,
+                       chunk_factor=4).collect()
+    # a big-enough factor packs the same doc fine
+    ok = SH.pack_chunks(long_doc, chunk_chars=512, overlap=0,
+                        chunk_factor=1000)
+    assert ok.count() > 4
+
+
+def test_dataset_split_rejects_invalid_fractions(spark):
+    """ADVICE r6: fractions must be validated — leading fractions
+    summing to >= 1 starve later splits at the 'ffffffff' clamp, and
+    negative fractions are nonsense; both must raise."""
+    import pytest as _pytest
+
+    from parallel_svms_spark.operators import sharding as SH
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="sum"):
+        SH.dataset_split(df, fractions=[("a", 0.7), ("b", 0.4),
+                                        ("c", 0.0)])
+    with _pytest.raises(ValueError, match="negative"):
+        SH.dataset_split(df, fractions=[("a", -0.1), ("b", 0.5)])
+    # exactly-1.0 leading sum also starves the residual split
+    with _pytest.raises(ValueError, match="sum"):
+        SH.dataset_split(df, fractions=[("a", 1.0), ("b", 0.0)])
+
+
 def test_pack_chunks_keeps_doc_chunks_consecutive(docs):
     from parallel_svms_spark.operators import sharding as SH
     out = SH.pack_chunks(docs, budget_tokens=512)

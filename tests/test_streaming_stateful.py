@@ -3,6 +3,7 @@ operator (no batch/SQL equivalent in streaming mode)."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 from datetime import datetime, timedelta
 
@@ -540,6 +541,7 @@ def test_streaming_value_histogram_matches_batch(spark, sf_dir):
         n = tbl.num_rows
         for i, c in enumerate([tbl.slice(0, n // 2), tbl.slice(n // 2)]):
             pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+            os.utime(f"{tmp}/{i:04d}.parquet", (1000 + i, 1000 + i))
         stream = SW.stream_events_from_dir(spark, tmp)
         hist = SW.streaming_value_histogram(stream)
         q = (hist.writeStream.outputMode("complete")
@@ -672,6 +674,7 @@ def test_transitions_stateful_matches_batch(spark, sf_dir):
                                tbl.slice(n // 3, n // 3),
                                tbl.slice(2 * (n // 3))]):
             pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+            os.utime(f"{tmp}/{i:04d}.parquet", (1000 + i, 1000 + i))
         stream = SW.stream_events_from_dir(spark, tmp)
         feed = SW.transitions_stateful(stream)
         q = (feed.writeStream.outputMode("append")
@@ -703,6 +706,7 @@ def test_asof_stateful_matches_batch(spark, sf_dir):
                                tbl.slice(n // 3, n // 3),
                                tbl.slice(2 * (n // 3))]):
             pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+            os.utime(f"{tmp}/{i:04d}.parquet", (1000 + i, 1000 + i))
         stream = SW.stream_events_from_dir(spark, tmp)
         feed = SW.asof_stateful(stream)
         q = (feed.writeStream.outputMode("append")
@@ -751,6 +755,12 @@ def test_asof_stateful_tie_straddling_batches_is_dropped(spark):
         later = tie + timedelta(minutes=1)
         pq.write_table(tbl([(5, tie, "error"), (7, later, "error")]),
                        f"{tmp}/0001.parquet")
+        # FileStreamSource orders pending files by MTIME, not name —
+        # under load both writes can share an mtime tick, making the
+        # batch split nondeterministic (r6 flake). Pin strictly
+        # increasing mtimes so batch order is the scenario's order.
+        os.utime(f"{tmp}/0000.parquet", (1000, 1000))
+        os.utime(f"{tmp}/0001.parquet", (1001, 1001))
         stream = SW.stream_events_from_dir(spark, tmp)
         feed = SW.asof_stateful(stream)
         q = (feed.writeStream.outputMode("append")
@@ -848,6 +858,7 @@ def test_burst_starters_stateful_matches_batch(spark, sf_dir):
                                tbl.slice(n // 3, n // 3),
                                tbl.slice(2 * (n // 3))]):
             pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+            os.utime(f"{tmp}/{i:04d}.parquet", (1000 + i, 1000 + i))
         stream = SW.stream_events_from_dir(spark, tmp)
         feed = SW.burst_starters_stateful(stream, gap_seconds=3600)
         q = (feed.writeStream.outputMode("append")
@@ -939,6 +950,7 @@ def test_attribution_stateful_matches_batch(spark, sf_dir):
                                tbl.slice(n // 3, n // 3),
                                tbl.slice(2 * (n // 3))]):
             pq.write_table(c, f"{tmp}/{i:04d}.parquet")
+            os.utime(f"{tmp}/{i:04d}.parquet", (1000 + i, 1000 + i))
         stream = SW.stream_events_from_dir(spark, tmp)
         feed = SW.attribution_stateful(stream, model="last",
                                        horizon_hours=168)
