@@ -22,6 +22,7 @@ subset-sized. For 100 TB pick k so that |subset| ≈ 10⁴ rows; layers
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from parallel_svms_spark.ml import trainer
@@ -36,10 +37,48 @@ def _validate_k(k: int) -> None:
         raise ValueError(f"k must be a power of two ≥ 2, got {k}")
 
 
+def _cap_bucket_rows(df: DataFrame, cap: int) -> DataFrame:
+    """Bound every bucket's dual size at ``cap`` rows — the cascade's
+    graceful worst case (VERDICT r6 #2). With adversarial labels that
+    shed NO support vectors, merged buckets approach corpus size and
+    the per-pair kernel matrices go quadratic in memory (the measured
+    OOM at 100k degenerate-label rows, BASELINE.md 20×/50× row); past
+    the cap the layer degrades in ACCURACY (a documented subsample of
+    the merged SV set) instead of crashing.
+
+    Selection is a deterministic md5 coin, round-robin STRATIFIED by
+    label: rows rank first within (bucket, label), then across the
+    bucket by that per-class rank — so the kept ``cap`` rows take one
+    row per class per round and no class is starved even when the
+    bucket is 99% one label. Re-runs reproduce the same subsample
+    (hash of vec_id, no RNG state); buckets already at or under the
+    cap pass through IDENTICALLY (every row's rank ≤ cap), so the
+    well-behaved path — real data shedding SVs per layer — never
+    observes the cap.
+
+    Scale shape: two window passes partitioned by (bucket[, label]) —
+    per-task state is one bucket, the same working set the training
+    task for that bucket holds anyway; no new exchange class.
+    """
+    h = F.md5(F.col("vec_id").cast("string"))
+    out = (df.withColumn("__h", h)
+           .withColumn("__rn", F.row_number().over(
+               W.partitionBy("bucket", "label")
+               .orderBy("__h", "vec_id")))
+           .withColumn("__rk", F.row_number().over(
+               W.partitionBy("bucket")
+               .orderBy("__rn", "__h", "vec_id")))
+           .filter(F.col("__rk") <= int(cap))
+           .drop("__h", "__rn", "__rk"))
+    return out
+
+
 def cascade_train(df: DataFrame, k: int, C: float = 1.0,
                   gamma: float | None = None, kernel: str = "rbf",
                   checkpoint: bool = True,
-                  stats_out: dict | None = None) -> tuple[SVCModel, DataFrame]:
+                  stats_out: dict | None = None,
+                  max_rows_per_bucket: int | None = 20000,
+                  ) -> tuple[SVCModel, DataFrame]:
     """Train cascade SVM; returns (final model, final SV DataFrame).
 
     df columns: vec_id, label, embedding. Pass ``stats_out={}`` to
@@ -48,9 +87,18 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
     observable behind the paper's per-layer SV-shrinkage claim (PDF
     slide 23); costs nothing since the driver loop counts each layer
     anyway.
+
+    ``max_rows_per_bucket`` bounds every layer's per-bucket dual at
+    that many rows (see ``_cap_bucket_rows``) — the zero-SV-shedding
+    worst case then degrades in accuracy instead of OOMing; at the
+    default 20k the largest per-pair kernel is ~(2/N_cls·20k)² doubles
+    (≈128 MB at 10 classes). ``None`` disables the cap (the reference
+    semantics: Lastcascade.java:109-144 retrains whatever survives).
     """
     _validate_k(k)
     cur = balanced_buckets(df, k)
+    if max_rows_per_bucket is not None:
+        cur = _cap_bucket_rows(cur, max_rows_per_bucket)
     # materialize each layer (checkpoint truncates lineage; plain
     # cache otherwise) — the layer row-count drives strategy choice
     # and must not recompute the training lineage
@@ -75,6 +123,10 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
                                     k=n_buckets))
         cur = svs.withColumn("bucket",
                              F.floor(F.col("bucket") / 2).cast("int"))
+        if max_rows_per_bucket is not None:
+            # re-cap after the pair-merge: two ≤cap buckets fused into
+            # one ≤2·cap bucket shrink back to ≤cap before training
+            cur = _cap_bucket_rows(cur, max_rows_per_bucket)
         # truncate lineage between layers (the reference got this
         # implicitly by materializing each job to HDFS)
         cur = cur.localCheckpoint() if checkpoint else cur.cache()

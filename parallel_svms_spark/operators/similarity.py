@@ -485,6 +485,27 @@ def cosine_near_dup_ivf(embeddings: DataFrame, threshold: float = 0.9,
         bucket, schema="vec_a long, vec_b long, cosine double")
 
 
+def ivf_index_append(new_vecs: DataFrame, index_path: str,
+                     centroids: np.ndarray,
+                     features_col: str = "embedding",
+                     id_col: str = "vec_id") -> None:
+    """The embedding twin of ``dedup.minhash_index_append`` (VERDICT
+    r6 #3): append the screened batch's IVF assignment rows to the
+    persisted index at ``index_path`` so tomorrow's
+    ``cosine_near_dup_ivf_incremental`` screens against today's
+    output. Assigns ONLY the batch (one broadcast matmul against the
+    frozen corpus ``centroids`` — the corpus is never re-clustered or
+    re-read) and appends immutable parquet. The centroids are part of
+    the index identity: persist the small (n_lists, dim) array next
+    to the path and pass the SAME array to every append and screen —
+    re-training them would silently re-deal every list.
+    """
+    (ivf_assign_with(
+        new_vecs.select(F.col(id_col), F.col(features_col)), centroids,
+        features_col)
+     .write.mode("append").parquet(index_path))
+
+
 def cosine_near_dup_ivf_incremental(corpus: DataFrame,
                                     new_vecs: DataFrame,
                                     index: DataFrame | None = None,

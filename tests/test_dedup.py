@@ -197,6 +197,48 @@ def test_minhash_incremental_index_roundtrip(spark, docs_with_dups,
     spark.catalog.clearCache()
 
 
+def test_minhash_index_append_two_day_cycle(spark, docs_with_dups,
+                                            tmp_path):
+    """VERDICT r6 #3: the index-maintenance half of the lifecycle.
+    Day 1 screens batch₁ against the corpus index and APPENDS batch₁'s
+    band rows; day 2 screens batch₂ against the updated index. The
+    day-2 result must be row-identical to the inline
+    minhash_near_dups_incremental(corpus ∪ batch₁, batch₂), and the
+    spy pins that day 2 signs ONLY batch₂ — neither the corpus nor
+    batch₁ is ever re-signed."""
+    corpus = docs_with_dups.filter("doc_id % 7 > 1")
+    batch1 = docs_with_dups.filter("doc_id % 7 = 0")
+    batch2 = docs_with_dups.filter("doc_id % 7 = 1")
+    p = str(tmp_path / "band_index.parquet")
+    D.minhash_band_index(corpus).write.mode("overwrite").parquet(p)
+    # day 1: screen, then append the screened batch into the index
+    D.minhash_near_dups_incremental(
+        corpus, batch1, index=spark.read.parquet(p),
+        threshold=0.5).collect()
+    D.minhash_index_append(batch1, p)
+    spark.catalog.clearCache()
+    # day 2: the union corpus is only touched by the verify semi-join
+    day1_corpus = corpus.unionByName(batch1)
+    calls = []
+    real = D.minhash_signatures
+    try:
+        D.minhash_signatures = lambda *a, **kw: (calls.append(a),
+                                                 real(*a, **kw))[1]
+        got = {(r.doc_a, r.doc_b, r.jaccard)
+               for r in D.minhash_near_dups_incremental(
+                   day1_corpus, batch2, index=spark.read.parquet(p),
+                   threshold=0.5).collect()}
+    finally:
+        D.minhash_signatures = real
+    assert len(calls) == 1, "day 2 must sign ONLY batch2"
+    inline = {(r.doc_a, r.doc_b, r.jaccard)
+              for r in D.minhash_near_dups_incremental(
+                  day1_corpus, batch2, threshold=0.5).collect()}
+    assert got == inline
+    assert got, "split produced no touching pairs — fixture too weak"
+    spark.catalog.clearCache()
+
+
 def test_minhash_incremental_empty_batch(spark, docs):
     empty = spark.createDataFrame(
         [], "doc_id long, text string, lang string, source string, "

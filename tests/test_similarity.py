@@ -350,6 +350,49 @@ def test_ivf_incremental_persisted_index_path(spark, emb, tmp_path):
     assert got == inline
 
 
+def test_ivf_index_append_two_day_cycle(spark, emb, tmp_path):
+    """VERDICT r6 #3 (embedding twin): day 1 screens batch₁ and
+    appends its assignment rows under the FROZEN corpus centroids;
+    day 2 screens batch₂ against the updated index — row-identical to
+    the inline incremental over corpus ∪ batch₁, with the corpus
+    never re-clustered (ivf_centroids spy) and only batch₂ assigned
+    on day 2 beyond the index scan."""
+    thr = 0.4
+    corpus = emb.filter("vec_id % 9 > 1")
+    batch1 = emb.filter("vec_id % 9 = 0")
+    batch2 = emb.filter("vec_id % 9 = 1")
+    C = S.ivf_centroids(corpus)
+    p = str(tmp_path / "ivf_index.parquet")
+    # the persisted index carries exactly (vec_id, embedding,
+    # ivf_list) — the schema ivf_index_append appends
+    S.ivf_assign_with(corpus.select("vec_id", "embedding"), C) \
+        .write.mode("overwrite").parquet(p)
+    # day 1: screen, then append the batch under the same centroids
+    S.cosine_near_dup_ivf_incremental(
+        corpus, batch1, index=spark.read.parquet(p), centroids=C,
+        threshold=thr).collect()
+    S.ivf_index_append(batch1, p, C)
+    day1_corpus = corpus.unionByName(batch1)
+    calls = []
+    real = S.ivf_centroids
+    try:
+        S.ivf_centroids = lambda *a, **kw: (calls.append(a),
+                                            real(*a, **kw))[1]
+        got = {(r.vec_a, r.vec_b, r.cosine)
+               for r in S.cosine_near_dup_ivf_incremental(
+                   day1_corpus, batch2, index=spark.read.parquet(p),
+                   centroids=C, threshold=thr).collect()}
+    finally:
+        S.ivf_centroids = real
+    assert not calls, "day 2 must not re-train centroids"
+    inline = {(r.vec_a, r.vec_b, r.cosine)
+              for r in S.cosine_near_dup_ivf_incremental(
+                  day1_corpus, batch2, centroids=C,
+                  threshold=thr).collect()}
+    assert got == inline
+    assert got, "split produced no touching pairs — fixture too weak"
+
+
 def test_ivf_incremental_empty_batch(spark, emb):
     empty = spark.createDataFrame([],
                                   "vec_id long, embedding array<float>, "

@@ -347,23 +347,19 @@ def main() -> None:
     timed("small_qty_revenue", n_li,
           lambda: AN.small_quantity_revenue(li, part).count())
 
-    if mult_emb <= 25:
-        timed("cascade_k16", n_emb,
-              lambda: cascade.cascade_train(emb, k=16)[1].count())
-        timed("bagging_k16", n_emb,
-              lambda: bagging.bagging_train(emb, k=16)[1].count())
-    else:
-        # Measured boundary (2026-08-14): at 50× (100k rows) the
-        # fixture's near-random labels mean NO SV reduction, so cascade
-        # layers degenerate toward a full-data dual — the merged-bucket
-        # kernel working sets OOM the 48 GiB single-JVM driver (at 25×
-        # it completes: 289 s recorded r2). Real labeled data sheds SVs
-        # per layer (BASELINE slide-23 shape) and doesn't hit this; the
-        # separable-fixture tests prove the shedding path. Skip rather
-        # than crash the artifact.
-        print(json.dumps({"op": "cascade_k16", "rows_in": n_emb,
-                          "skipped": "degenerate-label worst case OOMs "
-                          "past 25x; see BASELINE.md"}), flush=True)
+    # The r4 rounds skipped cascade past 25×: with zero SV shedding
+    # (near-random fixture labels) merged buckets approached the full
+    # corpus and the quadratic kernel working sets OOMed the 48 GiB
+    # JVM. r7's max_rows_per_bucket cap (default 20k, deterministic
+    # label-stratified subsample) bounds every layer's dual, so the
+    # degenerate worst case now degrades in accuracy instead of
+    # crashing — record a time at every multiplier. At ≤25× the
+    # fixture buckets stay under the cap and results are identical to
+    # the uncapped runs recorded in BASELINE.md.
+    timed("cascade_k16", n_emb,
+          lambda: cascade.cascade_train(emb, k=16)[1].count())
+    timed("bagging_k16", n_emb,
+          lambda: bagging.bagging_train(emb, k=16)[1].count())
     spark.stop()
 
 
