@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from parallel_svms_spark.io.sources import load_table
 from parallel_svms_spark.operators import analytics as AN
 from parallel_svms_spark.operators import audit as AU
+from parallel_svms_spark.operators import bpe as BP
 from parallel_svms_spark.operators import dedup as D
 from parallel_svms_spark.operators import events as E
 from parallel_svms_spark.operators import fuzzy as FZ
@@ -562,7 +563,7 @@ _QKEY_ORDER = [
     "doc_fingerprint", "token_count", "length_profile",
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob", "compression_profile",
-    "quality_quantile_norm", "term_postings",
+    "quality_quantile_norm", "term_postings", "tokenize_bpe",
     "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
     "compaction_roundtrip", "csv_roundtrip", "split_roundtrip",
     "evolve_roundtrip", "bucketed_join", "merge_survivorship",
@@ -573,7 +574,7 @@ _QKEY_ORDER = [
     "pack_sequences",
     "sample_stratified", "sample_uniform", "sample_weighted",
     "dataset_split", "chunk_documents", "cv_folds", "padding_stats", "pack_chunks",
-    "dedup_editdist",
+    "dedup_editdist", "editdist_passjoin",
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
@@ -957,6 +958,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "unigram_logprob": lambda s, d: TX.unigram_logprob(
             load_table(s, d, "documents")),
+        # real subword tokenization: merge table trained on the
+        # corpus's own md5 sample, broadcast-applied (golden-literal
+        # oracle — greedy merging has no SQL twin; VERDICT r6 #5)
+        "tokenize_bpe": lambda s, d: BP.tokenize_bpe(
+            load_table(s, d, "documents")),
         # zlib compressibility rollup (the one justified Python hop
         # in the text family; golden-literal oracle)
         "compression_profile": lambda s, d: TX.compression_profile(
@@ -1000,6 +1006,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "dedup_editdist": lambda s, d: D.editdist_near_dups(
             load_table(s, d, "documents")),
+        # PassJoin pigeonhole blocking (VERDICT r6 #7): FULL recall on
+        # the head window — the oracle replays the segment arithmetic;
+        # ground truth vs brute force pinned in tests/test_dedup.py
+        "editdist_passjoin": lambda s, d: D.editdist_near_dups(
+            load_table(s, d, "documents"), blocking="passjoin"),
         "compaction_roundtrip": _compaction_roundtrip,
         "pipeline_curate": _pipeline_curate,
         "pipeline_pretrain": _pipeline_pretrain,
@@ -2463,6 +2474,67 @@ SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
 FROM c a JOIN c b ON a.blk = b.blk AND a.lb = b.lb AND a.id < b.id
 WHERE levenshtein(a.head, b.head) <= 3
 """,
+        # editdist_passjoin: the same q=4 pigeonhole segment scheme —
+        # index side = each doc's own 4 segments keyed by (len, ix,
+        # text); probe side = substrings at every partner-length
+        # geometry and +/-3 shift; short heads (< q+tau) verified
+        # exhaustively in one tiny block. Both engines compute plain
+        # unweighted Levenshtein, so distances hash-match.
+        "editdist_passjoin": r"""
+WITH d AS (
+  SELECT doc_id AS id, substring(lower(text), 1, 64) AS head,
+         length(substring(lower(text), 1, 64)) AS L
+  FROM documents
+), seg_i AS (
+  SELECT id, head, L AS l,
+         UNNEST(generate_series(0, 3)) AS i
+  FROM d WHERE L >= 7
+), seg AS (
+  SELECT id, head, l, i,
+         substring(head,
+                   1 + i*(l//4) + greatest(i-(4-(l%4)), 0),
+                   (l//4) + CASE WHEN i >= 4-(l%4) THEN 1 ELSE 0 END)
+           AS seg
+  FROM seg_i
+), pr_l AS (
+  SELECT id, head, L,
+         UNNEST(generate_series(L-3, L+3)) AS l
+  FROM d WHERE L >= 7
+), pr_i AS (
+  SELECT id, head, L, l,
+         UNNEST(generate_series(0, 3)) AS i
+  FROM pr_l WHERE l >= 7
+), pr0 AS (
+  SELECT id, head, L, l, i,
+         i*(l//4) + greatest(i-(4-(l%4)), 0) AS st,
+         (l//4) + CASE WHEN i >= 4-(l%4) THEN 1 ELSE 0 END AS sl
+  FROM pr_i
+), pr_s AS (
+  SELECT id, head, L, l, i, sl,
+         UNNEST(generate_series(st-3, st+3)) AS s
+  FROM pr0
+), probe AS (
+  SELECT id AS pid, head AS phead, l, i,
+         substring(head, s + 1, sl) AS seg
+  FROM pr_s WHERE s >= 0 AND s + sl <= L
+), cands AS (
+  SELECT DISTINCT
+    least(p.pid, s.id) AS doc_a, greatest(p.pid, s.id) AS doc_b,
+    CASE WHEN p.pid < s.id THEN p.phead ELSE s.head END AS head_a,
+    CASE WHEN p.pid < s.id THEN s.head ELSE p.phead END AS head_b
+  FROM probe p JOIN seg s ON p.l = s.l AND p.i = s.i AND p.seg = s.seg
+  WHERE p.pid <> s.id
+), short AS (
+  SELECT a.id AS doc_a, b.id AS doc_b,
+         a.head AS head_a, b.head AS head_b
+  FROM d a JOIN d b ON a.id < b.id
+  WHERE a.L < 10 AND b.L < 10 AND (a.L < 7 OR b.L < 7)
+)
+SELECT DISTINCT doc_a, doc_b,
+       CAST(levenshtein(head_a, head_b) AS BIGINT) AS edit_dist
+FROM (SELECT * FROM cands UNION ALL SELECT * FROM short)
+WHERE levenshtein(head_a, head_b) <= 3
+""",
         # merge_survivorship: LAST_VALUE(IGNORE NULLS) over the same
         # (ts, event_id) order; QUALIFY keeps one row per key
         "merge_survivorship": """
@@ -2707,6 +2779,7 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
     out.update(_ml_golden_oracles())
     out.update(_sketch_golden_oracles())
     out.update(_compression_golden_oracles())
+    out.update(_bpe_golden_oracles())
     return out
 
 
@@ -3375,6 +3448,24 @@ def _compression_golden_oracles() -> dict[str, str]:
                                    _COMPRESSION_GOLDEN_TYPES)
 
 
+# tokenize_bpe (operators/bpe.py): per-source rollup of real subword
+# token counts — greedy BPE merging is not SQL-expressible, but the
+# output is a deterministic pure function of (corpus, n_merges,
+# sample_rows): md5-ordered sample, lexicographic tie-breaks, no RNG.
+# idsum = Σ doc_id·n_tokens pins every per-doc count through the hash.
+_BPE_GOLDEN_TYPES: dict[str, dict[str, str]] = {
+    "tokenize_bpe": {"source": "VARCHAR", "n_docs": "BIGINT",
+                     "sum_tokens": "BIGINT", "max_tokens": "BIGINT",
+                     "idsum": "BIGINT"},
+}
+
+
+def _bpe_golden_oracles() -> dict[str, str]:
+    """Golden-literal oracle for the BPE tokenizer rollup; see
+    _BPE_GOLDEN_TYPES and tools/record_goldens.py."""
+    return _golden_literal_oracles("tokenize_bpe", _BPE_GOLDEN_TYPES)
+
+
 # DuckDB twin of operators/text.lang_id: same marker sets, same
 # alphabetical tie-break (CASE checks langs in sorted order), same
 # zero-evidence → 'und'
@@ -3401,7 +3492,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 150 per-operator qkeys, 100 could never get a
+# time budget). With 152 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3669,6 +3760,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                             "sum(cast(floor(nll2*1000) as bigint))",
                             _rowhash("doc_id*100000000 + "
                                      "cast(floor(nll2*1000) as bigint)")]),
+        ("tokenize_bpe", ["sum(sum_tokens + max_tokens)", "sum(idsum)",
+                          _rowhash("length(source)*1000000 + sum_tokens")]),
     ],
     "roundtrip_suite": [
         ("jsonl_roundtrip", ["sum(n_docs)",
@@ -3711,6 +3804,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
           _rowhash("doc_a*100000 + doc_b")]),
         ("dedup_editdist", ["sum(doc_a+doc_b)", "sum(edit_dist)",
                             _rowhash("doc_a*1000000 + doc_b")]),
+        ("editdist_passjoin", ["sum(doc_a+doc_b)", "sum(edit_dist)",
+                               _rowhash("doc_a*1000000 + doc_b")]),
     ],
     "decontaminate_suite": [
         ("decontaminate", ["sum(doc_id)", "count(distinct source)",
@@ -3891,7 +3986,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 150 per-operator
+    per-round correctness budget), covering all 152 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -1,0 +1,178 @@
+"""Broadcast merge-table BPE subword tokenizer (VERDICT r6 #5).
+
+The packing/padding budgets (``sharding.pack_shards``,
+``sharding.padding_stats``) previously counted whitespace tokens —
+a heuristic that under-counts what a subword model actually consumes.
+This module is the real thing: byte-pair encoding (Sennrich et al.
+2016, arXiv:1508.07909) with the classic split — a small merge table
+TRAINED once on a deterministic bounded sample (driver-side, the
+``ivf_centroids`` pattern: the model is tiny, the sample is
+md5-ordered so re-runs and engines agree), then APPLIED corpus-wide as
+one broadcast + Arrow-batched map with zero exchange.
+
+Scale shape at 100 TB: training reads ``sample_rows`` documents once
+(one small collect — the committed-vocab step a production pipeline
+does offline and ships as a file); encoding is embarrassingly parallel
+— the merge-ranks dict broadcasts (a few KB), each Arrow batch encodes
+its own documents with a per-task word→length memo (Zipf makes the
+memo hit rate ≈ 1 after the first few thousand words), and nothing
+shuffles until the caller's own rollup.
+
+Oracle story: greedy iterative merging is not SQL-expressible, but the
+output is a deterministic pure function of (corpus, n_merges,
+sample_rows) — the ``compression_profile`` precedent — so the driver
+qkey pins a golden-literal oracle recorded via
+``tools/record_goldens.py`` (refuses to write unless independent
+fresh-session runs agree); per-word encodings are additionally
+equivalence-tested against an independent serial Python BPE in
+``tests/test_bpe.py``.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"  # end-of-word marker, its own symbol (train == encode)
+
+
+def bpe_train_merges(documents: DataFrame, n_merges: int = 200,
+                     sample_rows: int = 2048, text_col: str = "text",
+                     id_col: str = "doc_id") -> list[tuple[str, str]]:
+    """Learn a merge table from a deterministic corpus sample.
+
+    Greedy BPE over whitespace words (the same split as
+    ``dedup.tokens_col``): start from characters + ``EOW``, repeatedly
+    merge the most frequent adjacent symbol pair (ties broken
+    lexicographically smallest — determinism, not linguistics).
+    Returns the ordered merge list; order IS the rank table.
+
+    The sample is the first ``sample_rows`` documents by
+    md5(``id_col``) — stable under corpus growth in distribution and
+    exactly reproducible for a fixed corpus, like the IVF centroid
+    sample. One driver action by design: this is the offline
+    vocabulary-commit step, not the hot path.
+    """
+    sample = (documents
+              .select(F.col(text_col).alias("t"),
+                      F.md5(F.col(id_col).cast("string")).alias("o"))
+              .orderBy("o").limit(int(sample_rows)).collect())
+    wc: Counter = Counter()
+    for r in sample:
+        for w in (r.t or "").split():
+            wc[w] += 1
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(list(w) + [EOW]): c for w, c in wc.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nv: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (i + 1 < len(sym)
+                        and (sym[i], sym[i + 1]) == best):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]
+                ) -> list[str]:
+    """Apply the merge table to one word: repeatedly merge the
+    lowest-rank pair present, left-to-right within a pass (overlaps
+    resolve leftmost-first). The canonical greedy-apply loop — the
+    serial twin in tests reimplements it independently."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (sym[i], sym[i + 1])
+        if best_pair is None:
+            break
+        merged = best_pair[0] + best_pair[1]
+        out = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best_pair:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_token_count(documents: DataFrame,
+                    merges: list[tuple[str, str]],
+                    text_col: str = "text", id_col: str = "doc_id",
+                    carry: tuple[str, ...] = ()) -> DataFrame:
+    """Per-document BPE token count under a FROZEN merge table: one
+    broadcast (the ranks dict) + one Arrow-batched map — zero
+    exchange, no driver action; ``carry`` columns ride the batch
+    (the ``compression_signals`` pattern) so no reattach join is ever
+    needed. Memoizes word→length per task (Zipf: the memo converges
+    after the head of the distribution)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    bc = documents.sparkSession.sparkContext.broadcast(ranks)
+    cols = [id_col, text_col, *carry]
+
+    def run(it):
+        r = bc.value
+        memo: dict[str, int] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            counts = []
+            for t in pdf[text_col]:
+                n = 0
+                for w in (t or "").split():
+                    if w not in memo:
+                        memo[w] = len(encode_word(w, r))
+                    n += memo[w]
+                counts.append(n)
+            out = pdf[[id_col, *carry]].copy()
+            out["n_tokens"] = pd.array(counts, dtype="int64")
+            yield out
+
+    schema_carry = "".join(
+        f", {c} {t}" for c, t in documents.select(*carry).dtypes)
+    return documents.select(*cols).mapInPandas(
+        run, schema=f"{id_col} long{schema_carry}, n_tokens long")
+
+
+def tokenize_bpe(documents: DataFrame, n_merges: int = 200,
+                 sample_rows: int = 2048) -> DataFrame:
+    """The driver qkey: train on the corpus's own md5 sample, encode
+    the whole corpus, and roll up per source — (source, n_docs,
+    sum_tokens, max_tokens, idsum) with ``idsum = Σ doc_id·n_tokens``
+    pinning every document's individual count through the hash.
+    Golden-literal oracle (see module docstring)."""
+    merges = bpe_train_merges(documents, n_merges, sample_rows)
+    per = bpe_token_count(documents, merges, carry=("source",))
+    return (per.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.max("n_tokens").alias("max_tokens"),
+                 F.sum(F.col("doc_id") * F.col("n_tokens"))
+                 .alias("idsum")))

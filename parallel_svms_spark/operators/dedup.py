@@ -765,12 +765,130 @@ def exact_dedup_keys_normalized(documents: DataFrame) -> DataFrame:
             .select("doc_id"))
 
 
+def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
+                            verify_chars: int = 64,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """PassJoin segment blocking (Li, Deng, Feng — VLDB 2011;
+    VERDICT r6 #7): edit-distance pairs over the ``verify_chars``
+    lowercased head window with FULL recall on that window — the
+    exact filter ``editdist_near_dups``' prefix blocking trades away
+    (a prefix edit can never escape this blocking).
+
+    Pigeonhole: partition a string into q = max_dist+1 contiguous
+    segments; ≤ max_dist edits can destroy at most max_dist of them,
+    so if ed(A, B) ≤ max_dist at least one of B's segments survives
+    VERBATIM inside A, shifted by at most max_dist positions. So the
+    index side emits each doc's q segments keyed by (own_len, seg_ix,
+    seg_text); the probe side emits, for every candidate partner
+    length l ∈ [L−τ, L+τ] and every shift δ ∈ [−τ, τ], its own
+    substring at B's segment geometry — and candidates are ONE
+    equi-join on (l, seg_ix, text). Heads shorter than q + τ chars
+    cannot be segmented q ways (empty segments would match
+    everything) and fall into a single tiny short-block bucket,
+    verified exhaustively — full recall holds unconditionally.
+
+    Scale shape: signature rows are LINEAR in the corpus —
+    (2τ+1)²·(τ+1) ≈ 196 probe rows/doc at τ=3, each ≤ ~100 B — and
+    the join is a plain hash equi-join on the segment key; no
+    all-pairs stage anywhere. ~100× more signature rows than prefix
+    blocking buys recall 1.0 on the head window (measured,
+    RECALL.md); the standard multi-match-aware substring selection
+    would cut the probe factor ~τ× further at equal recall — noted,
+    not needed at current cost. Verification is Spark's built-in JVM
+    ``levenshtein`` on the deduplicated candidate set.
+
+    DuckDB oracle: full recall means the oracle is the EXHAUSTIVE
+    self-join (every head pair with levenshtein ≤ max_dist) — the
+    operator is checked against the ground truth itself, not against
+    a replayed blocking.
+    """
+    tau = int(max_dist)
+    q = tau + 1
+    norm = F.lower(F.col(text_col))
+    docs = documents.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, int(verify_chars)).alias("head"))
+    docs = docs.withColumn("L", F.length("head"))
+
+    base = F.expr(f"l DIV {q}")
+    rem = F.col("l") % q
+    seg_len = base + F.when(F.col("i") >= q - rem, 1).otherwise(0)
+    seg_start = F.col("i") * base + F.greatest(
+        F.col("i") - (q - rem), F.lit(0))
+
+    # index side: each doc's own q segments under ITS length geometry
+    idx = (docs.filter(F.col("L") >= q + tau)
+           .withColumn("l", F.col("L"))
+           .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(q - 1))))
+           .select("id", "head", "l", "i",
+                   F.substring(F.col("head"), seg_start + 1, seg_len)
+                   .alias("seg")))
+    # probe side: my substrings at every partner-length geometry and
+    # every in-window shift
+    probe = (docs.filter(F.col("L") >= q + tau)
+             .withColumn("l", F.explode(F.sequence(
+                 F.col("L") - tau, F.col("L") + tau)))
+             .filter(F.col("l") >= q + tau)
+             .withColumn("i", F.explode(F.sequence(F.lit(0),
+                                                   F.lit(q - 1))))
+             .withColumn("s", F.explode(F.sequence(
+                 seg_start - tau, seg_start + tau)))
+             .filter((F.col("s") >= 0)
+                     & (F.col("s") + seg_len <= F.col("L")))
+             .select(F.col("id").alias("pid"),
+                     F.col("head").alias("phead"), "l", "i",
+                     F.substring(F.col("head"), F.col("s") + 1, seg_len)
+                     .alias("seg")))
+    cands = (probe.join(idx, ["l", "i", "seg"])
+             .filter(F.col("pid") != F.col("id"))
+             .select(F.least("pid", "id").alias("doc_a"),
+                     F.greatest("pid", "id").alias("doc_b"),
+                     F.when(F.col("pid") < F.col("id"),
+                            F.col("phead")).otherwise(F.col("head"))
+                     .alias("head_a"),
+                     F.when(F.col("pid") < F.col("id"),
+                            F.col("head")).otherwise(F.col("phead"))
+                     .alias("head_b"))
+             .distinct())
+    # short-block fallback: heads too short to segment q ways pair
+    # among themselves AND against every head within tau of the
+    # cutoff (|len diff| <= tau can bridge the boundary). Bucketed by
+    # LENGTH as an equi-join — |len diff| <= tau is necessary for
+    # ed <= tau, so pairing only length-compatible buckets keeps full
+    # recall while avoiding a nested-loop inequality join; the b-side
+    # explodes its tau-window of lengths (the neighbor-band pattern).
+    short = docs.filter(F.col("L") < q + 2 * tau)
+    sa = short.select(F.col("id").alias("doc_a"),
+                      F.col("head").alias("head_a"),
+                      F.col("L").alias("la"),
+                      F.col("L").alias("g"))
+    sb = (short
+          .withColumn("g", F.explode(F.sequence(
+              F.greatest(F.col("L") - tau, F.lit(0)),
+              F.col("L") + tau)))
+          .select(F.col("id").alias("doc_b"),
+                  F.col("head").alias("head_b"),
+                  F.col("L").alias("lb"), "g"))
+    short_pairs = (sa.join(sb, "g")
+                   .filter((F.col("doc_a") < F.col("doc_b"))
+                           & ((F.col("la") < q + tau)
+                              | (F.col("lb") < q + tau)))
+                   .select("doc_a", "doc_b", "head_a", "head_b"))
+    return (cands.unionByName(short_pairs).distinct()
+            .withColumn("edit_dist",
+                        F.levenshtein("head_a", "head_b").cast("long"))
+            .filter(F.col("edit_dist") <= tau)
+            .select("doc_a", "doc_b", "edit_dist"))
+
+
 def editdist_near_dups(documents: DataFrame, max_dist: int = 3,
                        block_prefix: int = 12, length_band: int = 8,
                        verify_chars: int = 64,
                        max_block: int | None = 256,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       blocking: str = "prefix") -> DataFrame:
     """Edit-distance near-dup pairs: blocked candidate generation +
     Levenshtein verification — the classic record-linkage recipe for
     "same document up to a few character edits" (typo/OCR/template
@@ -806,7 +924,18 @@ def editdist_near_dups(documents: DataFrame, max_dist: int = 3,
     verification as a self-join (both engines implement plain
     unweighted Levenshtein, so distances — not just pair sets —
     hash-match).
+
+    ``blocking='passjoin'`` switches candidate generation to the
+    PassJoin pigeonhole segment scheme (``editdist_passjoin_pairs``)
+    — FULL recall on the head window, ~100× more signature rows;
+    ``block_prefix``/``length_band``/``max_block`` are prefix-mode
+    parameters and are ignored there.
     """
+    if blocking == "passjoin":
+        return editdist_passjoin_pairs(documents, max_dist,
+                                       verify_chars, id_col, text_col)
+    if blocking != "prefix":
+        raise ValueError(f"unknown blocking: {blocking!r}")
     norm = F.lower(F.col(text_col))
     base = F.floor(F.length(norm) / int(length_band)).cast("long")
     # NEIGHBOR-BAND PROBING (overlapping blocks): every doc emits its

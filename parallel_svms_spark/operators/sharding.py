@@ -512,7 +512,10 @@ def fold_balance(df: DataFrame, k: int = 5, id_col: str = "vec_id",
 
 
 def padding_stats(documents: DataFrame, context_len: int = 128,
-                  bucket: int = 32, text_col: str = "text") -> DataFrame:
+                  bucket: int = 32, text_col: str = "text",
+                  tokenizer: str = "ws",
+                  merges: list[tuple[str, str]] | None = None
+                  ) -> DataFrame:
     """Padding-waste accounting for batch assembly: bucket documents
     by whitespace-token length (bucket b = lengths [b·bucket,
     (b+1)·bucket)) and report, per bucket, the padding cost of the two
@@ -527,15 +530,33 @@ def padding_stats(documents: DataFrame, context_len: int = 128,
     ``pack_sequences``, is the third option and wastes ~0).
 
     Scale shape: one narrow tokenize+project, one hash aggregation on
-    the bucket id (≈ max_len/bucket groups). The token counter is the
-    same whitespace ``tokens_col`` split as ``token_count`` — shared
-    semantics, shared oracle algebra (DuckDB ``string_split``).
+    the bucket id (≈ max_len/bucket groups). ``tokenizer='ws'``
+    (default, the oracled qkey) counts the same whitespace
+    ``tokens_col`` split as ``token_count`` — shared semantics, shared
+    oracle algebra (DuckDB ``string_split``). ``tokenizer='bpe'``
+    counts REAL subword tokens under a broadcast merge table
+    (``bpe.bpe_token_count``; pass ``merges`` from
+    ``bpe.bpe_train_merges`` — trained on ``documents``' own sample
+    when omitted), making the padding audit model-accurate (VERDICT
+    r6 #5); equivalence vs a serial BPE is pinned in tests/test_bpe.py.
     """
-    from parallel_svms_spark.operators.dedup import tokens_col
-    n_tok = F.size(tokens_col(text_col)).cast("long")
-    per_doc = documents.select(
-        n_tok.alias("n_tok"),
-        F.floor(n_tok / int(bucket)).cast("long").alias("len_bucket"))
+    if tokenizer == "bpe":
+        from parallel_svms_spark.operators import bpe as B
+        if merges is None:
+            merges = B.bpe_train_merges(documents, text_col=text_col)
+        per = B.bpe_token_count(documents, merges, text_col=text_col)
+        per_doc = per.select(
+            F.col("n_tokens").alias("n_tok"),
+            F.floor(F.col("n_tokens") / int(bucket)).cast("long")
+            .alias("len_bucket"))
+    elif tokenizer == "ws":
+        from parallel_svms_spark.operators.dedup import tokens_col
+        n_tok = F.size(tokens_col(text_col)).cast("long")
+        per_doc = documents.select(
+            n_tok.alias("n_tok"),
+            F.floor(n_tok / int(bucket)).cast("long").alias("len_bucket"))
+    else:
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
     ctx = int(context_len)
     return (per_doc.groupBy("len_bucket")
             .agg(F.count("*").alias("n_docs"),

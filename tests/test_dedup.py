@@ -245,3 +245,76 @@ def test_minhash_incremental_empty_batch(spark, docs):
             "n_chars int")
     assert D.minhash_near_dups_incremental(
         docs, empty, threshold=0.5).count() == 0
+
+
+def _serial_levenshtein(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, n + 1):
+            t = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1,
+                       prev + (a[i - 1] != b[j - 1]))
+            prev = t
+    return d[n]
+
+
+def test_editdist_passjoin_full_recall_vs_brute_force(spark, docs):
+    """VERDICT r6 #7: PassJoin pigeonhole blocking must have FULL
+    recall on the head window — including edits INSIDE the first 12
+    chars, the prefix blocking's designed blind spot. Ground truth is
+    an independent serial Levenshtein over every head pair."""
+    import itertools
+
+    base = docs.limit(15)
+    pref = base.select(
+        (F.col("doc_id") + 30_000).alias("doc_id"),
+        F.concat(F.lit("X"), F.expr("substring(text, 2)")).alias("text"),
+        "lang", "source", "n_chars")
+    all_docs = docs.unionByName(pref)
+    got = {(r.doc_a, r.doc_b, r.edit_dist)
+           for r in D.editdist_near_dups(
+               all_docs, blocking="passjoin").collect()}
+    rows = all_docs.select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 64).alias("h")).collect()
+    want = set()
+    for ra, rb in itertools.combinations(rows, 2):
+        dd = _serial_levenshtein(ra.h, rb.h)
+        if dd <= 3:
+            a, b = sorted((ra.doc_id, rb.doc_id))
+            want.add((a, b, dd))
+    assert got == want
+    # the injected first-char edits are exactly what prefix blocking
+    # misses and passjoin must recover
+    injected = {(a, b) for (a, b, _) in want if b >= 30_000}
+    assert injected, "fixture too weak"
+    prefix_got = {(r.doc_a, r.doc_b)
+                  for r in D.editdist_near_dups(all_docs).collect()}
+    assert injected - prefix_got, \
+        "prefix mode unexpectedly caught first-char edits"
+    assert injected <= {(a, b) for (a, b, _) in got}
+
+
+def test_editdist_passjoin_short_heads_covered(spark):
+    """Heads shorter than q+tau chars cannot be segmented 4 ways —
+    the short-block fallback must still pair them (full recall holds
+    unconditionally), including short-vs-slightly-longer pairs that
+    bridge the cutoff."""
+    rows = [(1, "abc"), (2, "abd"),         # ed 1, both short
+            (3, "abcdefgh"), (4, "abcdef"),  # len 8 vs 6: bridges cutoff
+            (5, "zzzzzzzzzzzzzzzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.edit_dist)
+           for r in D.editdist_near_dups(df, blocking="passjoin")
+           .collect()}
+    assert (1, 2, 1) in got
+    assert (3, 4, 2) in got
+    assert not any(5 in (a, b) for a, b, _ in got)
+
+
+def test_editdist_unknown_blocking_raises(docs):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="blocking"):
+        D.editdist_near_dups(docs, blocking="soundex")

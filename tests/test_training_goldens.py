@@ -110,3 +110,25 @@ def test_compression_golden_oracle_types(monkeypatch, sf):
         assert str(f.type) == arrow_of[types[f.name]], (sf, f)
     assert tbl.num_rows >= 1
     con.close()
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_bpe_golden_oracle_types(monkeypatch, sf):
+    """tokenize_bpe golden oracles (r7): the integer rollup columns
+    surface as int64, source as string — never DECIMAL. Value
+    agreement with live Spark: tests/test_oracles_all.py (sf0.001) +
+    selfcheck at the larger sfs; encode-vs-serial-BPE parity:
+    tests/test_bpe.py."""
+    import duckdb
+
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", f"/root/testdata/{sf}")
+    oracles = entrymod._bpe_golden_oracles()
+    assert sorted(oracles) == ["tokenize_bpe"]
+    con = duckdb.connect()
+    tbl = con.execute(oracles["tokenize_bpe"]).arrow()
+    types = entrymod._BPE_GOLDEN_TYPES["tokenize_bpe"]
+    arrow_of = dict(_ARROW_OF, VARCHAR="string")
+    for f in tbl.schema:
+        assert str(f.type) == arrow_of[types[f.name]], (sf, f)
+    assert tbl.num_rows >= 1
+    con.close()

@@ -21,7 +21,9 @@ Usage:
 Writes tests/goldens/training_qkeys_<sf>.json (five ML qkeys),
 tests/goldens/sketch_profile_<sf>.json and
 tests/goldens/compression_profile_<sf>.json (zlib is a pure function
-of the bytes, so its rollup is golden-eligible too). Only rewrite after an
+of the bytes, so its rollup is golden-eligible too) and
+tests/goldens/tokenize_bpe_<sf>.json (deterministic greedy BPE over an
+md5-ordered sample). Only rewrite after an
 INTENDED numerics change; tests/test_training_goldens.py pins the
 committed values in CI.
 """
@@ -79,7 +81,8 @@ def main() -> int:
     runs, only = ns.runs, ns.only
     for sf_name in ns.sf_names:
         sf_dir = f"/root/testdata/{sf_name}"
-        qkeys = ML_QKEYS + ["sketch_profile", "compression_profile"]
+        qkeys = ML_QKEYS + ["sketch_profile", "compression_profile",
+                            "tokenize_bpe"]
         if only:
             unknown = only - set(qkeys)
             if unknown:
@@ -120,6 +123,10 @@ def main() -> int:
             merge_write(REPO / "tests" / "goldens"
                         / f"compression_profile_{sf_name}.json",
                         {"compression_profile": got["compression_profile"]})
+        if "tokenize_bpe" in got:
+            merge_write(REPO / "tests" / "goldens"
+                        / f"tokenize_bpe_{sf_name}.json",
+                        {"tokenize_bpe": got["tokenize_bpe"]})
     return 0
 
 
