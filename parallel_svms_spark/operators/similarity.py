@@ -663,6 +663,24 @@ def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
         encode, schema=f"{id_col} long, pq_codes array<bigint>")
 
 
+def pq_index_append(new_vecs: DataFrame, index_path: str,
+                    codebooks: np.ndarray,
+                    features_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """The PQ-codes member of the index-maintenance family (VERDICT
+    r6 #3 parenthetical): append the screened batch's (id, pq_codes)
+    rows to the persisted code table at ``index_path`` under the
+    FROZEN corpus ``codebooks`` — the corpus is never re-encoded, the
+    code table is append-only immutable parquet (same lifecycle
+    contract as ``ivf_index_append`` / ``dedup.minhash_index_append``;
+    persist the small (m, ks, dsub) codebook array next to the path
+    and pass the SAME array to every append — retraining it would
+    silently re-map every stored code).
+    """
+    (pq_encode(new_vecs, codebooks, features_col, id_col)
+     .write.mode("append").parquet(index_path))
+
+
 def pq_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
             m: int = 8, ks: int = 64, n_candidates: int = 200,
             seed: int = 42, sample_rows: int = 4096,

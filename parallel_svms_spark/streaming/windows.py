@@ -859,6 +859,24 @@ def streaming_compression_screen(stream_docs: DataFrame,
                               level=level)
 
 
+def streaming_bpe_count(stream_docs: DataFrame,
+                        merges: list[tuple[str, str]],
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Streaming twin of ``bpe.bpe_token_count``: per-arriving-doc
+    subword token counts under a FROZEN merge table. STATELESS and
+    literally shared code (the ``streaming_compression_screen``
+    pattern) — each doc's count depends only on its own text and the
+    broadcast ranks, so the batch function applied to an unbounded
+    frame IS the streaming operator; replays and micro-batch
+    boundaries cannot flip a count. The merge table is the committed
+    vocabulary — train it offline (``bpe.bpe_train_merges`` on the
+    corpus), never on the stream."""
+    from parallel_svms_spark.operators.bpe import bpe_token_count
+    return bpe_token_count(stream_docs, merges, text_col=text_col,
+                           id_col=id_col)
+
+
 def streaming_exact_dedup_normalized(stream: DataFrame,
                                      watermark: str = "2 hours"
                                      ) -> DataFrame:

@@ -147,3 +147,39 @@ def test_padding_stats_rejects_unknown_tokenizer(docs):
     from parallel_svms_spark.operators import sharding as SH
     with pytest.raises(ValueError, match="tokenizer"):
         SH.padding_stats(docs, tokenizer="wordpiece")
+
+
+def test_streaming_bpe_count_matches_batch(spark, docs, tmp_path):
+    """The streaming twin is the batch function verbatim — counts must
+    agree row-for-row across micro-batch boundaries."""
+    import os
+
+    from parallel_svms_spark.streaming import windows as SW
+
+    merges = B.bpe_train_merges(docs, n_merges=80, sample_rows=512)
+    batch = {r.doc_id: r.n_tokens
+             for r in B.bpe_token_count(docs, merges).collect()}
+    src = tmp_path / "src"
+    src.mkdir()
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).select("doc_id", "text") \
+        .coalesce(1).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") >= half).select("doc_id", "text") \
+        .coalesce(1).write.parquet(str(src / "b"))
+    import glob
+    import shutil
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, p in enumerate(sorted(glob.glob(f"{src}/*/part-*"))):
+        shutil.copy(p, f"{flat}/{i:04d}.parquet")
+        os.utime(f"{flat}/{i:04d}.parquet", (1000 + i, 1000 + i))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(flat)))
+    feed = SW.streaming_bpe_count(stream, merges)
+    q = (feed.writeStream.outputMode("append")
+         .format("memory").queryName("stream_bpe").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: r.n_tokens
+           for r in spark.sql("SELECT * FROM stream_bpe").collect()}
+    assert got == batch

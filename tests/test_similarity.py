@@ -399,3 +399,27 @@ def test_ivf_incremental_empty_batch(spark, emb):
                                   "label int")
     assert S.cosine_near_dup_ivf_incremental(
         emb, empty, threshold=0.4).count() == 0
+
+
+def test_pq_index_append_two_day_cycle(spark, emb, tmp_path):
+    """PQ-codes index maintenance: appending two daily batches under
+    frozen codebooks must leave the stored code table row-identical to
+    encoding the union corpus in one shot."""
+    corpus = emb.filter("vec_id % 9 > 1")
+    batch1 = emb.filter("vec_id % 9 = 0")
+    batch2 = emb.filter("vec_id % 9 = 1")
+    sample = np.array(
+        [r.embedding for r in
+         corpus.select("embedding").limit(1024).collect()],
+        dtype=np.float64)
+    C = S.pq_train(sample, m=8, ks=16)
+    p = str(tmp_path / "pq_codes.parquet")
+    S.pq_encode(corpus, C).write.mode("overwrite").parquet(p)
+    S.pq_index_append(batch1, p, C)
+    S.pq_index_append(batch2, p, C)
+    got = {r.vec_id: tuple(r.pq_codes)
+           for r in spark.read.parquet(p).collect()}
+    want = {r.vec_id: tuple(r.pq_codes)
+            for r in S.pq_encode(emb, C).collect()}
+    assert got == want
+    assert len(got) == emb.count()
