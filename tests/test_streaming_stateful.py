@@ -1139,3 +1139,92 @@ def test_attribution_stateful_restart_exactly_once(spark, sf_dir,
                 if r.event_id not in phase1
                 and r.touch_event_id in phase1]
     assert crossing, "split produced no cross-outage credits"
+
+
+def test_asof_stateful_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart for the asof twin: the per-user carry-forward
+    register must survive in the checkpoint so lefts arriving after
+    the outage still pair with rights seen before it."""
+    import pyarrow.parquet as pq
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import asof_prev_event
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.event_id, r.user_id, r.ts, r.prev_event_id, r.prev_ts,
+              r.gap_us)
+             for r in asof_prev_event(events).collect()}
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ck"
+    src.mkdir()
+    n = tbl.num_rows
+
+    def start():
+        stream = SW.stream_events_from_dir(spark, str(src))
+        feed = SW.asof_stateful(stream)
+        return (feed.writeStream.outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .format("parquet").option("path", str(sink))
+                .start())
+
+    pq.write_table(tbl.slice(0, n // 2), f"{src}/0000.parquet")
+    os.utime(f"{src}/0000.parquet", (1000, 1000))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    pq.write_table(tbl.slice(n // 2), f"{src}/0001.parquet")
+    os.utime(f"{src}/0001.parquet", (1001, 1001))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.read.parquet(str(sink)).collect()
+    got = {(r.event_id, r.user_id, r.ts, r.prev_event_id, r.prev_ts,
+            r.gap_us) for r in rows}
+    assert len(rows) == len(got)
+    assert got == batch
+
+
+def test_transitions_stateful_restart_exactly_once(spark, sf_dir,
+                                                   tmp_path):
+    """Kill-and-restart for the transitions twin: the per-user
+    last-event register survives the restart; the aggregated feed must
+    reproduce the batch pair table with no duplicated transitions."""
+    import pyarrow.parquet as pq
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators.events import event_transitions
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {(r.prev_type, r.next_type): r.n_transitions
+             for r in event_transitions(events).collect()}
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ck"
+    src.mkdir()
+    n = tbl.num_rows
+
+    def start():
+        stream = SW.stream_events_from_dir(spark, str(src))
+        feed = SW.transitions_stateful(stream)
+        return (feed.writeStream.outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .format("parquet").option("path", str(sink))
+                .start())
+
+    pq.write_table(tbl.slice(0, n // 2), f"{src}/0000.parquet")
+    os.utime(f"{src}/0000.parquet", (1000, 1000))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    pq.write_table(tbl.slice(n // 2), f"{src}/0001.parquet")
+    os.utime(f"{src}/0001.parquet", (1001, 1001))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.read.parquet(str(sink)).collect()
+    from collections import Counter
+    got = Counter((r.prev_type, r.next_type) for r in rows)
+    assert dict(got) == batch
