@@ -408,15 +408,17 @@ def _split_model(doc_id: int, fractions, salt: str = "") -> str:
            [("a", 0.5), ("b", 0.5)],
            [("x", 0.01), ("y", 0.01), ("z", 0.98)],
            [("all", 1.0)],
-           # fractions summing past 1: later thresholds clamp to the
-           # hex ceiling, so trailing splits legitimately go empty
-           [("big", 0.9), ("over", 0.9), ("rest", 0.1)],
+           # leading fractions approaching (but under) the full unit
+           # interval — the residual split legitimately goes near-empty;
+           # OVER-filled layouts now raise by contract (ADVICE r6,
+           # tests/test_corpus_ops_r6b.py) instead of silently clamping
+           [("big", 0.9), ("near", 0.0999), ("rest", 0.0001)],
        ]))
 def test_dataset_split_matches_python_model(spark, ids, fractions):
-    """Property: for ANY id set and fraction layout (incl. one that
-    over-fills [0,1)), Spark's assignment equals the pure-Python md5
-    model — the invariant the DuckDB oracle and the growth-stability
-    contract both stand on; the labels always partition the input."""
+    """Property: for ANY VALID id set and fraction layout, Spark's
+    assignment equals the pure-Python md5 model — the invariant the
+    DuckDB oracle and the growth-stability contract both stand on;
+    the labels always partition the input."""
     from parallel_svms_spark.operators.sharding import dataset_split
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     got = {r.doc_id: r.split
