@@ -141,6 +141,17 @@ def main() -> None:
         # the max_block cap must keep the slope sub-quadratic
         "dedup_editdist": lambda d: dedup.editdist_near_dups(
             d).count(),
+        # r7 passjoin: signature rows are LINEAR (~196/doc) and the
+        # candidate join is output-bound — slope is the watchdog that
+        # the full-recall blocking never goes quadratic in the corpus
+        "editdist_passjoin": lambda d: dedup.editdist_near_dups(
+            d, blocking="passjoin").count(),
+        # r7 broadcast merge-table BPE: one Arrow map + |sources|-row
+        # rollup — slope must track the scan (the train sample is
+        # constant-size, so training cost amortizes to zero)
+        "tokenize_bpe": lambda d: __import__(
+            "parallel_svms_spark.operators.bpe",
+            fromlist=["x"]).tokenize_bpe(d).count(),
     }
     WH_OPS = {
         "pricing_summary": lambda li, orr, cust: AN.pricing_summary(
