@@ -23,7 +23,8 @@ from pyspark.sql import Window as W
 def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
                 id_col: str = "doc_id",
                 text_col: str = "text",
-                order: str = "id") -> DataFrame:
+                order: str = "id", tokenizer: str = "ws",
+                merges: list[tuple[str, str]] | None = None) -> DataFrame:
     """Greedy sequential shard packing: walk docs in a deterministic
     total order, cut a new shard whenever the running token total
     would pass a multiple of ``budget_tokens``. Returns
@@ -58,6 +59,16 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
     sees more than its partition. The DuckDB oracle recomputes the
     single-threaded window formulation and must hash-match exactly —
     locking in that the distributed decomposition is value-identical.
+
+    ``tokenizer='ws'`` (default, the oracled qkey) budgets whitespace
+    tokens; ``tokenizer='bpe'`` budgets REAL subword counts under a
+    broadcast merge table (``bpe.bpe_token_count``; pass ``merges``
+    from the committed vocabulary — trained on ``documents``' own
+    sample when omitted), so shard sizes line up with what the model
+    actually consumes (VERDICT r6 #5's third budget consumer). Only
+    the counter changes — the walk order, prefix sum and shard rule
+    are byte-identical either way (serial-model equivalence pinned in
+    tests/test_bpe.py).
     """
     import pandas as pd
 
@@ -69,9 +80,21 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 4096,
         ordc = F.md5(F.col(id_col).cast("string"))
     else:
         raise ValueError(f"unknown order: {order!r}")
-    toks = documents.select(
-        F.col(id_col), ordc.alias("__ord"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"))
+    if tokenizer == "bpe":
+        from parallel_svms_spark.operators import bpe as B
+        if merges is None:
+            merges = B.bpe_train_merges(documents, text_col=text_col,
+                                        id_col=id_col)
+        toks = (B.bpe_token_count(documents, merges, text_col=text_col,
+                                  id_col=id_col)
+                .select(F.col(id_col), ordc.alias("__ord"), "n_tokens"))
+    elif tokenizer == "ws":
+        toks = documents.select(
+            F.col(id_col), ordc.alias("__ord"),
+            F.size(F.split(F.col(text_col), " ")).cast("long")
+            .alias("n_tokens"))
+    else:
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
     n_part = max(2, spark.sparkContext.defaultParallelism)
     # materialize the ranged layout ONCE: repartitionByRange samples
     # its bounds per execution, and the two passes below must see the

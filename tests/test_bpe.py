@@ -183,3 +183,31 @@ def test_streaming_bpe_count_matches_batch(spark, docs, tmp_path):
     got = {r.doc_id: r.n_tokens
            for r in spark.sql("SELECT * FROM stream_bpe").collect()}
     assert got == batch
+
+
+def test_pack_shards_bpe_budget_matches_serial_model(docs):
+    """pack_shards(tokenizer='bpe') must equal the serial greedy walk
+    over the per-doc BPE counts in id order — same prefix-sum shard
+    rule, only the counter changes."""
+    from parallel_svms_spark.operators import sharding as SH
+    # a SMALL merge table: the fixture vocab is tiny enough that the
+    # default 200 merges fully fuse every word back to one token
+    # (bpe == whitespace counts) — 20 merges keeps words multi-token
+    # so the subword budget genuinely differs from the ws budget
+    merges = B.bpe_train_merges(docs, n_merges=20)
+    got = sorted((r.doc_id, r.n_tokens, r.shard)
+                 for r in SH.pack_shards(docs, budget_tokens=2048,
+                                         tokenizer="bpe",
+                                         merges=merges).collect())
+    per = {r.doc_id: r.n_tokens
+           for r in B.bpe_token_count(docs, merges).collect()}
+    run, want = 0, []
+    for did in sorted(per):
+        want.append((did, per[did], run // 2048))
+        run += per[did]
+    assert got == want
+    # the BPE budget actually changes the packing vs whitespace
+    ws = sorted((r.doc_id, r.shard)
+                for r in SH.pack_shards(docs, budget_tokens=2048)
+                .collect())
+    assert ws != [(d, s) for d, _, s in got]
