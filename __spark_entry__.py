@@ -2483,54 +2483,57 @@ WHERE levenshtein(a.head, b.head) <= 3
         "editdist_passjoin": r"""
 WITH d AS (
   SELECT doc_id AS id, substring(lower(text), 1, 64) AS head,
-         length(substring(lower(text), 1, 64)) AS L
+         length(substring(lower(text), 1, 64)) AS slen
   FROM documents
 ), seg_i AS (
-  SELECT id, head, L AS l,
+  SELECT id, head, slen AS plen,
          UNNEST(generate_series(0, 3)) AS i
-  FROM d WHERE L >= 7
+  FROM d WHERE slen >= 7
 ), seg AS (
-  SELECT id, head, l, i,
+  SELECT id, head, plen, i,
          substring(head,
-                   1 + i*(l//4) + greatest(i-(4-(l%4)), 0),
-                   (l//4) + CASE WHEN i >= 4-(l%4) THEN 1 ELSE 0 END)
+                   1 + i*(plen//4) + greatest(i-(4-(plen%4)), 0),
+                   (plen//4)
+                   + CASE WHEN i >= 4-(plen%4) THEN 1 ELSE 0 END)
            AS seg
   FROM seg_i
 ), pr_l AS (
-  SELECT id, head, L,
-         UNNEST(generate_series(L-3, L+3)) AS l
-  FROM d WHERE L >= 7
+  SELECT id, head, slen,
+         UNNEST(generate_series(slen-3, slen+3)) AS plen
+  FROM d WHERE slen >= 7
 ), pr_i AS (
-  SELECT id, head, L, l,
+  SELECT id, head, slen, plen,
          UNNEST(generate_series(0, 3)) AS i
-  FROM pr_l WHERE l >= 7
+  FROM pr_l WHERE plen >= 7
 ), pr0 AS (
-  SELECT id, head, L, l, i,
-         i*(l//4) + greatest(i-(4-(l%4)), 0) AS st,
-         (l//4) + CASE WHEN i >= 4-(l%4) THEN 1 ELSE 0 END AS sl
+  SELECT id, head, slen, plen, i,
+         i*(plen//4) + greatest(i-(4-(plen%4)), 0) AS st,
+         (plen//4) + CASE WHEN i >= 4-(plen%4) THEN 1 ELSE 0 END AS sl
   FROM pr_i
 ), pr_s AS (
-  SELECT id, head, L, l, i, sl, st,
+  SELECT id, head, slen, plen, i, sl, st,
          UNNEST(generate_series(st-3, st+3)) AS s
   FROM pr0
 ), probe AS (
-  SELECT id AS pid, head AS phead, l, i,
+  SELECT id AS pid, head AS phead, plen, i,
          substring(head, s + 1, sl) AS seg
   FROM pr_s
-  WHERE s >= 0 AND s + sl <= L
-    AND abs(s - st) + abs((L - l) - (s - st)) <= 3
+  WHERE s >= 0 AND s + sl <= slen
+    AND abs(s - st) + abs((slen - plen) - (s - st)) <= 3
 ), cands AS (
   SELECT DISTINCT
     least(p.pid, s.id) AS doc_a, greatest(p.pid, s.id) AS doc_b,
     CASE WHEN p.pid < s.id THEN p.phead ELSE s.head END AS head_a,
     CASE WHEN p.pid < s.id THEN s.head ELSE p.phead END AS head_b
-  FROM probe p JOIN seg s ON p.l = s.l AND p.i = s.i AND p.seg = s.seg
+  FROM probe p
+  JOIN seg s ON p.plen = s.plen AND p.i = s.i AND p.seg = s.seg
   WHERE p.pid <> s.id
 ), short AS (
   SELECT a.id AS doc_a, b.id AS doc_b,
          a.head AS head_a, b.head AS head_b
   FROM d a JOIN d b ON a.id < b.id
-  WHERE a.L < 10 AND b.L < 10 AND (a.L < 7 OR b.L < 7)
+  WHERE a.slen < 10 AND b.slen < 10
+    AND (a.slen < 7 OR b.slen < 7)
 )
 SELECT DISTINCT doc_a, doc_b,
        CAST(levenshtein(head_a, head_b) AS BIGINT) AS edit_dist

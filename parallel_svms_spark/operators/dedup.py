@@ -772,40 +772,49 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
     """PassJoin segment blocking (Li, Deng, Feng — VLDB 2011;
     VERDICT r6 #7): edit-distance pairs over the ``verify_chars``
     lowercased head window with FULL recall on that window — the
-    exact filter ``editdist_near_dups``' prefix blocking trades away
+    exact filter ``editdist_near_dups``\' prefix blocking trades away
     (a prefix edit can never escape this blocking).
 
     Pigeonhole: partition a string into q = max_dist+1 contiguous
     segments; ≤ max_dist edits can destroy at most max_dist of them,
-    so if ed(A, B) ≤ max_dist at least one of B's segments survives
+    so if ed(A, B) ≤ max_dist at least one of B\'s segments survives
     VERBATIM inside A, shifted by at most max_dist positions. So the
-    index side emits each doc's q segments keyed by (own_len, seg_ix,
+    index side emits each doc\'s q segments keyed by (own_len, seg_ix,
     seg_text); the probe side emits, for every candidate partner
-    length l ∈ [L−τ, L+τ] and every shift δ ∈ [−τ, τ], its own
-    substring at B's segment geometry — and candidates are ONE
-    equi-join on (l, seg_ix, text). Heads shorter than q + τ chars
-    cannot be segmented q ways (empty segments would match
-    everything) and fall into a single tiny short-block bucket,
-    verified exhaustively — full recall holds unconditionally.
+    length plen ∈ [slen−τ, slen+τ] and every shift δ in the
+    multi-match-aware window, its own substring at B\'s segment
+    geometry — and candidates are ONE equi-join on (plen, seg_ix,
+    text). Heads shorter than q + τ chars cannot be segmented q ways
+    (empty segments would match everything) and fall into a single
+    tiny short-block bucket, verified exhaustively — full recall
+    holds unconditionally.
 
-    Scale shape: signature rows are LINEAR in the corpus — ~84
-    probe rows/doc at τ=3 after the multi-match-aware window (each
-    ≤ ~100 B) — and the join is a plain hash equi-join on the
-    segment key; no all-pairs stage anywhere. ~50× more signature
-    rows than prefix blocking buys recall 1.0 on the head window
-    (measured, RECALL.md). The window: edits strictly before the
-    matched segment shift its copy by |δ| ≤ e_before, edits after
-    must absorb the remaining length change |Δ−δ| ≤ e_after, and
+    The multi-match-aware window (Li et al. §4.2 made explicit):
+    edits strictly before the matched segment shift its copy by
+    |δ| ≤ e_before; edits after must absorb the remaining length
+    change |Δ−δ| ≤ e_after (Δ = own_len − partner_len); and
     e_before + e_after ≤ τ since the segment itself is edit-free —
-    so probes with |δ| + |Δ−δ| > τ are provably dead (the Li et al.
-    multi-match-aware selection; 1.8× measured over the naive ±τ
-    window at identical output). Verification is Spark's built-in
-    JVM ``levenshtein`` on the deduplicated candidate set.
+    so probes with |δ| + |Δ−δ| > τ are provably dead. 1.8× measured
+    over the naive ±τ window at identical output, ~84 probe rows/doc
+    at τ=3.
 
-    DuckDB oracle: full recall means the oracle is the EXHAUSTIVE
-    self-join (every head pair with levenshtein ≤ max_dist) — the
-    operator is checked against the ground truth itself, not against
-    a replayed blocking.
+    Scale shape: signature rows are LINEAR in the corpus (each
+    ≤ ~100 B) and the join is a plain hash equi-join on the segment
+    key; no all-pairs stage anywhere. ~50× more signature rows than
+    prefix blocking buys recall 1.0 on the head window (measured,
+    RECALL.md). Verification is Spark\'s built-in JVM ``levenshtein``
+    on the deduplicated candidate set.
+
+    Column-naming note: Spark and DuckDB both resolve column names
+    CASE-INSENSITIVELY, so own-length and partner-length must differ
+    in more than case — an earlier `L`/`l` pair silently collapsed
+    into one column in both engines (each resolving the ambiguity
+    differently — caught by the sf0.1 scale-drift selfcheck) —
+    hence ``slen``/``plen``.
+
+    DuckDB oracle: full recall means the oracle is checked pair-set-
+    equal to the EXHAUSTIVE truth in pytest; the committed SQL
+    replays the identical segment arithmetic for hash equality.
     """
     tau = int(max_dist)
     q = tau + 1
@@ -813,50 +822,43 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
     docs = documents.select(
         F.col(id_col).alias("id"),
         F.substring(norm, 1, int(verify_chars)).alias("head"))
-    docs = docs.withColumn("L", F.length("head"))
+    docs = docs.withColumn("slen", F.length("head"))
 
-    base = F.expr(f"l DIV {q}")
-    rem = F.col("l") % q
+    base = F.expr(f"plen DIV {q}")
+    rem = F.col("plen") % q
     seg_len = base + F.when(F.col("i") >= q - rem, 1).otherwise(0)
     seg_start = F.col("i") * base + F.greatest(
         F.col("i") - (q - rem), F.lit(0))
 
-    # index side: each doc's own q segments under ITS length geometry
-    idx = (docs.filter(F.col("L") >= q + tau)
-           .withColumn("l", F.col("L"))
+    # index side: each doc\'s own q segments under ITS length geometry
+    idx = (docs.filter(F.col("slen") >= q + tau)
+           .withColumn("plen", F.col("slen"))
            .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(q - 1))))
-           .select("id", "head", "l", "i",
+           .select("id", "head", "plen", "i",
                    F.substring(F.col("head"), seg_start + 1, seg_len)
                    .alias("seg")))
     # probe side: my substrings at every partner-length geometry and
     # every in-window shift
-    probe = (docs.filter(F.col("L") >= q + tau)
-             .withColumn("l", F.explode(F.sequence(
-                 F.col("L") - tau, F.col("L") + tau)))
-             .filter(F.col("l") >= q + tau)
+    probe = (docs.filter(F.col("slen") >= q + tau)
+             .withColumn("plen", F.explode(F.sequence(
+                 F.col("slen") - tau, F.col("slen") + tau)))
+             .filter(F.col("plen") >= q + tau)
              .withColumn("i", F.explode(F.sequence(F.lit(0),
                                                    F.lit(q - 1))))
              .withColumn("s", F.explode(F.sequence(
                  seg_start - tau, seg_start + tau)))
              .filter((F.col("s") >= 0)
-                     & (F.col("s") + seg_len <= F.col("L"))
-                     # multi-match-aware window (Li et al. §4.2 made
-                     # explicit): with the matched segment edit-free,
-                     # |δ| ≤ edits-before and |Δ−δ| ≤ edits-after,
-                     # and the two budgets share τ — so any δ with
-                     # |δ| + |Δ−δ| > τ cannot come from a ≤τ-edit
-                     # alignment. Provably recall-free-lossless
-                     # (brute-force-pinned) and cuts the probe factor
-                     # (2τ+1) → ~τ per (l, i): Δ=0 keeps δ∈{−1,0,1}.
+                     & (F.col("s") + seg_len <= F.col("slen"))
+                     # |δ| + |Δ−δ| ≤ τ — see docstring
                      & (F.abs(F.col("s") - seg_start)
-                        + F.abs((F.col("L") - F.col("l"))
+                        + F.abs((F.col("slen") - F.col("plen"))
                                 - (F.col("s") - seg_start))
                         <= tau))
              .select(F.col("id").alias("pid"),
-                     F.col("head").alias("phead"), "l", "i",
+                     F.col("head").alias("phead"), "plen", "i",
                      F.substring(F.col("head"), F.col("s") + 1, seg_len)
                      .alias("seg")))
-    cands = (probe.join(idx, ["l", "i", "seg"])
+    cands = (probe.join(idx, ["plen", "i", "seg"])
              .filter(F.col("pid") != F.col("id"))
              .select(F.least("pid", "id").alias("doc_a"),
                      F.greatest("pid", "id").alias("doc_b"),
@@ -874,18 +876,18 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
     # ed <= tau, so pairing only length-compatible buckets keeps full
     # recall while avoiding a nested-loop inequality join; the b-side
     # explodes its tau-window of lengths (the neighbor-band pattern).
-    short = docs.filter(F.col("L") < q + 2 * tau)
+    short = docs.filter(F.col("slen") < q + 2 * tau)
     sa = short.select(F.col("id").alias("doc_a"),
                       F.col("head").alias("head_a"),
-                      F.col("L").alias("la"),
-                      F.col("L").alias("g"))
+                      F.col("slen").alias("la"),
+                      F.col("slen").alias("g"))
     sb = (short
           .withColumn("g", F.explode(F.sequence(
-              F.greatest(F.col("L") - tau, F.lit(0)),
-              F.col("L") + tau)))
+              F.greatest(F.col("slen") - tau, F.lit(0)),
+              F.col("slen") + tau)))
           .select(F.col("id").alias("doc_b"),
                   F.col("head").alias("head_b"),
-                  F.col("L").alias("lb"), "g"))
+                  F.col("slen").alias("lb"), "g"))
     short_pairs = (sa.join(sb, "g")
                    .filter((F.col("doc_a") < F.col("doc_b"))
                            & ((F.col("la") < q + tau)
