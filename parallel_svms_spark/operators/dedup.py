@@ -768,7 +768,11 @@ def exact_dedup_keys_normalized(documents: DataFrame) -> DataFrame:
 def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
                             verify_chars: int = 64,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            max_dup_group: int | None = 10_000,
+                            max_segment_group: int | None = 1024,
+                            max_short_bucket: int | None = 4096
+                            ) -> DataFrame:
     """PassJoin segment blocking (Li, Deng, Feng — VLDB 2011;
     VERDICT r6 #7): edit-distance pairs over the ``verify_chars``
     lowercased head window with FULL recall on that window — the
@@ -805,6 +809,43 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
     RECALL.md). Verification is Spark\'s built-in JVM ``levenshtein``
     on the deduplicated candidate set.
 
+    Degenerate-input bounds (VERDICT r7 #1 — the prefix mode\'s
+    ``max_block`` contract applied to this blocking\'s three hotspot
+    shapes; each cap is a documented recall/shape trade, default ON,
+    and a provable no-op when no group exceeds it):
+
+    1. **Exact-duplicate head pre-collapse** (always on): blocking
+       runs over DISTINCT heads only — one representative (min id)
+       per head group. A boilerplate corpus where millions of docs
+       share one head contributes ONE signature set instead of
+       millions landing on a single segment-join task. Intra-group
+       pairs are distance-0 *by construction* and are emitted by
+       formula (a bounded self-join on the group key), never through
+       the segment join; rep-level matches expand back to member
+       pairs by two id-keyed joins whose output is exactly the true
+       pair set. Value-identical to the uncollapsed join (equality
+       pytest) — this is a plan change, not a semantics change.
+    2. ``max_dup_group``: a duplicate-head group larger than the cap
+       has a genuinely quadratic true pair set (C(n,2) distance-0
+       pairs). Above the cap the group degrades to a STAR — rep
+       paired with every member (n−1 rows, same connected component,
+       so downstream ``dedup_clusters`` carves identically) — and
+       only the rep represents the group in cross-group pairs.
+    3. ``max_segment_group``: index-side segment keys ``(plen, i,
+       seg)`` shared by more than the cap\'s worth of DISTINCT heads
+       (non-identical boilerplate) are dropped before the join — the
+       hot key never reaches a reducer. A pair whose only surviving
+       segment match was dropped is missed (recall trade; full
+       recall still holds for every pair untouched by a capped key).
+    4. ``max_short_bucket``: length classes in the short-head
+       fallback (heads too short to segment q ways) with more
+       distinct heads than the cap are excluded from the all-pairs
+       stage — the empty/"ok"/"null" crawl-junk population collapses
+       to a handful of distinct heads via (1), so this cap only
+       fires on adversarial distinct-short-string corpora.
+
+    Set any cap to ``None`` to restore the unbounded behavior.
+
     Column-naming note: Spark and DuckDB both resolve column names
     CASE-INSENSITIVELY, so own-length and partner-length must differ
     in more than case — an earlier `L`/`l` pair silently collapsed
@@ -819,10 +860,20 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
     tau = int(max_dist)
     q = tau + 1
     norm = F.lower(F.col(text_col))
-    docs = documents.select(
+    all_docs = (documents.select(
         F.col(id_col).alias("id"),
         F.substring(norm, 1, int(verify_chars)).alias("head"))
-    docs = docs.withColumn("slen", F.length("head"))
+        # null text never pairs (levenshtein(null, ·) is null) — drop
+        # it BEFORE the collapse so a null group can't emit intra
+        # distance-0 pairs the uncollapsed join never produced
+        .filter(F.col("head").isNotNull()))
+    # (1) exact-duplicate head pre-collapse: blocking sees one rep
+    # (min id) per distinct head; gn carries the group size for the
+    # max_dup_group degrade decision
+    groups = (all_docs.groupBy("head")
+              .agg(F.min("id").alias("rid"), F.count("*").alias("gn")))
+    docs = (groups.select(F.col("rid").alias("id"), "head")
+            .withColumn("slen", F.length("head")))
 
     base = F.expr(f"plen DIV {q}")
     rem = F.col("plen") % q
@@ -837,6 +888,16 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
            .select("id", "head", "plen", "i",
                    F.substring(F.col("head"), seg_start + 1, seg_len)
                    .alias("seg")))
+    if max_segment_group is not None:
+        # (3) drop segment keys hotter than the cap BEFORE the join —
+        # the anti-join's build side is only the hot keys (few by
+        # definition), so it broadcasts
+        hot = (idx.groupBy("plen", "i", "seg")
+               .agg(F.count("*").alias("__n"))
+               .filter(F.col("__n") > int(max_segment_group))
+               .select("plen", "i", "seg"))
+        idx = idx.join(F.broadcast(hot), ["plen", "i", "seg"],
+                       "left_anti")
     # probe side: my substrings at every partner-length geometry and
     # every in-window shift
     probe = (docs.filter(F.col("slen") >= q + tau)
@@ -877,6 +938,16 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
     # recall while avoiding a nested-loop inequality join; the b-side
     # explodes its tau-window of lengths (the neighbor-band pattern).
     short = docs.filter(F.col("slen") < q + 2 * tau)
+    if max_short_bucket is not None:
+        # (4) exclude length classes with more DISTINCT heads than
+        # the cap from the all-pairs fallback (documented recall
+        # trade; a no-op unless an adversarial corpus floods a short
+        # length with distinct strings)
+        okl = (short.groupBy("slen")
+               .agg(F.count("*").alias("__n"))
+               .filter(F.col("__n") <= int(max_short_bucket))
+               .select("slen"))
+        short = short.join(F.broadcast(okl), "slen", "left_semi")
     sa = short.select(F.col("id").alias("doc_a"),
                       F.col("head").alias("head_a"),
                       F.col("slen").alias("la"),
@@ -893,11 +964,52 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
                            & ((F.col("la") < q + tau)
                               | (F.col("lb") < q + tau)))
                    .select("doc_a", "doc_b", "head_a", "head_b"))
-    return (cands.unionByName(short_pairs).distinct()
-            .withColumn("edit_dist",
-                        F.levenshtein("head_a", "head_b").cast("long"))
-            .filter(F.col("edit_dist") <= tau)
-            .select("doc_a", "doc_b", "edit_dist"))
+    rep_pairs = (cands.unionByName(short_pairs).distinct()
+                 .withColumn("edit_dist",
+                             F.levenshtein("head_a", "head_b")
+                             .cast("long"))
+                 .filter(F.col("edit_dist") <= tau)
+                 .select("doc_a", "doc_b", "edit_dist"))
+    # expansion back from reps to members. memb = (id, rid, gn);
+    # cross-group pairs replicate a rep-level match to every member
+    # of both groups (output-bound — exactly the true pair set);
+    # above max_dup_group only the rep represents its group
+    memb = all_docs.join(groups.select("head", "rid", "gn"), "head")
+    if max_dup_group is not None:
+        inter_m = memb.filter((F.col("gn") <= int(max_dup_group))
+                              | (F.col("id") == F.col("rid")))
+    else:
+        inter_m = memb
+    inter = (rep_pairs
+             .join(inter_m.select(F.col("rid").alias("doc_a"),
+                                  F.col("id").alias("xa")), "doc_a")
+             .join(inter_m.select(F.col("rid").alias("doc_b"),
+                                  F.col("id").alias("xb")), "doc_b")
+             .select(F.least("xa", "xb").alias("doc_a"),
+                     F.greatest("xa", "xb").alias("doc_b"),
+                     "edit_dist"))
+    # intra-group distance-0 pairs by formula: a bounded self-join on
+    # the group key for groups within the cap; a star (rep→member,
+    # n−1 rows, same connected component) above it
+    zero = F.lit(0).cast("long").alias("edit_dist")
+    dups = memb.filter(F.col("gn") >= 2).select("id", "rid", "gn")
+    if max_dup_group is not None:
+        small = dups.filter(F.col("gn") <= int(max_dup_group))
+        star = (dups.filter((F.col("gn") > int(max_dup_group))
+                            & (F.col("id") != F.col("rid")))
+                .select(F.col("rid").alias("doc_a"),
+                        F.col("id").alias("doc_b"), zero))
+    else:
+        small, star = dups, None
+    intra = (small.select("rid", F.col("id").alias("doc_a"))
+             .join(small.select("rid", F.col("id").alias("doc_b")),
+                   "rid")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", zero))
+    out = inter.unionByName(intra)
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 def editdist_near_dups(documents: DataFrame, max_dist: int = 3,
@@ -947,7 +1059,10 @@ def editdist_near_dups(documents: DataFrame, max_dist: int = 3,
     PassJoin pigeonhole segment scheme (``editdist_passjoin_pairs``)
     — FULL recall on the head window, ~100× more signature rows;
     ``block_prefix``/``length_band``/``max_block`` are prefix-mode
-    parameters and are ignored there.
+    parameters and are ignored there (the passjoin mode carries its
+    own degenerate-input caps — ``max_dup_group`` /
+    ``max_segment_group`` / ``max_short_bucket``, see
+    ``editdist_passjoin_pairs`` — call it directly to tune them).
     """
     if blocking == "passjoin":
         return editdist_passjoin_pairs(documents, max_dist,

@@ -318,3 +318,124 @@ def test_editdist_unknown_blocking_raises(docs):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="blocking"):
         D.editdist_near_dups(docs, blocking="soundex")
+
+
+def _planted_boilerplate(spark, n_dup=200, n_junk=200, n_norm=8):
+    """VERDICT r7 #1's degenerate corpus: a big exact-duplicate-head
+    block (boilerplate), a short-junk population, a few normal docs."""
+    tail = "the quick brown fox jumps over the lazy dog " * 3
+    rows = ([(i, "BOILERPLATE LICENSE HEADER do not remove " + tail)
+             for i in range(n_dup)]
+            + [(10_000 + i, ["", "ok", "null", "n/a"][i % 4])
+               for i in range(n_junk)]
+            + [(20_000 + i, f"normal document number {i} " + tail)
+               for i in range(n_norm)])
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_editdist_passjoin_boilerplate_bounded(spark):
+    """VERDICT r7 #1 done-criterion: on the planted boilerplate
+    corpus, no segment-join key carries more rows than the cap — the
+    duplicate-head block collapses to ONE representative before
+    blocking, so the join-side group sizes are bounded by construction
+    regardless of duplication factor."""
+    df = _planted_boilerplate(spark)
+    got = D.editdist_passjoin_pairs(df)
+    # (a) the blocking index never sees the duplicates: rebuild the
+    # index-side frame the operator builds and assert every
+    # (plen, i, seg) group is tiny (the 200-dup block contributes 1)
+    tau, q, vc = 3, 4, 64
+    heads = (df.select(F.substring(F.lower("text"), 1, vc).alias("head"))
+             .groupBy("head").count())
+    assert heads.agg(F.max("count")).first()[0] == 200
+    reps = heads.select("head").withColumn("slen", F.length("head"))
+    base = F.expr(f"plen DIV {q}")
+    rem = F.col("plen") % q
+    seg_len = base + F.when(F.col("i") >= q - rem, 1).otherwise(0)
+    seg_start = F.col("i") * base + F.greatest(
+        F.col("i") - (q - rem), F.lit(0))
+    idx = (reps.filter(F.col("slen") >= q + tau)
+           .withColumn("plen", F.col("slen"))
+           .withColumn("i", F.explode(F.sequence(F.lit(0),
+                                                 F.lit(q - 1))))
+           .select("plen", "i",
+                   F.substring(F.col("head"), seg_start + 1, seg_len)
+                   .alias("seg")))
+    max_key = (idx.groupBy("plen", "i", "seg").count()
+               .agg(F.max("count")).first()[0])
+    # the 200-dup block contributes ONE row per key; the residual
+    # hotness is the 8 distinct normal docs sharing their non-digit
+    # segments — bounded by the distinct-head count, not the corpus
+    assert max_key <= 8, "post-collapse segment keys must be tiny"
+    # (b) the emitted pair set is still the exhaustive truth: 200
+    # boilerplate docs -> C(200,2) d=0 pairs; junk collapses to 4
+    # distinct heads whose intra pairs are d=0 and whose cross pairs
+    # verify by levenshtein
+    import itertools
+    rows = df.select(
+        "doc_id", F.substring(F.lower("text"), 1, vc).alias("h")
+    ).collect()
+    want = set()
+    for ra, rb in itertools.combinations(rows, 2):
+        if abs(len(ra.h) - len(rb.h)) <= 3 \
+                and _serial_levenshtein(ra.h, rb.h) <= 3:
+            a, b = sorted((ra.doc_id, rb.doc_id))
+            want.add((a, b))
+    got_pairs = {(r.doc_a, r.doc_b) for r in got.collect()}
+    assert got_pairs == want
+
+
+def test_editdist_passjoin_dup_cap_star_degrade(spark):
+    """Above max_dup_group a duplicate-head group degrades to a STAR
+    (rep->member, n-1 distance-0 rows) instead of C(n,2) pairs — the
+    connected component is identical, the row count is linear."""
+    df = _planted_boilerplate(spark, n_dup=50, n_junk=0, n_norm=0)
+    full = D.editdist_passjoin_pairs(df).collect()
+    assert len(full) == 50 * 49 // 2
+    assert all(r.edit_dist == 0 for r in full)
+    capped = D.editdist_passjoin_pairs(df, max_dup_group=10).collect()
+    assert len(capped) == 49  # star: rep paired with every member
+    assert all(r.doc_a == 0 and r.edit_dist == 0 for r in capped)
+    # same connected component either way
+    nodes = {x for r in capped for x in (r.doc_a, r.doc_b)}
+    assert nodes == set(range(50))
+
+
+def test_editdist_passjoin_segment_cap_documented_drop(spark):
+    """max_segment_group drops hotter-than-cap segment keys (recall
+    trade, prefix-mode max_block contract): DISTINCT heads sharing a
+    segment stop pairing when the key is capped away, while pairs
+    untouched by the hot key survive."""
+    # 30 distinct heads sharing segments (same text, distinct suffix
+    # digit patterns beyond the verify window won't help: vary INSIDE)
+    rows = [(i, f"shared boilerplate prefix text block nr {i:04d} pad")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.editdist_passjoin_pairs(df).count()
+    assert uncapped > 0
+    capped = D.editdist_passjoin_pairs(df, max_segment_group=2).count()
+    assert capped < uncapped
+
+
+def test_editdist_passjoin_short_bucket_cap(spark):
+    """max_short_bucket excludes a flooded short length class from
+    the all-pairs fallback while keeping smaller classes intact."""
+    rows = ([(i, f"ab{chr(99 + i % 20)}{i:03d}") for i in range(40)]
+            + [(100, "xy"), (101, "xz")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.editdist_passjoin_pairs(df, max_short_bucket=10)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in got          # small class (len 2) survives
+    assert not any(a < 100 and b < 100 for a, b in got), \
+        "flooded len-6 class must be excluded by the cap"
+
+
+def test_editdist_passjoin_null_text_excluded(spark):
+    """Null-text docs never pair (pre-collapse must not turn the null
+    group into intra distance-0 pairs the uncollapsed join never
+    produced)."""
+    rows = [(1, None), (2, None), (3, "hello world"), (4, "hello world")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b, r.edit_dist)
+           for r in D.editdist_passjoin_pairs(df).collect()}
+    assert got == {(3, 4, 0)}
