@@ -564,6 +564,7 @@ _QKEY_ORDER = [
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob", "compression_profile",
     "quality_quantile_norm", "term_postings", "tokenize_bpe",
+    "bpe_encode",
     "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
     "compaction_roundtrip", "csv_roundtrip", "split_roundtrip",
     "evolve_roundtrip", "bucketed_join", "merge_survivorship",
@@ -962,6 +963,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus's own md5 sample, broadcast-applied (golden-literal
         # oracle — greedy merging has no SQL twin; VERDICT r6 #5)
         "tokenize_bpe": lambda s, d: BP.tokenize_bpe(
+            load_table(s, d, "documents")),
+        # token-ID emission under the same frozen-artifact machinery:
+        # pos_sum pins every id AND its position, docw_sum the per-doc
+        # attribution (golden-literal oracle; VERDICT r7 #2)
+        "bpe_encode": lambda s, d: BP.bpe_encode(
             load_table(s, d, "documents")),
         # zlib compressibility rollup (the one justified Python hop
         # in the text family; golden-literal oracle)
@@ -3464,11 +3470,25 @@ _BPE_GOLDEN_TYPES: dict[str, dict[str, str]] = {
                      "idsum": "BIGINT"},
 }
 
+# bpe_encode (operators/bpe.py): per-source rollup of token-ID
+# sequences under the frozen artifact — pos_sum = ΣΣ (k+1)·ids[k]
+# pins every id and its position; docw_sum = Σ doc_id·Σids the per-doc
+# attribution. Deterministic for the same reason tokenize_bpe is.
+_BPE_ENCODE_GOLDEN_TYPES: dict[str, dict[str, str]] = {
+    "bpe_encode": {"source": "VARCHAR", "n_docs": "BIGINT",
+                   "sum_tokens": "BIGINT", "id_sum": "BIGINT",
+                   "pos_sum": "BIGINT", "docw_sum": "BIGINT"},
+}
+
 
 def _bpe_golden_oracles() -> dict[str, str]:
-    """Golden-literal oracle for the BPE tokenizer rollup; see
-    _BPE_GOLDEN_TYPES and tools/record_goldens.py."""
-    return _golden_literal_oracles("tokenize_bpe", _BPE_GOLDEN_TYPES)
+    """Golden-literal oracles for the BPE tokenizer rollups (counts
+    AND ids); see _BPE_GOLDEN_TYPES / _BPE_ENCODE_GOLDEN_TYPES and
+    tools/record_goldens.py."""
+    out = _golden_literal_oracles("tokenize_bpe", _BPE_GOLDEN_TYPES)
+    out.update(_golden_literal_oracles("bpe_encode",
+                                       _BPE_ENCODE_GOLDEN_TYPES))
+    return out
 
 
 # DuckDB twin of operators/text.lang_id: same marker sets, same
@@ -3497,7 +3517,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 152 per-operator qkeys, 100 could never get a
+# time budget). With 153 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3767,6 +3787,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                      "cast(floor(nll2*1000) as bigint)")]),
         ("tokenize_bpe", ["sum(sum_tokens + max_tokens)", "sum(idsum)",
                           _rowhash("length(source)*1000000 + sum_tokens")]),
+        ("bpe_encode", ["sum(sum_tokens + id_sum)", "sum(pos_sum)",
+                        _rowhash("docw_sum + n_docs")]),
     ],
     "roundtrip_suite": [
         ("jsonl_roundtrip", ["sum(n_docs)",
@@ -3991,7 +4013,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 152 per-operator
+    per-round correctness budget), covering all 153 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

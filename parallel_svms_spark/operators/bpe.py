@@ -39,16 +39,24 @@ from pyspark.sql import functions as F
 EOW = "</w>"  # end-of-word marker, its own symbol (train == encode)
 
 
-def bpe_train_merges(documents: DataFrame, n_merges: int = 200,
-                     sample_rows: int = 2048, text_col: str = "text",
-                     id_col: str = "doc_id") -> list[tuple[str, str]]:
-    """Learn a merge table from a deterministic corpus sample.
+UNK = "<unk>"  # reserved id 0: encode-time chars outside the alphabet
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 200,
+              sample_rows: int = 2048, text_col: str = "text",
+              id_col: str = "doc_id") -> dict:
+    """Learn the committed vocabulary ARTIFACT from a deterministic
+    corpus sample: ``{'merges': [(a, b), ...], 'alphabet': [chars]}``.
 
     Greedy BPE over whitespace words (the same split as
     ``dedup.tokens_col``): start from characters + ``EOW``, repeatedly
     merge the most frequent adjacent symbol pair (ties broken
-    lexicographically smallest — determinism, not linguistics).
-    Returns the ordered merge list; order IS the rank table.
+    lexicographically smallest — determinism, not linguistics). The
+    merge list order IS the rank table; the alphabet (every character
+    seen in the sample, sorted) freezes the base symbol set so the
+    id assignment (``bpe_symbol_ids``) is a pure function of the
+    artifact — day-N+1 batches encode under day-N ids without the
+    day-N corpus (``bpe_save_vocab``/``bpe_load_vocab``).
 
     The sample is the first ``sample_rows`` documents by
     md5(``id_col``) — stable under corpus growth in distribution and
@@ -64,6 +72,7 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 200,
     for r in sample:
         for w in (r.t or "").split():
             wc[w] += 1
+    alphabet = sorted({c for w in wc for c in w})
     vocab: dict[tuple[str, ...], int] = {
         tuple(list(w) + [EOW]): c for w, c in wc.items()}
     merges: list[tuple[str, str]] = []
@@ -91,7 +100,57 @@ def bpe_train_merges(documents: DataFrame, n_merges: int = 200,
                     i += 1
             nv[tuple(out)] = nv.get(tuple(out), 0) + c
         vocab = nv
-    return merges
+    return {"merges": merges, "alphabet": alphabet}
+
+
+def bpe_train_merges(documents: DataFrame, n_merges: int = 200,
+                     sample_rows: int = 2048, text_col: str = "text",
+                     id_col: str = "doc_id") -> list[tuple[str, str]]:
+    """Merge-table-only view of ``bpe_train`` (the original r7
+    surface, kept for the count-budget consumers — ``pack_shards``,
+    ``padding_stats`` — that never need ids)."""
+    return bpe_train(documents, n_merges, sample_rows,
+                     text_col, id_col)["merges"]
+
+
+def bpe_symbol_ids(artifact: dict) -> dict[str, int]:
+    """The frozen symbol→id table: a pure function of the artifact,
+    so two sessions (or two days) holding the same committed vocab
+    assign identical ids. Layout: ``UNK``=0, ``EOW``=1, then the
+    sorted base alphabet, then one id per merge in rank order (the
+    GPT-2 vocab convention). A string produced by two different merge
+    paths keeps its first id (dedupe preserves order)."""
+    syms = [UNK, EOW] + list(artifact["alphabet"]) + [
+        a + b for a, b in artifact["merges"]]
+    ids: dict[str, int] = {}
+    for s in syms:
+        if s not in ids:
+            ids[s] = len(ids)
+    return ids
+
+
+def bpe_save_vocab(artifact: dict, path: str) -> None:
+    """Persist the committed vocabulary as a tiny JSON artifact (the
+    ``minhash_band_index`` lifecycle applied to the tokenizer: train
+    once, commit, every later batch encodes under the frozen file).
+    The artifact is a few KB — a driver-side file by design, like any
+    shipped tokenizer vocab."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"merges": [list(p) for p in artifact["merges"]],
+                   "alphabet": list(artifact["alphabet"])}, f)
+
+
+def bpe_load_vocab(path: str) -> dict:
+    """Load a ``bpe_save_vocab`` artifact; tuples restored so
+    ``bpe_symbol_ids``/``bpe_token_count`` consume it unchanged."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    return {"merges": [tuple(p) for p in raw["merges"]],
+            "alphabet": list(raw["alphabet"])}
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]
@@ -157,8 +216,91 @@ def bpe_token_count(documents: DataFrame,
 
     schema_carry = "".join(
         f", {c} {t}" for c, t in documents.select(*carry).dtypes)
+    # id type derives from the input schema (ADVICE r7: a hardcoded
+    # LONG silently Arrow-cast string-keyed corpora)
+    id_type = dict(documents.dtypes)[id_col]
     return documents.select(*cols).mapInPandas(
-        run, schema=f"{id_col} long{schema_carry}, n_tokens long")
+        run, schema=f"{id_col} {id_type}{schema_carry}, n_tokens long")
+
+
+def bpe_encode_ids(documents: DataFrame, artifact: dict,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   carry: tuple[str, ...] = ()) -> DataFrame:
+    """Per-document BPE token-id sequences under a FROZEN artifact —
+    the actual payload of a training shard (``ARRAY<INT>``, not a
+    count; VERDICT r7 #2). Same plan as ``bpe_token_count``: one
+    broadcast (ranks + the symbol→id table, a few KB) + one
+    Arrow-batched map, zero exchange; ``carry`` columns ride the
+    batch. Memoizes word→ids per task (Zipf convergence). Characters
+    outside the committed alphabet encode as ``UNK`` (id 0) — the
+    frozen-vocab contract, pinned in tests/test_bpe.py.
+
+    Output: (``id_col``, carry..., ``ids ARRAY<INT>``) with
+    ``size(ids)`` equal to ``bpe_token_count``'s ``n_tokens`` for the
+    same artifact (pinned in pytest — both run the identical
+    ``encode_word``).
+    """
+    ranks = {tuple(p): i for i, p in enumerate(artifact["merges"])}
+    sym_ids = bpe_symbol_ids(artifact)
+    unk = sym_ids[UNK]
+    bc = documents.sparkSession.sparkContext.broadcast((ranks, sym_ids))
+
+    def run(it):
+        r, sid = bc.value
+        memo: dict[str, list[int]] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            seqs = []
+            for t in pdf[text_col]:
+                ids: list[int] = []
+                for w in (t or "").split():
+                    if w not in memo:
+                        memo[w] = [sid.get(s, unk)
+                                   for s in encode_word(w, r)]
+                    ids.extend(memo[w])
+                seqs.append(ids)
+            out = pdf[[id_col, *carry]].copy()
+            out["ids"] = seqs
+            yield out
+
+    cols = [id_col, text_col, *carry]
+    schema_carry = "".join(
+        f", {c} {t}" for c, t in documents.select(*carry).dtypes)
+    id_type = dict(documents.dtypes)[id_col]
+    return documents.select(*cols).mapInPandas(
+        run, schema=f"{id_col} {id_type}{schema_carry}, ids array<int>")
+
+
+def bpe_encode(documents: DataFrame, n_merges: int = 200,
+               sample_rows: int = 2048) -> DataFrame:
+    """The driver qkey for id emission: train on the corpus's own md5
+    sample, encode every document to id sequences, and roll up per
+    source — (source, n_docs, sum_tokens, id_sum, pos_sum, docw_sum)
+    where ``id_sum`` = ΣΣ ids, ``pos_sum`` = ΣΣ (k+1)·ids[k] pins
+    every id AND its position through the hash, and ``docw_sum`` =
+    Σ doc_id·(Σ ids) pins per-document attribution. Golden-literal
+    oracle (the ``tokenize_bpe`` precedent — greedy merging has no
+    SQL twin, but the output is a pure function of the corpus)."""
+    art = bpe_train(documents, n_merges, sample_rows)
+    per = bpe_encode_ids(documents, art, carry=("source",))
+    idsum = F.aggregate("ids", F.lit(0).cast("long"),
+                        lambda a, x: a + x.cast("long"))
+    possum = F.aggregate(
+        F.transform("ids",
+                    lambda x, i: (i + 1).cast("long") * x.cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    per = per.select(
+        "source", F.col("doc_id"),
+        F.size("ids").cast("long").alias("n_tok"),
+        idsum.alias("ds"), possum.alias("ps"))
+    return (per.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("sum_tokens"),
+                 F.sum("ds").alias("id_sum"),
+                 F.sum("ps").alias("pos_sum"),
+                 F.sum(F.col("doc_id") * F.col("ds"))
+                 .alias("docw_sum")))
 
 
 def tokenize_bpe(documents: DataFrame, n_merges: int = 200,

@@ -185,6 +185,134 @@ def test_streaming_bpe_count_matches_batch(spark, docs, tmp_path):
     assert got == batch
 
 
+def test_bpe_encode_ids_size_matches_count(docs):
+    """VERDICT r7 #2 done-criterion: size(ids) == n_tokens per doc —
+    both paths run the identical encode_word under the same frozen
+    artifact."""
+    art = B.bpe_train(docs, n_merges=20)
+    per = B.bpe_encode_ids(docs, art)
+    cnt = B.bpe_token_count(docs, art["merges"])
+    j = (per.select("doc_id", F.size("ids").alias("sz"))
+         .join(cnt, "doc_id"))
+    assert j.filter(F.col("sz") != F.col("n_tokens")).count() == 0
+    assert j.count() == docs.count()
+
+
+def test_bpe_encode_ids_decode_roundtrip(docs):
+    """Every id decodes back to its symbol (invert bpe_symbol_ids) and
+    the symbols re-join — EOW-stripped — to the original whitespace
+    words: the id sequences are lossless for alphabet-covered text."""
+    art = B.bpe_train(docs, n_merges=20)
+    inv = {i: s for s, i in B.bpe_symbol_ids(art).items()}
+    rows = (B.bpe_encode_ids(docs, art)
+            .join(docs.select("doc_id", "text"), "doc_id")
+            .limit(200).collect())
+    assert rows
+    for r in rows:
+        decoded = "".join(inv[i] for i in r.ids)
+        want = "".join(w + B.EOW for w in (r.text or "").split())
+        assert decoded == want, r.doc_id
+
+
+def test_bpe_symbol_ids_layout_and_determinism(docs):
+    art = B.bpe_train(docs, n_merges=30)
+    ids = B.bpe_symbol_ids(art)
+    assert ids[B.UNK] == 0 and ids[B.EOW] == 1
+    # alphabet then merges, contiguous, duplicates keep first id
+    assert len(ids) <= 2 + len(art["alphabet"]) + len(art["merges"])
+    assert ids == B.bpe_symbol_ids(art)
+
+
+def test_bpe_vocab_save_load_roundtrip(docs, tmp_path):
+    """VERDICT r7 #3: train→save→load→encode must equal the in-memory
+    path exactly — the committed vocabulary is the whole state."""
+    art = B.bpe_train(docs, n_merges=40, sample_rows=512)
+    p = str(tmp_path / "vocab.json")
+    B.bpe_save_vocab(art, p)
+    loaded = B.bpe_load_vocab(p)
+    assert loaded == art
+    a = sorted((r.doc_id, r.ids)
+               for r in B.bpe_encode_ids(docs.limit(50), art).collect())
+    b = sorted((r.doc_id, r.ids)
+               for r in B.bpe_encode_ids(docs.limit(50),
+                                         loaded).collect())
+    assert a == b
+
+
+def test_bpe_two_day_cycle_frozen_vocab(spark, docs, tmp_path):
+    """Day-N vocabulary commits once; day-N+1's batch encodes under
+    the FROZEN file — including characters day N never saw, which map
+    to UNK (id 0) instead of growing the vocab."""
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    art = B.bpe_train(day1, n_merges=40)
+    p = str(tmp_path / "day1_vocab.json")
+    B.bpe_save_vocab(art, p)
+    day2 = spark.createDataFrame(
+        [(900_001, "vector stream ügly ünknown"),
+         (900_002, "filter column")],
+        "doc_id long, text string")
+    frozen = B.bpe_load_vocab(p)
+    rows = {r.doc_id: r.ids
+            for r in B.bpe_encode_ids(day2, frozen).collect()}
+    assert "ü" not in art["alphabet"]
+    assert 0 in rows[900_001]      # unseen char -> UNK under day-1 ids
+    assert 0 not in rows[900_002]  # covered text never emits UNK
+    # and the frozen path equals the in-memory artifact bit-for-bit
+    again = {r.doc_id: r.ids
+             for r in B.bpe_encode_ids(day2, art).collect()}
+    assert rows == again
+
+
+def test_bpe_string_id_corpus(docs):
+    """ADVICE/VERDICT r7 #4: the output id column derives its type
+    from the input schema — a string-keyed corpus round-trips without
+    a silent Arrow cast."""
+    sdocs = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string"))
+        .alias("doc_id"), "text")
+    art = B.bpe_train(sdocs, n_merges=20)
+    cnt = B.bpe_token_count(sdocs, art["merges"])
+    assert dict(cnt.dtypes)["doc_id"] == "string"
+    ids = B.bpe_encode_ids(sdocs, art)
+    assert dict(ids.dtypes)["doc_id"] == "string"
+    r = ids.limit(1).collect()[0]
+    assert r.doc_id.startswith("d")
+
+
+def test_bpe_encode_ids_plan_zero_exchange(docs):
+    art = B.bpe_train(docs, n_merges=20, sample_rows=256)
+    p = (B.bpe_encode_ids(docs, art)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p  # broadcast tables + one Arrow map
+    assert "MapInPandas" in p
+
+
+def test_pack_sequences_bpe_ids_matches_serial(docs):
+    """pack_sequences(tokenizer='bpe') emits the trainer payload:
+    each shard's id arrays concatenated in id order, with
+    size(ids) == n_tokens by construction."""
+    from parallel_svms_spark.operators import sharding as SH
+    art = B.bpe_train(docs, n_merges=20)
+    got = SH.pack_sequences(docs, budget_tokens=2048, tokenizer="bpe",
+                            vocab=art)
+    bad = got.filter(F.size("ids") != F.col("n_tokens")).count()
+    assert bad == 0
+    # serial model: walk docs in id order, same shard rule, concat ids
+    per = {r.doc_id: r.ids
+           for r in B.bpe_encode_ids(docs, art).collect()}
+    run, want = 0, {}
+    for did in sorted(per):
+        s = run // 2048
+        w = want.setdefault(s, [0, 0, []])
+        w[0] += 1
+        w[1] += len(per[did])
+        w[2].extend(per[did])
+        run += len(per[did])
+    assert {r.shard: (r.n_docs, r.n_tokens, list(r.ids))
+            for r in got.collect()} \
+        == {s: (a, b, c) for s, (a, b, c) in want.items()}
+
+
 def test_pack_shards_bpe_budget_matches_serial_model(docs):
     """pack_shards(tokenizer='bpe') must equal the serial greedy walk
     over the per-doc BPE counts in id order — same prefix-sum shard

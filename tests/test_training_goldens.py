@@ -123,12 +123,15 @@ def test_bpe_golden_oracle_types(monkeypatch, sf):
 
     monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", f"/root/testdata/{sf}")
     oracles = entrymod._bpe_golden_oracles()
-    assert sorted(oracles) == ["tokenize_bpe"]
+    assert sorted(oracles) == ["bpe_encode", "tokenize_bpe"]
     con = duckdb.connect()
-    tbl = con.execute(oracles["tokenize_bpe"]).arrow()
-    types = entrymod._BPE_GOLDEN_TYPES["tokenize_bpe"]
     arrow_of = dict(_ARROW_OF, VARCHAR="string")
-    for f in tbl.schema:
-        assert str(f.type) == arrow_of[types[f.name]], (sf, f)
-    assert tbl.num_rows >= 1
+    all_types = dict(entrymod._BPE_GOLDEN_TYPES,
+                     **entrymod._BPE_ENCODE_GOLDEN_TYPES)
+    for qkey in ("tokenize_bpe", "bpe_encode"):
+        tbl = con.execute(oracles[qkey]).arrow()
+        types = all_types[qkey]
+        for f in tbl.schema:
+            assert str(f.type) == arrow_of[types[f.name]], (sf, qkey, f)
+        assert tbl.num_rows >= 1
     con.close()

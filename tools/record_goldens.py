@@ -82,7 +82,7 @@ def main() -> int:
     for sf_name in ns.sf_names:
         sf_dir = f"/root/testdata/{sf_name}"
         qkeys = ML_QKEYS + ["sketch_profile", "compression_profile",
-                            "tokenize_bpe"]
+                            "tokenize_bpe", "bpe_encode"]
         if only:
             unknown = only - set(qkeys)
             if unknown:
@@ -127,6 +127,10 @@ def main() -> int:
             merge_write(REPO / "tests" / "goldens"
                         / f"tokenize_bpe_{sf_name}.json",
                         {"tokenize_bpe": got["tokenize_bpe"]})
+        if "bpe_encode" in got:
+            merge_write(REPO / "tests" / "goldens"
+                        / f"bpe_encode_{sf_name}.json",
+                        {"bpe_encode": got["bpe_encode"]})
     return 0
 
 
