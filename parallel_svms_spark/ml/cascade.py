@@ -46,25 +46,34 @@ def _cap_bucket_rows(df: DataFrame, cap: int) -> DataFrame:
     the cap the layer degrades in ACCURACY (a documented subsample of
     the merged SV set) instead of crashing.
 
-    Selection is a deterministic md5 coin, round-robin STRATIFIED by
-    label: rows rank first within (bucket, label), then across the
-    bucket by that per-class rank — so the kept ``cap`` rows take one
-    row per class per round and no class is starved even when the
-    bucket is 99% one label. Re-runs reproduce the same subsample
-    (hash of vec_id, no RNG state); buckets already at or under the
-    cap pass through IDENTICALLY (every row's rank ≤ cap), so the
-    well-behaved path — real data shedding SVs per layer — never
-    observes the cap.
+    Selection is round-robin STRATIFIED by label: rows rank first
+    within (bucket, label), then across the bucket by that per-class
+    rank — so the kept ``cap`` rows take one row per class per round
+    and no class is starved even when the bucket is 99% one label.
+    WITHIN a class the order is accuracy-aware when the frame carries
+    a ``w`` column (``trainer.svs_pairwise(with_weight=True)``'s
+    max-dual-α): highest-|α| rows — the C-bound and tight-margin rows
+    that actually carry the decision boundary — rank first, so the
+    cap sheds the flattest duals, not a random coin's pick (VERDICT
+    r7 #6). Rows that were never trained (layer-0 input; the narrow
+    fit_buckets path) have no ``w`` and fall back to the
+    deterministic md5 coin. Either way re-runs reproduce the same
+    subsample (hash/dual of vec_id, no RNG state); buckets already at
+    or under the cap pass through IDENTICALLY (every row's rank ≤
+    cap), so the well-behaved path — real data shedding SVs per layer
+    — never observes the cap.
 
     Scale shape: two window passes partitioned by (bucket[, label]) —
     per-task state is one bucket, the same working set the training
     task for that bucket holds anyway; no new exchange class.
     """
     h = F.md5(F.col("vec_id").cast("string"))
+    by_alpha = ([F.col("w").desc_nulls_last()]
+                if "w" in df.columns else [])
     out = (df.withColumn("__h", h)
            .withColumn("__rn", F.row_number().over(
                W.partitionBy("bucket", "label")
-               .orderBy("__h", "vec_id")))
+               .orderBy(*by_alpha, "__h", "vec_id")))
            .withColumn("__rk", F.row_number().over(
                W.partitionBy("bucket")
                .orderBy("__rn", "__h", "vec_id")))
@@ -78,6 +87,7 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
                   checkpoint: bool = True,
                   stats_out: dict | None = None,
                   max_rows_per_bucket: int | None = 20000,
+                  cap_by_weight: bool = True,
                   ) -> tuple[SVCModel, DataFrame]:
     """Train cascade SVM; returns (final model, final SV DataFrame).
 
@@ -86,19 +96,49 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
     entering each layer (and the surviving-SV count after each), the
     observable behind the paper's per-layer SV-shrinkage claim (PDF
     slide 23); costs nothing since the driver loop counts each layer
-    anyway.
+    anyway. When the cap is active, ``stats_out`` additionally
+    receives ``"shed"`` — the rows the cap ACTUALLY dropped per layer
+    (ADVICE r7: callers see when the default changed their result) —
+    at the price of one extra materialization+count per layer, paid
+    only when stats are requested.
 
     ``max_rows_per_bucket`` bounds every layer's per-bucket dual at
     that many rows (see ``_cap_bucket_rows``) — the zero-SV-shedding
     worst case then degrades in accuracy instead of OOMing; at the
     default 20k the largest per-pair kernel is ~(2/N_cls·20k)² doubles
-    (≈128 MB at 10 classes). ``None`` disables the cap (the reference
-    semantics: Lastcascade.java:109-144 retrains whatever survives).
+    (≈128 MB at 10 classes). **NOTE (r7 default change): any caller
+    whose layer buckets exceed 20k rows gets a documented deterministic
+    subsample instead of the full dual** — pass ``None`` to disable the
+    cap (the reference semantics: Lastcascade.java:109-144 retrains
+    whatever survives), and read ``stats_out["shed"]`` to see whether
+    the cap fired at all.
+
+    ``cap_by_weight`` (default True, r8): when a layer will be capped,
+    train it at (bucket × pair) granularity with dual weights
+    (``svs_pairwise(with_weight=True)``) so the cap sheds lowest-|α|
+    rows instead of a blind coin — equal-or-better accuracy at the
+    same cap (measured on the separable fixture, BASELINE.md
+    accuracy-vs-cap table; pinned in tests/test_ml_separable.py).
+    Layer-0 rows are never trained, so the first cap is always the
+    stratified coin. ``False`` restores the pure-coin r7 behavior.
     """
     _validate_k(k)
-    cur = balanced_buckets(df, k)
-    if max_rows_per_bucket is not None:
-        cur = _cap_bucket_rows(cur, max_rows_per_bucket)
+    want_w = max_rows_per_bucket is not None and cap_by_weight
+    track_shed = stats_out is not None and max_rows_per_bucket is not None
+    shed: list[int] = []
+
+    def _cap(frame: DataFrame) -> DataFrame:
+        nonlocal n_pre
+        if max_rows_per_bucket is None:
+            return frame
+        if track_shed:
+            frame = (frame.localCheckpoint() if checkpoint
+                     else frame.cache())
+            n_pre = frame.count()
+        return _cap_bucket_rows(frame, max_rows_per_bucket)
+
+    n_pre = 0
+    cur = _cap(balanced_buckets(df, k))
     # materialize each layer (checkpoint truncates lineage; plain
     # cache otherwise) — the layer row-count drives strategy choice
     # and must not recompute the training lineage
@@ -107,26 +147,35 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
     n_buckets = k
     if stats_out is not None:
         stats_out["layers"] = [(n_buckets, n_rows)]
+        if track_shed:
+            shed.append(n_pre - n_rows)
+            stats_out["shed"] = shed
     while n_buckets > 1:
         # strategy per layer: bucket-granular tasks while the layer is
         # wide (one exchange of each row, plenty of tasks); switch to
         # (bucket × ovo-pair) tasks once buckets are few AND large —
         # the narrow tip otherwise serializes 45 duals inside each of
-        # a handful of tasks while the rest of the cluster idles
+        # a handful of tasks while the rest of the cluster idles.
+        # A layer whose MERGE the cap can shed ALSO goes pairwise when
+        # cap_by_weight: the pair replication buys the per-row duals
+        # that make the shed accuracy-aware instead of a coin. The
+        # merge fuses two ≤per_bucket buckets, so the cap can bind iff
+        # 2·per_bucket > cap — testing per_bucket alone never fires
+        # (the previous cap clamps per_bucket to ≤cap exactly)
         per_bucket = n_rows / n_buckets
-        if per_bucket > 3000:
+        if per_bucket > 3000 or (want_w
+                                 and 2 * per_bucket > max_rows_per_bucket):
             svs = trainer.svs_pairwise(cur, C=C, gamma=gamma,
-                                       kernel=kernel)
+                                       kernel=kernel,
+                                       with_weight=want_w)
         else:
             svs = trainer.svs_only(
                 trainer.fit_buckets(cur, C=C, gamma=gamma, kernel=kernel,
                                     k=n_buckets))
-        cur = svs.withColumn("bucket",
-                             F.floor(F.col("bucket") / 2).cast("int"))
-        if max_rows_per_bucket is not None:
-            # re-cap after the pair-merge: two ≤cap buckets fused into
-            # one ≤2·cap bucket shrink back to ≤cap before training
-            cur = _cap_bucket_rows(cur, max_rows_per_bucket)
+        # re-cap after the pair-merge: two ≤cap buckets fused into
+        # one ≤2·cap bucket shrink back to ≤cap before training
+        cur = _cap(svs.withColumn(
+            "bucket", F.floor(F.col("bucket") / 2).cast("int")))
         # truncate lineage between layers (the reference got this
         # implicitly by materializing each job to HDFS)
         cur = cur.localCheckpoint() if checkpoint else cur.cache()
@@ -134,6 +183,8 @@ def cascade_train(df: DataFrame, k: int, C: float = 1.0,
         n_buckets //= 2
         if stats_out is not None:
             stats_out["layers"].append((n_buckets, n_rows))
+            if track_shed:
+                shed.append(n_pre - n_rows)
     # final retrain on surviving SVs (Lastcascade.java:109-144). The
     # reference runs this in ONE reducer — the serial tail of Cascade
     # SVM. Past ~5k surviving SVs the N(N−1)/2 one-vs-one duals are

@@ -195,7 +195,7 @@ def fit_global_distributed(df: DataFrame, C: float = 1.0,
 def svs_pairwise(df: DataFrame, C: float = 1.0,
                  gamma: float | None = None, kernel: str = "rbf",
                  eps: float = 1e-3, classes: list[int] | None = None,
-                 ) -> DataFrame:
+                 with_weight: bool = False) -> DataFrame:
     """SV extraction with (bucket × one-vs-one pair) task granularity.
 
     ``fit_buckets`` solves a bucket's N(N−1)/2 one-vs-one duals
@@ -214,6 +214,13 @@ def svs_pairwise(df: DataFrame, C: float = 1.0,
     dual (smo.train_svc's sv_mask) — so dropDuplicates over the
     per-pair nonzero rows reproduces fit_buckets' SV output exactly
     (modulo per-pair-kernel float noise, as fit_global_distributed).
+
+    ``with_weight=True`` additionally emits ``w`` — each SV's largest
+    dual α across its pairs (the margin-importance signal: C-bound
+    rows and tight-margin rows carry the decision boundary) — and the
+    per-pair dedup becomes a max-w aggregation over the SAME row set.
+    ``cascade._cap_bucket_rows`` consumes it to shed lowest-|α| rows
+    first when a layer exceeds the dual cap (VERDICT r7 #6).
     """
     from pyspark.sql import functions as F
     spark = df.sparkSession
@@ -237,18 +244,32 @@ def svs_pairwise(df: DataFrame, C: float = 1.0,
         K = smo.KERNELS[kernel](X, X, g)
         alpha, _ = smo.smo_solve(K, ys, C=C, eps=eps)
         nz = alpha > smo.TAU
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "bucket": pdf["bucket"].to_numpy()[nz],
             "vec_id": pdf["vec_id"].to_numpy()[nz],
             "label": pdf["label"].to_numpy()[nz],
             "embedding": pdf["embedding"].to_numpy()[nz],
         })
+        if with_weight:
+            out["w"] = alpha[nz]
+        return out
 
     n_groups = df.select("bucket").distinct().count() * max(len(pairs), 1)
     rep = rep.repartition(min(4 * n_groups, 1024), "bucket", "pair_id")
-    out = rep.groupBy("bucket", "pair_id").applyInPandas(
-        solve, schema="bucket int, vec_id long, label int, "
-                      "embedding array<float>")
+    schema = ("bucket int, vec_id long, label int, "
+              "embedding array<float>" + (", w double" if with_weight
+                                          else ""))
+    out = rep.groupBy("bucket", "pair_id").applyInPandas(solve,
+                                                         schema=schema)
+    if with_weight:
+        # same row set as the dropDuplicates path (every emitted row
+        # has α > TAU); the dedup doubles as the max-α reduction, and
+        # label/embedding are functionally determined by vec_id
+        return (out.groupBy("bucket", "vec_id")
+                .agg(F.max("w").alias("w"),
+                     F.first("label").alias("label"),
+                     F.first("embedding").alias("embedding"))
+                .select("bucket", "vec_id", "label", "embedding", "w"))
     return out.dropDuplicates(["bucket", "vec_id"])
 
 
