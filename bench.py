@@ -365,9 +365,19 @@ def main() -> int:
                           "file": "BENCH_ALL.json"}))
         return 0
     if stress is not None:
-        with open(os.path.join(here, "BENCH_STRESS.json"), "w") as fh:
-            json.dump({"sf": sf, "probe_sec": probe, "stress": stress},
-                      fh, indent=1, sort_keys=True)
+        # MERGE into the existing artifact: one-off stress blocks
+        # (e.g. stress_20_50_r7) live alongside the per-run refresh
+        # and must survive it (ADVICE r7: a wholesale write dropped
+        # the 50x cascade recording the docs cite)
+        spath = os.path.join(here, "BENCH_STRESS.json")
+        try:
+            with open(spath) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = {}
+        prev.update({"sf": sf, "probe_sec": probe, "stress": stress})
+        with open(spath, "w") as fh:
+            json.dump(prev, fh, indent=1, sort_keys=True)
         out["stress_file"] = "BENCH_STRESS.json"
     line = json.dumps(out)
     if len(line) > 1900:

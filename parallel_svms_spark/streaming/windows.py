@@ -877,6 +877,23 @@ def streaming_bpe_count(stream_docs: DataFrame,
                            id_col=id_col)
 
 
+def streaming_bpe_encode_ids(stream_docs: DataFrame, artifact: dict,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Streaming twin of ``bpe.bpe_encode_ids`` (r8): per-arriving-doc
+    token-ID sequences under a FROZEN committed vocabulary — the
+    continuous-ingest form of shard-payload production. STATELESS and
+    literally shared code, same contract as ``streaming_bpe_count``:
+    a doc's ids depend only on its own text and the broadcast
+    artifact, so replays and micro-batch boundaries cannot flip an
+    id. Load the artifact from the committed file
+    (``bpe.bpe_load_vocab``), never train on the stream — day-N ids
+    must mean the same thing at every micro-batch."""
+    from parallel_svms_spark.operators.bpe import bpe_encode_ids
+    return bpe_encode_ids(stream_docs, artifact, text_col=text_col,
+                          id_col=id_col)
+
+
 def streaming_exact_dedup_normalized(stream: DataFrame,
                                      watermark: str = "2 hours"
                                      ) -> DataFrame:

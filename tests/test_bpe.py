@@ -339,3 +339,40 @@ def test_pack_shards_bpe_budget_matches_serial_model(docs):
                 for r in SH.pack_shards(docs, budget_tokens=2048)
                 .collect())
     assert ws != [(d, s) for d, _, s in got]
+
+
+def test_streaming_bpe_encode_ids_matches_batch(spark, docs, tmp_path):
+    """The id-emission streaming twin (r8) is the batch function
+    verbatim under a frozen artifact — id sequences must agree
+    row-for-row across micro-batch boundaries."""
+    import glob
+    import os
+    import shutil
+
+    from parallel_svms_spark.streaming import windows as SW
+
+    art = B.bpe_train(docs, n_merges=40, sample_rows=512)
+    batch = {r.doc_id: list(r.ids)
+             for r in B.bpe_encode_ids(docs, art).collect()}
+    src = tmp_path / "src"
+    src.mkdir()
+    half = docs.count() // 2
+    docs.filter(F.col("doc_id") < half).select("doc_id", "text") \
+        .coalesce(1).write.parquet(str(src / "a"))
+    docs.filter(F.col("doc_id") >= half).select("doc_id", "text") \
+        .coalesce(1).write.parquet(str(src / "b"))
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, p in enumerate(sorted(glob.glob(f"{src}/*/part-*"))):
+        shutil.copy(p, f"{flat}/{i:04d}.parquet")
+        os.utime(f"{flat}/{i:04d}.parquet", (1000 + i, 1000 + i))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(flat)))
+    feed = SW.streaming_bpe_encode_ids(stream, art)
+    q = (feed.writeStream.outputMode("append")
+         .format("memory").queryName("stream_bpe_ids").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: list(r.ids)
+           for r in spark.sql("SELECT * FROM stream_bpe_ids").collect()}
+    assert got == batch
