@@ -42,7 +42,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # headline set: the curated driver surface (all 50 qkeys — suites
-# union every per-operator query, so this times the full 153-query
+# union every per-operator query, so this times the full 154-query
 # surface). The one-line stdout JSON must fit the driver's 2000-char
 # tail buffer (BENCH_r04 lesson: a 4 KB line parsed as null), so the
 # per-query dict uses these 50 keys and the stress detail goes to

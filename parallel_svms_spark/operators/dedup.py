@@ -1104,3 +1104,54 @@ def editdist_near_dups(documents: DataFrame, max_dist: int = 3,
                     F.col("p.b").alias("doc_b"),
                     F.col("p.d").cast("long").alias("edit_dist"))
             .distinct())
+
+
+def source_overlap(documents: DataFrame, k: int = 5,
+                   source_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Cross-source content-overlap matrix (r8): for every source
+    pair (a < b), how many DISTINCT word k-shingles appear in both —
+    the mixture diagnostic run before committing source weights. A
+    source whose shingle set is largely contained in another
+    contributes far less novel data than its row count claims
+    (``mixture_sample`` weights trained on raw counts would over-pay
+    it), and a pair with anomalous overlap flags a shared upstream
+    crawl. The doc-granular twins (``decontaminate``,
+    ``minhash_near_dups``) answer "which documents"; this answers the
+    planning question "which SOURCES, how much" in one table.
+
+    Output: (source_a, source_b, n_shared, n_a, n_b,
+    containment_ppm) where n_a/n_b are each source's distinct-shingle
+    counts and containment_ppm = 10⁶·n_shared DIV min(n_a, n_b) — the
+    overlap coefficient in exact LONG arithmetic (the ``ratio_ppm``
+    convention; engine-portable, no float hashing hazard).
+
+    Scale shape: only DISTINCT (source, shingle) rows survive the
+    first aggregation — bounded by vocabulary × sources, not corpus
+    rows — then ONE shingle-keyed self-join whose output is the true
+    co-occurrence set, and a ≤ C(|sources|, 2)-row rollup. Text never
+    shuffles; with S sources the result is at most S(S−1)/2 rows
+    regardless of corpus size. Shingle algebra is ``shingles_col``
+    verbatim (shared with decontaminate — same DuckDB CTE oracle
+    form, including the <k-token whole-text fallback).
+    """
+    ds = (documents
+          .select(F.col(source_col).alias("s"),
+                  F.explode(F.array_distinct(
+                      shingles_col(text_col, k))).alias("shingle"))
+          .distinct())
+    counts = ds.groupBy("s").agg(F.count("*").alias("n"))
+    shared = (ds.select(F.col("s").alias("source_a"), "shingle")
+              .join(ds.select(F.col("s").alias("source_b"), "shingle"),
+                    "shingle")
+              .filter(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count("*").alias("n_shared")))
+    return (shared
+            .join(counts.select(F.col("s").alias("source_a"),
+                                F.col("n").alias("n_a")), "source_a")
+            .join(counts.select(F.col("s").alias("source_b"),
+                                F.col("n").alias("n_b")), "source_b")
+            .select("source_a", "source_b", "n_shared", "n_a", "n_b",
+                    F.expr("n_shared * 1000000 DIV least(n_a, n_b)")
+                    .alias("containment_ppm")))

@@ -439,3 +439,41 @@ def test_editdist_passjoin_null_text_excluded(spark):
     got = {(r.doc_a, r.doc_b, r.edit_dist)
            for r in D.editdist_passjoin_pairs(df).collect()}
     assert got == {(3, 4, 0)}
+
+
+def test_source_overlap_hand_computed(spark):
+    """Full-row contract on a hand-computable corpus: distinct-shingle
+    counts per source, shared counts per pair, exact-ppm containment,
+    zero-overlap pairs absent, in-source duplicates collapsed, and the
+    <k-token whole-text fallback shared with decontaminate."""
+    rows = [
+        (1, "A", "one two three four five six"),
+        (2, "A", "alpha"),                       # <k fallback shingle
+        (3, "A", "one two three four five six"), # in-source exact dup
+        (4, "B", "one two three four five seven"),
+        (5, "B", "alpha"),
+        (6, "C", "totally different text here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.source_a, r.source_b): r.asDict()
+           for r in D.source_overlap(df).collect()}
+    # A = {onetwo..five, two..six, alpha} (dup doc adds nothing);
+    # B = {onetwo..five, two..seven, alpha}; C = {one 5-gram}
+    assert set(got) == {("A", "B")}, "zero-overlap pairs must be absent"
+    ab = got[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_shared"]) == (3, 3, 2)
+    assert ab["containment_ppm"] == 2 * 1_000_000 // 3
+
+
+def test_source_overlap_fixture_shape(spark, docs):
+    """On the real fixture: one row per unordered pair, lexical order,
+    containment bounded by 10^6, and counts consistent."""
+    out = D.source_overlap(docs).collect()
+    assert out, "fixture must have cross-source shingle overlap"
+    seen = set()
+    for r in out:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 0 < r.n_shared <= min(r.n_a, r.n_b)
+        assert 0 <= r.containment_ppm <= 1_000_000
