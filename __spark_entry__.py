@@ -570,7 +570,7 @@ _QKEY_ORDER = [
     "evolve_roundtrip", "bucketed_join", "merge_survivorship",
     # dedup / corpus assembly
     "dedup_exact", "dedup_exact_normalized", "dedup_incremental",
-    "source_overlap",
+    "source_overlap", "repeated_spans", "repeated_span_stats",
     "dedup_clusters",
     "dedup_cluster_stats", "shard_pack", "shard_pack_shuffled",
     "pack_sequences",
@@ -712,6 +712,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-source shingle-overlap matrix: the mixture diagnostic
         # (which SOURCES duplicate each other, how much) — r8
         "source_overlap": lambda s, d: D.source_overlap(
+            load_table(s, d, "documents")),
+        # substring-granular dedup (Lee et al. ACL 2022): maximal
+        # token spans covered by corpus-repeated word 5-grams, and
+        # the per-doc duplicated-fraction filter signal — r8
+        "repeated_spans": lambda s, d: D.repeated_spans(
+            load_table(s, d, "documents")),
+        "repeated_span_stats": lambda s, d: D.repeated_span_stats(
             load_table(s, d, "documents")),
         # normalize-then-dedup (CCNet ordering): scrub fused into the
         # scan, then the same 40 B (digest, id) aggregation
@@ -1033,6 +1040,34 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assert set(reg) == set(_QKEY_ORDER), (
         sorted(set(reg) ^ set(_QKEY_ORDER)))
     return {name: reg[name] for name in _QKEY_ORDER}
+
+
+# Shared CTE prefix for the two repeated-span oracles (k=5,
+# min_count=2): 0-based gram positions via the list-comprehension
+# form the source_overlap oracle established; dup discovery on the
+# gram STRING; gaps-and-islands with break pos - lag(pos) > k.
+_REPEATED_SPANS_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT doc_id, UNNEST([{'pos': i - 1,
+      'gram': array_to_string(t[i:i+4], ' ')}
+      FOR i IN range(1, len(t) - 3)], recursive := true)
+  FROM toks),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - LAG(pos) OVER
+      (PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END AS b
+  FROM hits),
+isl AS (
+  SELECT doc_id, pos,
+    SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk)
+"""
 
 
 def oracle_sql_all() -> dict[str, str]:
@@ -1679,6 +1714,30 @@ SELECT source_a, source_b, n_shared, ca.n AS n_a, cb.n AS n_b,
          AS containment_ppm
 FROM shared JOIN counts ca ON ca.s = source_a
             JOIN counts cb ON cb.s = source_b
+""",
+        # substring dedup (k=5, min_count=2): gram CTE mirrors the
+        # engine's 0-based positions; dup grams by STRING (the engine
+        # keys on xxhash64 — collision can only over-mark, see
+        # repeated_spans docstring); gaps-and-islands merge with the
+        # same pos-lag(pos)>k break the engine's window computes
+        "repeated_spans": _REPEATED_SPANS_CTE + """
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, island
+""",
+        "repeated_span_stats": _REPEATED_SPANS_CTE + """
+, spans AS (
+  SELECT doc_id, MIN(pos) AS mn, MAX(pos) + 5 - MIN(pos) AS stok
+  FROM isl GROUP BY doc_id, island),
+per AS (
+  SELECT doc_id, SUM(stok) AS dup_raw, COUNT(*) AS spans_raw
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(dup_raw, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(spans_raw, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(dup_raw, 0) * 1000000 // len(t.t) AS BIGINT)
+         AS dup_ppm
+FROM toks t LEFT JOIN per ON per.doc_id = t.doc_id
 """,
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
@@ -3545,7 +3604,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 154 per-operator qkeys, 100 could never get a
+# time budget). With 156 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3849,6 +3908,14 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("source_overlap", ["sum(n_shared + n_a + n_b)",
                             "sum(containment_ppm)",
                             _rowhash("containment_ppm*1000 + n_shared")]),
+        ("repeated_spans", ["sum(span_start + span_tokens)",
+                            "count(distinct doc_id)",
+                            _rowhash("doc_id*100000 + span_start*300"
+                                     " + span_tokens")]),
+        ("repeated_span_stats", ["sum(dup_tokens + n_spans)",
+                                 "sum(dup_ppm)",
+                                 _rowhash("doc_id*2000000 + dup_ppm"
+                                          " + n_tokens")]),
         ("dedup_exact_normalized", ["sum(doc_id)",
                                     "count(distinct doc_id)",
                                     _rowhash("doc_id")]),
@@ -4044,7 +4111,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 154 per-operator
+    per-round correctness budget), covering all 156 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

@@ -1155,3 +1155,134 @@ def source_overlap(documents: DataFrame, k: int = 5,
             .select("source_a", "source_b", "n_shared", "n_a", "n_b",
                     F.expr("n_shared * 1000000 DIV least(n_a, n_b)")
                     .alias("containment_ppm")))
+
+
+# ---------------------------------------------------------------------------
+# E2f — exact repeated-substring detection (token-anchored, r8)
+# ---------------------------------------------------------------------------
+
+def repeated_spans(documents: DataFrame, k: int = 5, min_count: int = 2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Exact repeated-substring detection: the maximal token spans of
+    each document that are covered by a word k-gram occurring at
+    least ``min_count`` times ANYWHERE in the corpus (within the same
+    document or across documents). This is the substring-granular
+    member of the dedup family — Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022) showed that verbatim
+    repeated *passages* (license boilerplate, templated headers,
+    quoted chunks) survive document-level dedup and are what trained
+    models actually memorize; their suffix-array scan is inherently
+    sequential, and the standard distributed re-expression is exactly
+    this k-gram-anchored coverage join. Document-level twins
+    (``exact_dedup_keys``, ``minhash_near_dups``) answer "which DOCS
+    repeat"; this answers "which TOKEN RANGES repeat", feeding either
+    a cut-the-span scrubber or a dup-fraction quality filter
+    (``repeated_span_stats``).
+
+    Output: (doc_id, span_start, span_tokens) — 0-based token offset
+    and length of each maximal covered run. Runs merge while coverage
+    is contiguous: k-gram starts p₁ < p₂ belong to one span iff
+    p₂ − p₁ ≤ k (the intervals [pᵢ, pᵢ+k−1] overlap or touch).
+    Documents shorter than k tokens emit no k-grams and no spans.
+    NULL texts are excluded (the family convention).
+
+    Scale shape, in order: (1) k-gram emission is ONE narrow
+    zero-exchange projection — per doc, an array expression builds
+    (pos, xxhash64(gram)) structs and explodes; the gram STRING never
+    leaves the map task, only its 8-byte hash shuffles.
+    (2) duplicate-gram discovery is a map-side-combinable count on
+    that hash — output bounded by |distinct grams|, one row per key.
+    (3) the coverage join is hash-keyed with a 1-row build side per
+    key, so a million-occurrence boilerplate gram lands a skewed but
+    LINEAR probe (AQE splits it), never a quadratic pair expansion —
+    the crucial difference from pair-emitting dedup joins.
+    (4) span merge is a per-document window (gaps-and-islands over
+    positions); partitions are document-sized, bounded by the longest
+    doc, not the corpus. End-to-end linear in corpus tokens.
+
+    Portability note: the engine keys step (2) on xxhash64 of the
+    gram; a 64-bit collision can only OVER-mark a gram as repeated
+    (conservative for a dedup screen) with expected colliding pairs
+    ≈ G²/2⁶⁵ — about 10⁻⁵ of grams even at 100 TB (G ≈ 2.5·10¹³). The
+    DuckDB oracle keys on the gram string itself and reproduces every
+    span on the fixtures.
+    """
+    from pyspark.sql.window import Window
+
+    k = int(k)
+    assert k >= 2 and int(min_count) >= 2
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    grams = (ensure_parallelism(documents)
+             .filter(F.col(text_col).isNotNull())
+             .select(F.col(id_col).alias("doc_id"),
+                     F.when(n >= k, F.transform(
+                         F.sequence(F.lit(0), n - k),
+                         lambda i: F.struct(
+                             i.alias("pos"),
+                             F.xxhash64(F.array_join(
+                                 F.slice(toks, i + 1, k), " "))
+                             .alias("g"))))
+                     .otherwise(F.array()).alias("gs"))
+             .select("doc_id", F.explode("gs").alias("s"))
+             .select("doc_id", F.col("s.pos").alias("pos"),
+                     F.col("s.g").alias("g")))
+    dup = (grams.groupBy("g").agg(F.count("*").alias("n_occ"))
+           .filter(F.col("n_occ") >= int(min_count)))
+    hits = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    isl = (hits
+           .withColumn("brk", F.when(
+               F.col("pos") - F.lag("pos").over(w) > k,
+               F.lit(1)).otherwise(F.lit(0)))
+           .withColumn("island", F.sum("brk").over(cum)))
+    return (isl.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("mn"), F.max("pos").alias("mx"))
+            .select("doc_id",
+                    F.col("mn").cast("long").alias("span_start"),
+                    (F.col("mx") + k - F.col("mn")).cast("long")
+                    .alias("span_tokens")))
+
+
+def repeated_span_stats(documents: DataFrame, k: int = 5,
+                        min_count: int = 2, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document duplicated-content fraction over
+    ``repeated_spans``: the quality-filter signal form of substring
+    dedup — a document mostly covered by corpus-repeated k-grams is
+    boilerplate regardless of whether any single OTHER document
+    near-matches it, which is precisely the case document-level
+    near-dup misses. Emits one row per (non-NULL-text) document,
+    including zero rows for clean docs, so the column is directly
+    joinable as a filter predicate.
+
+    Output: (doc_id, n_tokens, dup_tokens, n_spans, dup_ppm) with
+    dup_ppm = 10⁶·dup_tokens DIV n_tokens in exact LONG arithmetic
+    (the ``ratio_ppm`` convention — engine-portable, no float
+    hashing hazard).
+
+    Scale shape: ``repeated_spans``' linear plan, plus one per-doc
+    aggregation of the (already doc-bounded) span rows and one
+    id-keyed left join back to a narrow (doc_id, n_tokens)
+    projection — text never shuffles.
+    """
+    spans = repeated_spans(documents, k=k, min_count=min_count,
+                           id_col=id_col, text_col=text_col)
+    per = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_raw"),
+        F.count("*").alias("spans_raw"))
+    base = (documents
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.size(tokens_col(text_col)).cast("long")
+                    .alias("n_tokens")))
+    return (base.join(per, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("dup_raw", F.lit(0)).cast("long")
+                    .alias("dup_tokens"),
+                    F.coalesce("spans_raw", F.lit(0)).cast("long")
+                    .alias("n_spans"),
+                    F.expr("coalesce(dup_raw, 0) * 1000000 DIV n_tokens")
+                    .cast("long").alias("dup_ppm")))

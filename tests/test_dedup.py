@@ -477,3 +477,75 @@ def test_source_overlap_fixture_shape(spark, docs):
         seen.add((r.source_a, r.source_b))
         assert 0 < r.n_shared <= min(r.n_a, r.n_b)
         assert 0 <= r.containment_ppm <= 1_000_000
+
+
+def test_repeated_spans_hand_computed(spark):
+    """Full contract on a hand-computable corpus: cross-doc repeated
+    5-grams produce spans in BOTH docs, overlapping gram hits merge
+    into one maximal span, unique text emits nothing, <k-token and
+    NULL docs are excluded."""
+    boiler = "copy right all rights reserved do not redistribute"  # 8 toks
+    rows = [
+        (1, boiler + " unique tail one x y z"),
+        (2, "header words here " + boiler),
+        (3, "totally fresh words nothing repeats in this doc at all"),
+        (4, "tiny doc"),          # < k tokens: no grams
+        (5, None),                # NULL: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id): (r.span_start, r.span_tokens)
+           for r in D.repeated_spans(df).collect()}
+    # the shared 8-token run has gram starts 0..3 (doc 1) / 3..6
+    # (doc 2); each doc's hits are contiguous (gaps <= k) so exactly
+    # one span per doc covering the 8 boilerplate tokens
+    assert got == {1: (0, 8), 2: (3, 8)}
+
+
+def test_repeated_spans_island_break_and_intra_doc(spark):
+    """Two properties the hand case above doesn't reach: (a) hits
+    separated by more than k start positions split into two spans;
+    (b) min_count counts TOTAL occurrences, so a phrase repeated
+    twice INSIDE one document is flagged with no second doc."""
+    rep = "p q r s t"                       # the repeated 5-gram
+    mid = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"  # 10 unique separators
+    text = f"{rep} {mid} {rep}"             # starts 0 and 15, gap 15 > 5
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted((r.span_start, r.span_tokens)
+                 for r in D.repeated_spans(df).collect())
+    assert got == [(0, 5), (15, 5)]
+
+
+def test_repeated_span_stats_row_per_doc_and_ppm(spark):
+    """Stats emit one row per non-NULL doc (zeros for clean docs) and
+    dup_ppm is exact integer arithmetic consistent with the spans."""
+    boiler = "copy right all rights reserved do not redistribute"
+    rows = [(1, boiler + " unique tail one x y z"),   # 14 toks, 8 dup
+            (2, "header words here " + boiler),       # 11 toks, 8 dup
+            (3, "totally fresh words nothing repeats here ok"),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in D.repeated_span_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["dup_tokens"], got[1]["n_spans"]) == (8, 1)
+    assert got[1]["dup_ppm"] == 8 * 1_000_000 // got[1]["n_tokens"]
+    assert (got[3]["dup_tokens"], got[3]["n_spans"],
+            got[3]["dup_ppm"]) == (0, 0, 0)
+
+
+def test_repeated_spans_fixture_consistency(spark, docs):
+    """On the real fixture: spans fit inside their documents, stats
+    cover every doc, and dup_tokens equals the sum of span lengths."""
+    spans = D.repeated_spans(docs)
+    stats = D.repeated_span_stats(docs)
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    assert stats.count() == n_docs
+    joined = (spans.groupBy("doc_id")
+              .agg(F.sum("span_tokens").alias("s"),
+                   F.count("*").alias("c"))
+              .join(stats, "doc_id"))
+    bad = joined.filter("s != dup_tokens or c != n_spans").count()
+    assert bad == 0
+    oob = (spans.join(stats.select("doc_id", "n_tokens"), "doc_id")
+           .filter("span_start < 0 or span_start + span_tokens > n_tokens")
+           .count())
+    assert oob == 0
