@@ -571,6 +571,7 @@ _QKEY_ORDER = [
     # dedup / corpus assembly
     "dedup_exact", "dedup_exact_normalized", "dedup_incremental",
     "source_overlap", "repeated_spans", "repeated_span_stats",
+    "repeated_span_scrub",
     "dedup_clusters",
     "dedup_cluster_stats", "shard_pack", "shard_pack_shuffled",
     "pack_sequences",
@@ -719,6 +720,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": lambda s, d: D.repeated_spans(
             load_table(s, d, "documents")),
         "repeated_span_stats": lambda s, d: D.repeated_span_stats(
+            load_table(s, d, "documents")),
+        # the transform form: cut all-but-the-first occurrence of
+        # every corpus-repeated 5-gram run (Lee et al. semantics)
+        "repeated_span_scrub": lambda s, d: D.scrub_repeated_spans(
             load_table(s, d, "documents")),
         # normalize-then-dedup (CCNet ordering): scrub fused into the
         # scan, then the same 40 B (digest, id) aggregation
@@ -1738,6 +1743,45 @@ SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
        CAST(COALESCE(dup_raw, 0) * 1000000 // len(t.t) AS BIGINT)
          AS dup_ppm
 FROM toks t LEFT JOIN per ON per.doc_id = t.doc_id
+""",
+        # keep-first substring scrub: rank window replaces the
+        # engine's combinable min(struct) (oracle clarity over oracle
+        # skew); token rebuild is the same lossless split/join
+        "repeated_span_scrub": """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT doc_id, UNNEST([{'pos': i - 1,
+      'gram': array_to_string(t[i:i+4], ' ')}
+      FOR i IN range(1, len(t) - 3)], recursive := true)
+  FROM toks),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram
+                            ORDER BY doc_id, pos) AS rn
+  FROM grams),
+cuts AS (
+  SELECT DISTINCT doc_id, pos + u.j AS i
+  FROM ranked, UNNEST([0, 1, 2, 3, 4]) AS u(j)
+  WHERE rn > 1),
+tokens AS (
+  SELECT doc_id, UNNEST([{'i': i - 1, 'tok': t[i]}
+      FOR i IN range(1, len(t) + 1)], recursive := true)
+  FROM toks),
+kept AS (
+  SELECT tk.doc_id, tk.i, tk.tok
+  FROM tokens tk LEFT JOIN cuts c
+    ON c.doc_id = tk.doc_id AND c.i = tk.i
+  WHERE c.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id),
+ncut AS (SELECT doc_id, COUNT(*) AS nr FROM cuts GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(nr, 0) AS BIGINT) AS n_removed_tokens
+FROM toks t LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN ncut USING (doc_id)
 """,
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
@@ -3604,7 +3648,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 156 per-operator qkeys, 100 could never get a
+# time budget). With 157 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3916,6 +3960,11 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                  "sum(dup_ppm)",
                                  _rowhash("doc_id*2000000 + dup_ppm"
                                           " + n_tokens")]),
+        ("repeated_span_scrub", ["sum(n_removed_tokens)",
+                                 "sum(length(clean_text))",
+                                 _rowhash("doc_id*100000 + "
+                                          "n_removed_tokens*300 + "
+                                          "length(clean_text)")]),
         ("dedup_exact_normalized", ["sum(doc_id)",
                                     "count(distinct doc_id)",
                                     _rowhash("doc_id")]),
@@ -4111,7 +4160,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 156 per-operator
+    per-round correctness budget), covering all 157 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

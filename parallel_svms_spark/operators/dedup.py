@@ -1286,3 +1286,93 @@ def repeated_span_stats(documents: DataFrame, k: int = 5,
                     .alias("n_spans"),
                     F.expr("coalesce(dup_raw, 0) * 1000000 DIV n_tokens")
                     .cast("long").alias("dup_ppm")))
+
+
+def scrub_repeated_spans(documents: DataFrame, k: int = 5,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Substring-granular scrubber — the transform form of
+    ``repeated_spans``: rewrite each document with its corpus-repeated
+    token runs CUT, keeping the globally-first occurrence of every
+    repeated k-gram (Lee et al. ACL 2022 drop all-but-one copies of
+    each repeated substring; document-granular keep-canonical is
+    ``dedup_keep_canonical``, this is its token-range analogue). An
+    occurrence of gram g at (doc, pos) is a *cut witness* iff some
+    occurrence of g at a lexicographically smaller (doc, pos) exists;
+    every token covered by a cut witness's [pos, pos+k−1] interval is
+    removed. Consequences worth stating: the earliest copy of a
+    boilerplate passage survives verbatim (all its grams are minimal),
+    later copies lose exactly the repeated run; a phrase repeated
+    inside ONE document keeps its first occurrence; two byte-identical
+    documents keep the lower-id one intact and cut the run from the
+    other — substring dedup subsumes exact dedup on the covered range.
+
+    Output: (doc_id, clean_text, n_removed_tokens) for every
+    non-NULL-text document (clean docs pass through verbatim).
+    ``clean_text`` is the space-rejoin of surviving tokens; docs
+    shorter than k tokens are never cut.
+
+    Scale shape: gram emission and the duplicate-discovery
+    aggregation are shared with ``repeated_spans`` (zero-exchange
+    projection + map-side-combinable agg — here ``min(struct(doc,
+    pos))`` instead of count, equally combinable, so a
+    million-occurrence gram still reduces map-side and never
+    single-tasks a sort the way a per-gram rank window would).
+    Cut positions collapse to per-doc coverage arrays (bounded by
+    document length, NOT corpus size), and the rewrite is ONE
+    id-keyed join of those arrays back to the text plus a codegen'd
+    indexed-filter array expression — the text column moves through
+    exactly one join and zero wide shuffles.
+
+    Portability: the engine keys gram identity on xxhash64 (collision
+    ⇒ a non-copy might be cut — same conservative direction as
+    ``repeated_spans``, ~10⁻⁵ of grams at 100 TB); the DuckDB oracle
+    keys on the gram string and reproduces every clean_text on the
+    fixtures. Requires an orderable ``id_col`` (the keep-first tie
+    order is lexicographic (id, pos) in BOTH engines).
+    """
+    k = int(k)
+    assert k >= 2
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    base = (ensure_parallelism(documents)
+            .filter(F.col(text_col).isNotNull()))
+    grams = (base
+             .select(F.col(id_col).alias("doc_id"),
+                     F.when(n >= k, F.transform(
+                         F.sequence(F.lit(0), n - k),
+                         lambda i: F.struct(
+                             i.alias("pos"),
+                             F.xxhash64(F.array_join(
+                                 F.slice(toks, i + 1, k), " "))
+                             .alias("g"))))
+                     .otherwise(F.array()).alias("gs"))
+             .select("doc_id", F.explode("gs").alias("s"))
+             .select("doc_id", F.col("s.pos").alias("pos"),
+                     F.col("s.g").alias("g")))
+    # per-gram global minimum occurrence + occurrence count, one
+    # map-side-combinable aggregation (NO per-gram sort window)
+    firsts = (grams.groupBy("g")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("keep"),
+                   F.count("*").alias("n_occ"))
+              .filter(F.col("n_occ") >= 2)
+              .select("g", "keep"))
+    cuts = (grams.join(firsts, "g")
+            .filter((F.col("doc_id") != F.col("keep.doc_id"))
+                    | (F.col("pos") != F.col("keep.pos")))
+            .select("doc_id",
+                    F.explode(F.sequence(
+                        F.col("pos"), F.col("pos") + k - 1)).alias("i"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("i").alias("cov")))
+    out_toks = F.filter(
+        toks, lambda t, i: ~F.array_contains(F.col("cov"), i))
+    return (base
+            .select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .join(cuts, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("cov").isNull(), F.col(text_col))
+                    .otherwise(F.array_join(out_toks, " "))
+                    .alias("clean_text"),
+                    F.coalesce(F.size("cov"), F.lit(0)).cast("long")
+                    .alias("n_removed_tokens")))

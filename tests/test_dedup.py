@@ -549,3 +549,50 @@ def test_repeated_spans_fixture_consistency(spark, docs):
            .filter("span_start < 0 or span_start + span_tokens > n_tokens")
            .count())
     assert oob == 0
+
+
+def test_scrub_repeated_spans_keep_first(spark):
+    """Keep-first contract: earliest copy survives verbatim, later
+    copies lose exactly the repeated run, intra-doc repeats keep the
+    first occurrence, byte-identical docs keep the lower id."""
+    boiler = "copy right all rights reserved do not redistribute"
+    rows = [
+        (1, boiler + " unique tail one"),
+        (2, "header words here " + boiler),
+        (3, "p q r s t m1 m2 m3 m4 m5 m6 p q r s t"),
+        (7, "same same2 same3 same4 same5 same6"),
+        (9, "same same2 same3 same4 same5 same6"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+           for r in D.scrub_repeated_spans(df).collect()}
+    assert set(got) == {1, 2, 3, 7, 9}
+    assert got[1] == (rows[0][1], 0)           # earliest copy intact
+    assert got[2] == ("header words here", 8)  # repeated run cut
+    assert got[3] == ("p q r s t m1 m2 m3 m4 m5 m6", 5)
+    assert got[7] == (rows[3][1], 0)           # lower id keeps text
+    assert got[9] == ("", 6)                   # full cut -> empty
+
+
+def test_scrub_repeated_spans_fixture_consistency(spark, docs):
+    """On the fixture: one row per non-NULL doc; per-doc removal never
+    exceeds the doc's repeated coverage (keep-first cuts a subset of
+    what repeated_spans marks); global removal is strictly smaller
+    (every dup gram keeps one occurrence); surviving token count is
+    exact."""
+    scrub = D.scrub_repeated_spans(docs)
+    stats = D.repeated_span_stats(docs)
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    assert scrub.count() == n_docs
+    j = scrub.join(stats, "doc_id")
+    assert j.filter("n_removed_tokens > dup_tokens").count() == 0
+    tot = j.agg(F.sum("n_removed_tokens").alias("r"),
+                F.sum("dup_tokens").alias("d")).first()
+    assert 0 < tot["r"] < tot["d"]
+    # clean_text token count == n_tokens - n_removed (empty join = 0)
+    bad = (j.filter(
+        "(case when clean_text = '' then 0 "
+        " else size(split(clean_text, ' ')) end) "
+        "!= n_tokens - n_removed_tokens").count())
+    assert bad == 0
