@@ -152,6 +152,14 @@ def main() -> None:
         "tokenize_bpe": lambda d: __import__(
             "parallel_svms_spark.operators.bpe",
             fromlist=["x"]).tokenize_bpe(d).count(),
+        # r8 substring dedup: replication makes every interior gram
+        # duplicated, so the coverage join's output is the WHOLE gram
+        # stream — the worst case is by construction the measured
+        # case, and the slope watchdog proves it stays linear (the
+        # 1-row-build-side join never pairs occurrences)
+        "repeated_spans": lambda d: dedup.repeated_spans(d).count(),
+        "repeated_span_scrub": lambda d: dedup.scrub_repeated_spans(
+            d).count(),
     }
     WH_OPS = {
         "pricing_summary": lambda li, orr, cust: AN.pricing_summary(
