@@ -571,7 +571,7 @@ _QKEY_ORDER = [
     # dedup / corpus assembly
     "dedup_exact", "dedup_exact_normalized", "dedup_incremental",
     "source_overlap", "repeated_spans", "repeated_span_stats",
-    "repeated_span_scrub",
+    "repeated_span_scrub", "repeated_spans_incremental",
     "dedup_clusters",
     "dedup_cluster_stats", "shard_pack", "shard_pack_shuffled",
     "pack_sequences",
@@ -724,6 +724,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the transform form: cut all-but-the-first occurrence of
         # every corpus-repeated 5-gram run (Lee et al. semantics)
         "repeated_span_scrub": lambda s, d: D.scrub_repeated_spans(
+            load_table(s, d, "documents")),
+        # daily-crawl shape: batch spans counted against the archive
+        # gram index, corpus never re-grammed
+        "repeated_spans_incremental": lambda s, d: (
+            lambda docs: D.repeated_spans_incremental(
+                docs.filter("source <> 'src0'"),
+                docs.filter("source = 'src0'")))(
             load_table(s, d, "documents")),
         # normalize-then-dedup (CCNet ordering): scrub fused into the
         # scan, then the same 40 B (digest, id) aggregation
@@ -1729,6 +1736,16 @@ FROM shared JOIN counts ca ON ca.s = source_a
 SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
        CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens
 FROM isl GROUP BY doc_id, island
+""",
+        # incremental: counts over corpus ∪ batch are what the
+        # index + batch-gram sum reproduces, and islands are per-doc,
+        # so the full-run spans restricted to batch docs are exact
+        "repeated_spans_incremental": _REPEATED_SPANS_CTE + """
+SELECT s.doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_tokens
+FROM isl s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.source = 'src0'
+GROUP BY s.doc_id, s.island
 """,
         "repeated_span_stats": _REPEATED_SPANS_CTE + """
 , spans AS (
@@ -3648,7 +3665,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 157 per-operator qkeys, 100 could never get a
+# time budget). With 158 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3965,6 +3982,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                  _rowhash("doc_id*100000 + "
                                           "n_removed_tokens*300 + "
                                           "length(clean_text)")]),
+        ("repeated_spans_incremental",
+         ["sum(span_start + span_tokens)", "count(distinct doc_id)",
+          _rowhash("doc_id*100000 + span_start*300 + span_tokens")]),
         ("dedup_exact_normalized", ["sum(doc_id)",
                                     "count(distinct doc_id)",
                                     _rowhash("doc_id")]),
@@ -4160,7 +4180,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 157 per-operator
+    per-round correctness budget), covering all 158 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

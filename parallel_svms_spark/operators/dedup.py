@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from parallel_svms_spark.io.sources import ensure_parallelism
 
@@ -1208,29 +1209,43 @@ def repeated_spans(documents: DataFrame, k: int = 5, min_count: int = 2,
     DuckDB oracle keys on the gram string itself and reproduces every
     span on the fixtures.
     """
-    from pyspark.sql.window import Window
 
     k = int(k)
     assert k >= 2 and int(min_count) >= 2
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    grams = (ensure_parallelism(documents)
-             .filter(F.col(text_col).isNotNull())
-             .select(F.col(id_col).alias("doc_id"),
-                     F.when(n >= k, F.transform(
-                         F.sequence(F.lit(0), n - k),
-                         lambda i: F.struct(
-                             i.alias("pos"),
-                             F.xxhash64(F.array_join(
-                                 F.slice(toks, i + 1, k), " "))
-                             .alias("g"))))
-                     .otherwise(F.array()).alias("gs"))
-             .select("doc_id", F.explode("gs").alias("s"))
-             .select("doc_id", F.col("s.pos").alias("pos"),
-                     F.col("s.g").alias("g")))
+    grams = _gram_positions(documents, k, id_col, text_col)
     dup = (grams.groupBy("g").agg(F.count("*").alias("n_occ"))
            .filter(F.col("n_occ") >= int(min_count)))
     hits = grams.join(dup.select("g"), "g").select("doc_id", "pos")
+    return _spans_from_hits(hits, k)
+
+
+def _gram_positions(documents: DataFrame, k: int, id_col: str,
+                    text_col: str) -> DataFrame:
+    """(doc_id, pos, g) rows — 0-based k-gram start positions with
+    the gram's xxhash64. One zero-exchange array projection per doc;
+    the gram STRING never leaves the map task."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    return (ensure_parallelism(documents)
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"),
+                    F.when(n >= k, F.transform(
+                        F.sequence(F.lit(0), n - k),
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            F.xxhash64(F.array_join(
+                                F.slice(toks, i + 1, k), " "))
+                            .alias("g"))))
+                    .otherwise(F.array()).alias("gs"))
+            .select("doc_id", F.explode("gs").alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.g").alias("g")))
+
+
+def _spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of covered k-gram start positions into
+    maximal spans. Per-document windows — partitions are bounded by
+    the longest document, never the corpus."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     isl = (hits
@@ -1376,3 +1391,88 @@ def scrub_repeated_spans(documents: DataFrame, k: int = 5,
                     .alias("clean_text"),
                     F.coalesce(F.size("cov"), F.lit(0)).cast("long")
                     .alias("n_removed_tokens")))
+
+
+def gram_count_index(documents: DataFrame, k: int = 5,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(g, n_occ): the corpus's k-gram occurrence-count index — what
+    a 100 TB pipeline PERSISTS so each day's crawl batch is screened
+    for repeated substrings without re-reading the corpus (the
+    substring-family analogue of ``minhash_band_index``). ALL grams
+    are kept, not just currently-repeated ones: a batch gram matching
+    a so-far-unique corpus gram makes the total 2, which is exactly
+    the first-repetition event the screen must catch.
+
+    Storage honesty: one 16 B (hash, count) row per DISTINCT gram —
+    corpus-order storage, like Lee et al.'s suffix array (8 B per
+    token); zipfian repetition and parquet delta encoding compress
+    web corpora well below the worst case. The trade is storage for
+    the daily re-scan, the same trade every inverted index makes.
+    Build is one combinable aggregation on the 8-byte hash.
+    """
+    return (_gram_positions(documents, int(k), id_col, text_col)
+            .groupBy("g").agg(F.count("*").alias("n_occ")))
+
+
+def gram_index_append(new_docs: DataFrame, index_path: str,
+                      k: int = 5, id_col: str = "doc_id",
+                      text_col: str = "text") -> None:
+    """Index-maintenance half of the incremental substring-dedup
+    lifecycle: append the screened batch's OWN gram counts to the
+    persisted index as immutable parquet — grams ONLY the batch is
+    scanned for, no read-modify-write of history, so a concurrent
+    reader sees day N or day N+1, never a torn index. A gram present
+    on both days simply has two rows; readers sum per key
+    (``repeated_spans_incremental`` does this internally — one
+    combinable aggregation), and ``compact_small_files`` can fold an
+    index with many appended days back to one row per gram whenever
+    the day-row overhead grows. Same contract as
+    ``minhash_index_append``: k must match the index's build k.
+    """
+    (gram_count_index(new_docs, k, id_col, text_col)
+     .write.mode("append").parquet(index_path))
+
+
+def repeated_spans_incremental(corpus: DataFrame, new_docs: DataFrame,
+                               index: DataFrame | None = None,
+                               k: int = 5, min_count: int = 2,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Incremental substring dedup: the ``repeated_spans(corpus ∪
+    new_docs)`` rows belonging to NEW documents, computed without
+    ever re-gramming the corpus — the daily-crawl-vs-archive shape
+    the minhash/IVF/PQ incremental twins established. A batch span
+    is repeated content whether its other copies live in the batch
+    or in the archive, so occurrence counts are summed across both:
+    batch-internal counts from gramming ONLY the batch, archive
+    counts from the persisted ``index`` (pass the parquet read from
+    ``gram_index_append``'s path; built here from ``corpus`` when
+    omitted — the fixture path).
+
+    At scale: the batch gram set is small against the index, and the
+    count lookup is one left equi-join on the 8-byte hash (the index
+    side pre-aggregated by one combinable sum — appended day-rows
+    collapse here); the corpus text is never touched. The tail
+    (coverage join + per-doc islands) is ``repeated_spans``'
+    verbatim. Equivalence with the full-run restriction to batch
+    docs is test-pinned; ids of ``corpus`` and ``new_docs`` must be
+    disjoint (the documents contract).
+    """
+    from parallel_svms_spark.caching import scoped_persist
+    k = int(k)
+    assert k >= 2 and int(min_count) >= 2
+    batch_grams = scoped_persist(
+        _gram_positions(new_docs, k, id_col, text_col))
+    if index is None:
+        index = gram_count_index(corpus, k, id_col, text_col)
+    old_counts = index.groupBy("g").agg(F.sum("n_occ").alias("old_n"))
+    batch_counts = batch_grams.groupBy("g").agg(
+        F.count("*").alias("new_n"))
+    dup = (batch_counts
+           .join(old_counts, "g", "left")
+           .filter(F.col("new_n") + F.coalesce(F.col("old_n"), F.lit(0))
+                   >= int(min_count))
+           .select("g"))
+    hits = batch_grams.join(dup, "g").select("doc_id", "pos")
+    return _spans_from_hits(hits, k)

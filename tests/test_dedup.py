@@ -596,3 +596,45 @@ def test_scrub_repeated_spans_fixture_consistency(spark, docs):
         " else size(split(clean_text, ' ')) end) "
         "!= n_tokens - n_removed_tokens").count())
     assert bad == 0
+
+
+def test_repeated_spans_incremental_equivalence(spark, docs):
+    """Incremental(corpus, batch) == the full run over corpus ∪ batch
+    restricted to batch documents (the family's standard pin)."""
+    corpus = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    inc = {(r.doc_id, r.span_start, r.span_tokens)
+           for r in D.repeated_spans_incremental(corpus, batch).collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = {(r.doc_id, r.span_start, r.span_tokens)
+            for r in D.repeated_spans(docs).collect()
+            if r.doc_id in batch_ids}
+    assert inc == full and inc
+
+
+def test_gram_index_two_day_cycle(spark, docs, tmp_path):
+    """Persist day-0 index, screen batch-1, APPEND batch-1's gram
+    counts, screen batch-2 against the updated index: identical rows
+    to the inline incremental over (corpus ∪ batch1, batch2) — day 2
+    never re-grams history, and appended day-rows sum correctly."""
+    corpus = docs.filter("source not in ('src0', 'src1')")
+    b1 = docs.filter("source = 'src0'")
+    b2 = docs.filter("source = 'src1'")
+    path = str(tmp_path / "gram_index")
+    D.gram_count_index(corpus).write.parquet(path)
+    idx = spark.read.parquet(path)
+    day1 = {(r.doc_id, r.span_start, r.span_tokens)
+            for r in D.repeated_spans_incremental(
+                corpus, b1, index=idx).collect()}
+    inline1 = {(r.doc_id, r.span_start, r.span_tokens)
+               for r in D.repeated_spans_incremental(corpus, b1).collect()}
+    assert day1 == inline1
+    D.gram_index_append(b1, path)
+    idx2 = spark.read.parquet(path)
+    day2 = {(r.doc_id, r.span_start, r.span_tokens)
+            for r in D.repeated_spans_incremental(
+                corpus, b2, index=idx2).collect()}
+    inline2 = {(r.doc_id, r.span_start, r.span_tokens)
+               for r in D.repeated_spans_incremental(
+                   corpus.unionByName(b1), b2).collect()}
+    assert day2 == inline2 and day2
