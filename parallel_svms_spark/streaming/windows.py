@@ -1053,3 +1053,96 @@ def streaming_temporal_join(stream_facts: DataFrame,
     return (f.join(v, cond, "left")
             .select("fact_id", key, ts_col,
                     "version_id", "version_payload"))
+
+
+def streaming_repeated_span_stats(stream_docs: DataFrame,
+                                  index: DataFrame, k: int = 5,
+                                  min_count: int = 2,
+                                  watermark: str = "2 hours",
+                                  window: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``dedup.repeated_span_stats`` (r8): per
+    arriving document, how many of its tokens are covered by a word
+    k-gram repeated ≥ ``min_count`` times across the FROZEN archive
+    gram index plus the document itself — the continuous-ingest form
+    of the substring-dedup screen (``repeated_spans_incremental`` is
+    the daily-batch form; this is the same archive-count semantics at
+    single-doc batch size).
+
+    Shape, stage by stage:
+    - gram emission + IN-DOC occurrence counts are one stateless array
+      expression per row (a doc's self-repetition needs no state —
+      ``size(filter(gs, same hash))`` inside the projection, doc-
+      bounded O(n²) on doc-sized n);
+    - archive counts come from a STREAM-STATIC left join on the
+      8-byte gram hash against the pre-summed index (read it from
+      ``gram_index_append``'s path; day-rows collapse in one
+      combinable sum) — no stream-stream state;
+    - a position is covered iff in_doc + archive ≥ min_count, so a
+      phrase repeated inside one arriving doc is caught even when the
+      archive has never seen it (matching the batch family);
+    - the per-doc span merge that the batch side runs as a window is
+      here a watermarked (event-window, doc_id) aggregation:
+      ``sort_array(collect_list(pos))`` — state bounded by the
+      watermark horizon × in-flight docs, each entry ≤ doc length —
+      folded by a JVM ``aggregate`` into covered-token count and
+      span count (identical gaps-and-islands arithmetic: new span
+      iff pos > prev_end + 1).
+
+    Emits (doc_id, n_tokens, dup_tokens, n_spans) ONLY for documents
+    with non-zero repeated coverage — a screen, not an audit; the
+    batch twin's zero rows for clean docs have no streaming analogue
+    (an absent aggregation group never fires). Equivalence with the
+    batch stats on the dirty set is test-pinned.
+    """
+    from parallel_svms_spark.operators.dedup import tokens_col
+    k = int(k)
+    assert k >= 2 and int(min_count) >= 2
+    idx = index.groupBy("g").agg(F.sum("n_occ").alias("old_n"))
+    toks = tokens_col("text")
+    n = F.size(toks)
+    gs = (F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " "))
+            .alias("g"))))
+        .otherwise(F.array()))
+    grams = (stream_docs
+             .filter(F.col("text").isNotNull())
+             .select("doc_id", "ts", n.cast("long").alias("n_tokens"),
+                     gs.alias("gs"))
+             .select("doc_id", "ts", "n_tokens", F.explode(
+                 F.transform(
+                     F.col("gs"),
+                     lambda e: F.struct(
+                         e["pos"].alias("pos"), e["g"].alias("g"),
+                         F.size(F.filter(
+                             F.col("gs"),
+                             lambda x: x["g"] == e["g"])).alias("in_doc"))
+                 )).alias("s"))
+             .select("doc_id", "ts", "n_tokens",
+                     F.col("s.pos").alias("pos"),
+                     F.col("s.g").alias("g"),
+                     F.col("s.in_doc").alias("in_doc")))
+    hits = (grams.withWatermark("ts", watermark)
+            .join(idx, "g", "left_outer")
+            .filter(F.col("in_doc")
+                    + F.coalesce(F.col("old_n"), F.lit(0))
+                    >= int(min_count)))
+    agg = (hits.groupBy(F.window("ts", window), "doc_id")
+           .agg(F.sort_array(F.collect_list("pos")).alias("ps"),
+                F.max("n_tokens").alias("n_tokens")))
+    zero = F.struct(F.lit(0).cast("long").alias("dup"),
+                    F.lit(-2 * k).cast("long").alias("pe"),
+                    F.lit(0).cast("long").alias("ns"))
+    fold = F.aggregate(
+        "ps", zero,
+        lambda acc, p: F.struct(
+            F.when(p > acc["pe"] + 1, acc["dup"] + k)
+            .otherwise(acc["dup"] + p + k - 1 - acc["pe"]).alias("dup"),
+            (p + k - 1).cast("long").alias("pe"),
+            F.when(p > acc["pe"] + 1, acc["ns"] + 1)
+            .otherwise(acc["ns"]).alias("ns")))
+    return agg.select("doc_id", "n_tokens",
+                      fold["dup"].alias("dup_tokens"),
+                      fold["ns"].alias("n_spans"))

@@ -1307,3 +1307,56 @@ def test_watermark_normalized_dedup_restart_exactly_once(spark,
         f1, f2, "doc_id long, ts timestamp, text string")
     got = sorted(r.doc_id for r in rows)
     assert got == [1, 2, 4]
+
+
+def test_streaming_repeated_span_stats_matches_batch(spark):
+    """Stream-static substring screen == batch repeated_span_stats on
+    the dirty set: archive-repeated runs, intra-doc repeats (archive
+    has never seen the gram), and clean docs (no row), across two
+    micro-batches."""
+    import glob
+    import os
+    import shutil
+
+    from parallel_svms_spark.operators import dedup as D
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    boiler = "copy right all rights reserved do not redistribute"
+    corpus = spark.createDataFrame(
+        [(100, boiler + " archive tail words"),
+         (101, "other archive content entirely unrelated here")],
+        "doc_id long, text string")
+    idx = D.gram_count_index(corpus)
+    f1 = [(1, t0, "header words here " + boiler),          # archive dup
+          (2, t0 + timedelta(minutes=1),
+           "nothing similar here at all whatsoever to anything")]
+    f2 = [(3, t0 + timedelta(minutes=5),
+           "p q r s t m1 m2 m3 m4 m5 m6 p q r s t")]       # intra-doc
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, rows in enumerate((f1, f2)):
+            spark.createDataFrame(rows, SW.DOCS_SCHEMA).coalesce(1) \
+                .write.parquet(f"{tmp}/d/{i}")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/d/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = (spark.readStream.schema(SW.DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(dst))
+        stats = SW.streaming_repeated_span_stats(stream, idx)
+        name = "stream_span_stats_test"
+        q = (stats.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # batch ground truth: stats over corpus ∪ arrivals, dirty arrivals
+    arrivals = spark.createDataFrame(
+        [(i, t) for i, _, t in f1 + f2], "doc_id long, text string")
+    batch = {r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans)
+             for r in D.repeated_span_stats(
+                 corpus.unionByName(arrivals)).collect()
+             if r.doc_id in (1, 2, 3) and r.dup_tokens > 0}
+    assert set(got) == {1, 3}          # doc 2 clean -> no row
+    assert got == batch
