@@ -170,3 +170,57 @@ def decontaminate_splits(documents: DataFrame,
     return decontaminate(train, held, k=k, min_overlap=min_overlap,
                          id_col=id_col, text_col=text_col,
                          broadcast_benchmark=False)
+
+
+def decontaminate_surgical(corpus: DataFrame, benchmark: DataFrame,
+                           k: int = 5, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           broadcast_benchmark: bool = True) -> DataFrame:
+    """Span-level (surgical) decontamination: instead of DROPPING a
+    training document that overlaps the benchmark (``decontaminate``),
+    CUT exactly the overlapping token runs and keep the rest — the
+    minimal-removal variant used when whole-doc removal would throw
+    away a long document over one quoted benchmark sentence. A token
+    is removed iff some word k-gram covering it appears verbatim in
+    the benchmark set; everything else survives. The mechanism is the
+    substring-dedup rewrite (``dedup.scrub_repeated_spans``) with the
+    cut witnesses coming from a benchmark membership join instead of
+    a corpus self-count.
+
+    Returns (doc_id, clean_text, n_removed_tokens) for every
+    non-NULL-text corpus document — a doc with no benchmark overlap
+    passes through verbatim with 0, so the output is a full
+    replacement corpus (the filter form is ``decontaminate``; the
+    audit form is ``contaminated_ids``).
+
+    Scale shape — the decontamination asymmetry, span-granular: the
+    benchmark's distinct gram hashes are tiny (eval sets, not
+    corpora) and BROADCAST, so finding cut witnesses is a broadcast
+    semi-join against the corpus's zero-exchange gram projection —
+    the corpus text reaches only the shared one-id-keyed-join rewrite
+    tail, never a wide shuffle. ``broadcast_benchmark=False`` falls
+    back to a hash-partitioned semi-join for an oversized benchmark.
+    Gram identity is xxhash64 on both sides (collision ⇒ over-cut, the
+    conservative direction); the DuckDB oracle joins gram strings and
+    reproduces every clean_text on the fixtures. Docs (and benchmark
+    entries) shorter than k tokens emit no k-grams: a sub-k benchmark
+    fragment cannot anchor a cut — choose k accordingly.
+    """
+    from parallel_svms_spark.operators.dedup import (_gram_positions,
+                                                     _rewrite_without,
+                                                     shingles_col)
+    k = int(k)
+    assert k >= 2
+    bench = (benchmark
+             .filter(F.col(text_col).isNotNull())
+             .filter(F.size(F.split(F.col(text_col), " ")) >= k)
+             .select(F.explode(F.array_distinct(
+                 shingles_col(text_col, k))).alias("shingle"))
+             .select(F.xxhash64("shingle").alias("g"))
+             .distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    witnesses = (_gram_positions(corpus, k, id_col, text_col)
+                 .join(bench, "g", "left_semi")
+                 .select("doc_id", "pos"))
+    return _rewrite_without(corpus, witnesses, k, id_col, text_col)

@@ -1348,23 +1348,7 @@ def scrub_repeated_spans(documents: DataFrame, k: int = 5,
     """
     k = int(k)
     assert k >= 2
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    base = (ensure_parallelism(documents)
-            .filter(F.col(text_col).isNotNull()))
-    grams = (base
-             .select(F.col(id_col).alias("doc_id"),
-                     F.when(n >= k, F.transform(
-                         F.sequence(F.lit(0), n - k),
-                         lambda i: F.struct(
-                             i.alias("pos"),
-                             F.xxhash64(F.array_join(
-                                 F.slice(toks, i + 1, k), " "))
-                             .alias("g"))))
-                     .otherwise(F.array()).alias("gs"))
-             .select("doc_id", F.explode("gs").alias("s"))
-             .select("doc_id", F.col("s.pos").alias("pos"),
-                     F.col("s.g").alias("g")))
+    grams = _gram_positions(documents, k, id_col, text_col)
     # per-gram global minimum occurrence + occurrence count, one
     # map-side-combinable aggregation (NO per-gram sort window)
     firsts = (grams.groupBy("g")
@@ -1372,12 +1356,31 @@ def scrub_repeated_spans(documents: DataFrame, k: int = 5,
                    F.count("*").alias("n_occ"))
               .filter(F.col("n_occ") >= 2)
               .select("g", "keep"))
-    cuts = (grams.join(firsts, "g")
-            .filter((F.col("doc_id") != F.col("keep.doc_id"))
-                    | (F.col("pos") != F.col("keep.pos")))
+    witnesses = (grams.join(firsts, "g")
+                 .filter((F.col("doc_id") != F.col("keep.doc_id"))
+                         | (F.col("pos") != F.col("keep.pos")))
+                 .select("doc_id", "pos"))
+    return _rewrite_without(documents, witnesses, k, id_col, text_col)
+
+
+def _rewrite_without(documents: DataFrame, witnesses: DataFrame,
+                     k: int, id_col: str, text_col: str) -> DataFrame:
+    """Shared rewrite tail: given (doc_id, pos) cut-witness rows,
+    remove every token in their [pos, pos+k−1] intervals and rejoin.
+    Cut positions collapse to per-doc coverage arrays (bounded by
+    document length, not corpus size); the rewrite is ONE id-keyed
+    join plus a codegen'd indexed array filter — the text column
+    moves through exactly one join and zero wide shuffles. Returns
+    (doc_id, clean_text, n_removed_tokens), one row per non-NULL-text
+    document."""
+    toks = tokens_col(text_col)
+    base = (ensure_parallelism(documents)
+            .filter(F.col(text_col).isNotNull()))
+    cuts = (witnesses
             .select("doc_id",
                     F.explode(F.sequence(
-                        F.col("pos"), F.col("pos") + k - 1)).alias("i"))
+                        F.col("pos"), F.col("pos") + int(k) - 1))
+                    .alias("i"))
             .groupBy("doc_id")
             .agg(F.collect_set("i").alias("cov")))
     out_toks = F.filter(
