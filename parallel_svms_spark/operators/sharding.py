@@ -681,3 +681,107 @@ def pack_chunks(documents: DataFrame, chunk_chars: int = 256,
         F.col("chunk_text"))
     return pack_shards(keyed, budget_tokens=budget_tokens,
                        id_col="chunk_id", text_col="chunk_text")
+
+
+def mixture_sample_tokens(documents: DataFrame,
+                          budget_tokens: int = 1500,
+                          source_col: str = "source",
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          salt: str = "") -> DataFrame:
+    """Token-budget mixture sampling: from each source, keep documents
+    along a deterministic pseudo-shuffled walk until the source has
+    contributed ``budget_tokens`` — the way pretraining mixtures are
+    actually specified ("10 B tokens of web, 2 B of code"), where
+    ``mixture_sample``'s per-source DOC quotas misallocate whenever
+    sources' document lengths differ. A document is kept iff the
+    exact sum of tokens WALKED BEFORE IT within its source is under
+    the budget, so each source overshoots by at most one document and
+    membership is reproducible in any engine (the rule depends only
+    on exact integer prefix sums over the md5 walk order, no floats,
+    no RNG).
+
+    Returns (id, source, n_tokens) — the sampled corpus keys; join
+    back by id for text (the sampling family convention: the decision
+    pass never carries text).
+
+    Scale shape: the naive form is a per-source ORDER-BY window — a
+    mega-source serializes one task. This is ``pack_shards``' two-pass
+    distributed prefix sum GENERALIZED TO GROUPS: range-partition by
+    (source, md5(salt‖id), id) so each partition holds a contiguous
+    slice of one-or-more sources' walks; pass 1 reduces per
+    (partition, source) partials (P×|sources| tiny rows to the
+    driver); the driver lays per-source exclusive offsets along each
+    walk; pass 2 is one Arrow pass per partition computing local
+    per-source running sums + broadcast offsets. No stage ever holds
+    more than its partition, regardless of how skewed one source is.
+    The DuckDB oracle recomputes the serial
+    ``SUM() OVER (PARTITION BY source ORDER BY md5, id)`` window and
+    must hash-match exactly — the distributed decomposition is
+    value-identical. NULL-text docs are excluded (family convention).
+    """
+    import pandas as pd
+
+    spark = documents.sparkSession
+    id_type = dict(documents.dtypes)[id_col]
+    ordc = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    toks = (documents
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.col(source_col).alias("__src"),
+                    ordc.alias("__ord"),
+                    F.size(F.split(F.col(text_col), " ")).cast("long")
+                    .alias("n_tokens")))
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (toks.repartitionByRange(n_part, F.col("__src"),
+                                      F.col("__ord"), F.col(id_col))
+              .sortWithinPartitions("__src", "__ord", id_col)
+              .localCheckpoint())
+    parts = (ranged
+             .groupBy(F.spark_partition_id().alias("pid"), "__src")
+             .agg(F.sum("n_tokens").alias("psum"),
+                  F.min(F.struct("__ord", id_col)).alias("min_ord"))
+             .collect())
+    # driver: per-source exclusive offsets along each source's walk
+    # (P × |sources| rows — tiny); order by min_ord, never pid
+    by_src: dict[str, list] = {}
+    for r in parts:
+        by_src.setdefault(r["__src"], []).append(r)
+    offsets: dict[tuple[int, str], int] = {}
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (r["min_ord"]["__ord"],
+                                 r["min_ord"][id_col]))
+        acc = 0
+        for r in rows:
+            offsets[(int(r["pid"]), src)] = acc
+            acc += int(r["psum"])
+    bc = spark.sparkContext.broadcast(offsets)
+    budget = int(budget_tokens)
+
+    def sample(it):
+        offs = bc.value
+        running: dict[str, int] = {}
+        pid = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+            pdf = pdf.sort_values(["__src", "__ord", id_col],
+                                  kind="mergesort")
+            prefixes = []
+            for src, nt in zip(pdf["__src"], pdf["n_tokens"]):
+                base = running.setdefault(src, offs.get((pid, src), 0))
+                prefixes.append(base)
+                running[src] = base + int(nt)
+            keep = pd.Series(prefixes).values < budget
+            out = pdf[keep.tolist()]
+            yield pd.DataFrame({
+                id_col: out[id_col],
+                "source": out["__src"],
+                "n_tokens": out["n_tokens"],
+            })
+
+    return (ranged.withColumn("pid", F.spark_partition_id())
+            .mapInPandas(sample,
+                         schema=f"{id_col} {id_type}, source string, "
+                                f"n_tokens long"))

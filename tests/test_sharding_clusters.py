@@ -189,3 +189,61 @@ def test_pack_shards_matches_serial_reference_tiny_budget(spark):
     seqs = pack_sequences(df, budget_tokens=budget).collect()
     assert sum(r.n_docs for r in seqs) == len(docs)
     assert sum(r.n_tokens for r in seqs) == acc
+
+
+def test_mixture_sample_tokens_serial_recurrence(spark):
+    """The distributed per-group prefix sum reproduces the serial
+    greedy walk exactly, including a mega-source spanning many range
+    partitions and a source smaller than its budget (kept whole)."""
+    import hashlib
+
+    from parallel_svms_spark.operators import sharding as SH
+    rows = ([(i, "big", "w " * (i % 7 + 1) + "end") for i in range(600)]
+            + [(10_000 + i, "tiny", "a b c") for i in range(3)])
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id long, source string, text string")
+    got = {(r.doc_id, r.source, r.n_tokens)
+           for r in SH.mixture_sample_tokens(df, budget_tokens=400)
+           .collect()}
+    # serial model
+    want = set()
+    for src in ("big", "tiny"):
+        docs = [(hashlib.md5(str(i).encode()).hexdigest(), i, t)
+                for i, s, t in rows if s == src]
+        docs.sort()
+        acc = 0
+        for h, i, t in docs:
+            n = len(t.strip().split(" "))
+            if acc < 400:
+                want.add((i, src, n))
+            acc += n
+    assert got == want
+    assert {s for _, s, _ in got} == {"big", "tiny"}
+    tiny_total = sum(n for _, s, n in got if s == "tiny")
+    assert tiny_total == 9          # under-budget source kept whole
+
+
+def test_mixture_sample_tokens_budget_envelope(spark, docs):
+    """On the fixture: every source's sampled token total reaches the
+    budget (or the source is exhausted) and overshoots by at most one
+    document's tokens."""
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.operators import sharding as SH
+    out = SH.mixture_sample_tokens(docs, budget_tokens=1500)
+    per = {r.source: (r.total, r.mx)
+           for r in out.groupBy("source")
+           .agg(F.sum("n_tokens").alias("total"),
+                F.max("n_tokens").alias("mx")).collect()}
+    full = {r.source: r.total for r in
+            docs.filter("text is not null")
+            .groupBy("source")
+            .agg(F.sum(F.size(F.split("text", " "))).alias("total"))
+            .collect()}
+    assert set(per) == set(full)
+    for src, (total, mx) in per.items():
+        if full[src] <= 1500:
+            assert total == full[src]      # exhausted source
+        else:
+            assert 1500 <= total < 1500 + mx
