@@ -355,3 +355,27 @@ def test_interval_join_mega_interval_skew_split(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_repeated_spans_text_never_shuffles(docs):
+    """The substring-dedup scale claim: the gram STRING stays inside
+    the map task — every Exchange in the detect plan carries only the
+    8-byte hash / positions / ids, never the text column; and the
+    scrub adds text through id-keyed joins only (no exchange carries
+    text either)."""
+    for df in (D.repeated_spans(docs), D.scrub_repeated_spans(docs)):
+        p = phys(df)
+        for line in p.splitlines():
+            if "Exchange" in line:
+                assert "text" not in line, line
+
+
+def test_mixture_sample_tokens_one_range_exchange(docs):
+    """The grouped two-pass prefix sum: pass 2's plan reads the
+    checkpointed ranged layout (no fresh wide exchange) and never
+    contains a global-order Sort or a window."""
+    from parallel_svms_spark.operators import sharding as SH
+    p = phys(SH.mixture_sample_tokens(docs, budget_tokens=1500))
+    assert "Window" not in p
+    assert "Exchange rangepartitioning" not in p  # consumed pre-checkpoint
+    assert "Exchange hashpartitioning" not in p
