@@ -560,6 +560,7 @@ _QKEY_ORDER = [
     # text analysis
     "text_token_stats", "vocab_topk", "ngram_topk", "scrub_text",
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
+    "lang_confusion",
     "doc_fingerprint", "token_count", "length_profile",
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob", "compression_profile",
@@ -864,6 +865,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), top_n=5),
         "text_quality": lambda s, d: TX.quality_score(load_table(s, d, "documents")),
         "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
+        # label-vs-prediction confusion matrix of the scorer — r8
+        "lang_confusion": lambda s, d: TX.lang_confusion(
+            load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
         "token_count": lambda s, d: TX.token_count(load_table(s, d, "documents")),
         "json_extract": lambda s, d: E.json_extract(load_table(s, d, "events")),
@@ -2127,6 +2131,12 @@ SELECT doc_id, quality,
 FROM q
 """,
         "lang_id": _LANG_ID_ORACLE,
+        # the scorer's prediction CASE verbatim, rolled up to the
+        # label-vs-prediction matrix
+        "lang_confusion": (
+            "SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            f"FROM ({_LANG_ID_ORACLE}) li GROUP BY lang, pred_lang"
+        ),
         "vocab_topk": """
 SELECT token, COUNT(*) AS freq
 FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
@@ -3732,7 +3742,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 160 per-operator qkeys, 100 could never get a
+# time budget). With 161 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -3968,6 +3978,11 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("length_profile", ["sum(n_docs)",
                             "sum(cast(floor(p50_chars*100) as bigint))",
                             "sum(cast(floor(p90_chars*100) as bigint))"]),
+        ("lang_confusion", ["sum(n_docs)",
+                            "sum(length(lang)*n_docs)",
+                            _rowhash("length(lang)*1000000 "
+                                     "+ length(pred_lang)*10000 "
+                                     "+ n_docs")]),
         ("text_quality", ["sum(doc_id*n_tokens)",
                           "sum(cast(floor(quality*100000) as bigint))",
                           "sum(cast(floor(stopword_ratio*10000) "
@@ -4254,7 +4269,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 160 per-operator
+    per-round correctness budget), covering all 161 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

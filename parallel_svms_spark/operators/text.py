@@ -643,3 +643,18 @@ def term_postings(documents: DataFrame, max_doc_freq: int | None = None,
     return (per.join(dfreq.select("token"), "token", "left_semi")
             .select("token", id_col, F.col("n_occ").cast("long")
                     .alias("n_occ"), "first_pos"))
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix of the marker-word language scorer against the
+    corpus's LABELED language column: (lang, pred_lang, n_docs) — the
+    audit run before trusting ``lang_id`` as a routing/filter signal
+    (a pipeline that drops non-English by prediction needs to know the
+    per-language miss rate first; ``eval_confusion`` is the same
+    methodology on the SVM side). One map-side-combinable aggregation
+    over the zero-exchange scorer projection; output bounded by
+    |langs|·(|langs|+1), never corpus rows.
+    """
+    return (lang_id(documents)
+            .groupBy("lang", "pred_lang")
+            .agg(F.count("*").alias("n_docs")))
