@@ -585,6 +585,7 @@ _QKEY_ORDER = [
     "decontaminate_surgical",
     "split_decontaminate", "mixture_sample",
     "mixture_sample_hash", "mixture_sample_tokens",
+    "pipeline_scrub_mixture",
     "pipeline_curate", "pipeline_pretrain",
     # similarity / ANN
     "label_centroids",
@@ -830,6 +831,15 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-group prefix sum (pack_shards' two passes, grouped) r8
         "mixture_sample_tokens": lambda s, d: SH.mixture_sample_tokens(
             load_table(s, d, "documents"), budget_tokens=1500),
+        # r8 curation chain: substring scrub THEN token budgeting —
+        # dedup before sampling, so budgets buy unique tokens; one
+        # lazily-planned DAG (the pipeline_curate composition pattern)
+        "pipeline_scrub_mixture": lambda s, d: (
+            lambda docs: SH.mixture_sample_tokens(
+                D.scrub_repeated_spans(docs)
+                .join(docs.select("doc_id", "source"), "doc_id"),
+                budget_tokens=1000, text_col="clean_text"))(
+            load_table(s, d, "documents")),
         "length_profile": lambda s, d: TX.length_profile(
             load_table(s, d, "documents")),
         "topk_cosine": _topk_cosine,
@@ -1071,6 +1081,47 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     assert set(reg) == set(_QKEY_ORDER), (
         sorted(set(reg) ^ set(_QKEY_ORDER)))
     return {name: reg[name] for name in _QKEY_ORDER}
+
+
+# Keep-first substring-scrub oracle (also the nested CTE of the
+# pipeline_scrub_mixture chain): rank window replaces the engine's
+# combinable min(struct); token rebuild is the lossless split/join.
+_SCRUB_SQL = """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+grams AS (
+  SELECT doc_id, UNNEST([{'pos': i - 1,
+      'gram': array_to_string(t[i:i+4], ' ')}
+      FOR i IN range(1, len(t) - 3)], recursive := true)
+  FROM toks),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram
+                            ORDER BY doc_id, pos) AS rn
+  FROM grams),
+cuts AS (
+  SELECT DISTINCT doc_id, pos + u.j AS i
+  FROM ranked, UNNEST([0, 1, 2, 3, 4]) AS u(j)
+  WHERE rn > 1),
+tokens AS (
+  SELECT doc_id, UNNEST([{'i': i - 1, 'tok': t[i]}
+      FOR i IN range(1, len(t) + 1)], recursive := true)
+  FROM toks),
+kept AS (
+  SELECT tk.doc_id, tk.i, tk.tok
+  FROM tokens tk LEFT JOIN cuts c
+    ON c.doc_id = tk.doc_id AND c.i = tk.i
+  WHERE c.doc_id IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id),
+ncut AS (SELECT doc_id, COUNT(*) AS nr FROM cuts GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(nr, 0) AS BIGINT) AS n_removed_tokens
+FROM toks t LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN ncut USING (doc_id)
+"""
 
 
 # Shared CTE prefix for the two repeated-span oracles (k=5,
@@ -1822,41 +1873,25 @@ FROM toks t LEFT JOIN per ON per.doc_id = t.doc_id
         # keep-first substring scrub: rank window replaces the
         # engine's combinable min(struct) (oracle clarity over oracle
         # skew); token rebuild is the same lossless split/join
-        "repeated_span_scrub": """
-WITH toks AS (
-  SELECT doc_id, text, string_split(text, ' ') AS t
-  FROM documents WHERE text IS NOT NULL),
-grams AS (
-  SELECT doc_id, UNNEST([{'pos': i - 1,
-      'gram': array_to_string(t[i:i+4], ' ')}
-      FOR i IN range(1, len(t) - 3)], recursive := true)
-  FROM toks),
-ranked AS (
-  SELECT doc_id, pos,
-         ROW_NUMBER() OVER (PARTITION BY gram
-                            ORDER BY doc_id, pos) AS rn
-  FROM grams),
-cuts AS (
-  SELECT DISTINCT doc_id, pos + u.j AS i
-  FROM ranked, UNNEST([0, 1, 2, 3, 4]) AS u(j)
-  WHERE rn > 1),
-tokens AS (
-  SELECT doc_id, UNNEST([{'i': i - 1, 'tok': t[i]}
-      FOR i IN range(1, len(t) + 1)], recursive := true)
-  FROM toks),
-kept AS (
-  SELECT tk.doc_id, tk.i, tk.tok
-  FROM tokens tk LEFT JOIN cuts c
-    ON c.doc_id = tk.doc_id AND c.i = tk.i
-  WHERE c.doc_id IS NULL),
-agg AS (
-  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
-  FROM kept GROUP BY doc_id),
-ncut AS (SELECT doc_id, COUNT(*) AS nr FROM cuts GROUP BY doc_id)
-SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-       CAST(COALESCE(nr, 0) AS BIGINT) AS n_removed_tokens
-FROM toks t LEFT JOIN agg a USING (doc_id)
-            LEFT JOIN ncut USING (doc_id)
+        "repeated_span_scrub": _SCRUB_SQL,
+        # the r8 curation chain: scrub THEN budget — the ordering
+        # pipelines actually use (dedup before sampling, so token
+        # budgets buy unique tokens); scrub oracle verbatim as a
+        # nested CTE, then the mixture window over clean_text
+        "pipeline_scrub_mixture": f"""
+WITH scrubbed AS ({_SCRUB_SQL}),
+j AS (
+  SELECT s.doc_id, d.source,
+         CAST(len(string_split(s.clean_text, ' ')) AS BIGINT)
+           AS n_tokens
+  FROM scrubbed s JOIN documents d USING (doc_id))
+SELECT doc_id, source, n_tokens FROM (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix
+  FROM j)
+WHERE prefix < 1000
 """,
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
@@ -3742,7 +3777,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 161 per-operator qkeys, 100 could never get a
+# time budget). With 162 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -4105,6 +4140,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("mixture_sample_tokens",
          ["sum(n_tokens)", "count(distinct source)",
           _rowhash("doc_id*1000 + n_tokens")]),
+        ("pipeline_scrub_mixture",
+         ["sum(n_tokens)", "count(distinct source)",
+          _rowhash("doc_id*1000 + n_tokens")]),
         ("sample_stratified", ["sum(vec_id)", "sum(label)",
                                "sum(vec_id*label)"]),
         ("sample_uniform", ["sum(doc_id)", "sum(n_chars)",
@@ -4269,7 +4307,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 161 per-operator
+    per-round correctness budget), covering all 162 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

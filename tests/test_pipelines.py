@@ -172,3 +172,32 @@ def test_pipeline_pretrain_stagewise_equivalence(spark, sf_dir):
     ids = {r.doc_id for r in rows}
     clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
     assert ids <= clean_ids  # nothing contaminated survived
+
+
+def test_pipeline_scrub_mixture_equals_staged(spark, sf_dir):
+    """The composed DAG == running the two stages explicitly, and
+    scrubbing strictly shrinks what the same budget buys in docs
+    (each kept doc now carries only unique tokens)."""
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import dedup as D
+    from parallel_svms_spark.operators import sharding as SH
+    import __spark_entry__ as E
+
+    docs = load_table(spark, sf_dir, "documents")
+    composed = {(r.doc_id, r.source, r.n_tokens) for r in
+                E.queries_all()["pipeline_scrub_mixture"](
+                    spark, sf_dir).collect()}
+    scrubbed = (D.scrub_repeated_spans(docs)
+                .join(docs.select("doc_id", "source"), "doc_id"))
+    staged = {(r.doc_id, r.source, r.n_tokens) for r in
+              SH.mixture_sample_tokens(
+                  scrubbed, budget_tokens=1000,
+                  text_col="clean_text").collect()}
+    assert composed == staged and composed
+    # scrubbed docs are never longer than their originals
+    orig = dict(docs.select("doc_id",
+                            F.size(F.split("text", " ")).alias("n"))
+                .collect())
+    assert all(n <= orig[i] for i, _, n in composed)

@@ -236,6 +236,31 @@ def main() -> None:
     # stress corpus's replicated docs make every block ~mult-sized
     timed("dedup_editdist", n_docs,
           lambda: dedup.editdist_near_dups(docs).count())
+    # r8: substring dedup — the replicated corpus is the worst case
+    # (every interior gram duplicated: the coverage join re-emits the
+    # whole gram stream); must stay linear (SCALING.md r8b slope 0.43)
+    timed("repeated_spans", n_docs,
+          lambda: dedup.repeated_spans(docs).count())
+    # the scrub is forced through a content aggregate: a bare count()
+    # lets Catalyst eliminate the unique-key left join entirely
+    timed("repeated_span_scrub", n_docs,
+          lambda: int(dedup.scrub_repeated_spans(docs)
+                      .agg(F.sum(F.length("clean_text")
+                                 + F.col("n_removed_tokens")))
+                      .first()[0]))
+    # r8: span-level decontamination — broadcast benchmark grams +
+    # the same rewrite tail; corpus text crosses one id-keyed join
+    timed("decontaminate_surgical", n_docs,
+          lambda: int(CN.decontaminate_surgical(
+              docs.filter("source <> 'src0'"),
+              docs.filter("source = 'src0'"))
+              .agg(F.sum(F.length("clean_text")
+                         + F.col("n_removed_tokens"))).first()[0]))
+    # r8: grouped two-pass prefix sum — budget scales with mult so
+    # the kept fraction stays comparable across legs
+    timed("mixture_sample_tokens", n_docs,
+          lambda: SHOP.mixture_sample_tokens(
+              docs, budget_tokens=1500 * mult_docs).count())
 
     def _zorder_compact_leg():
         import shutil
