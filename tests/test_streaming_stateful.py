@@ -1360,3 +1360,72 @@ def test_streaming_repeated_span_stats_matches_batch(spark):
              if r.doc_id in (1, 2, 3) and r.dup_tokens > 0}
     assert set(got) == {1, 3}          # doc 2 clean -> no row
     assert got == batch
+
+
+def test_streaming_repeated_span_stats_restart_exactly_once(
+        spark, tmp_path):
+    """Kill-and-restart contract for the substring-screen twin: the
+    windowed per-doc aggregation state must survive in the
+    checkpoint, so docs arriving after the outage are screened and
+    the final table equals the batch ground truth exactly-once."""
+    import glob
+    import os
+    import shutil
+
+    from parallel_svms_spark.operators import dedup as D
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    boiler = "copy right all rights reserved do not redistribute"
+    corpus = spark.createDataFrame(
+        [(100, boiler + " archive tail words"),
+         (101, "other archive content entirely unrelated here")],
+        "doc_id long, text string")
+    idx = D.gram_count_index(corpus)
+    f1 = [(1, t0, "header words here " + boiler),
+          (2, t0 + timedelta(minutes=1),
+           "nothing similar here at all whatsoever to anything")]
+    f2 = [(3, t0 + timedelta(minutes=5),
+           "p q r s t m1 m2 m3 m4 m5 m6 p q r s t"),
+          (4, t0 + timedelta(minutes=6), boiler + " another copy")]
+    src, ckpt = tmp_path / "src", tmp_path / "ck"
+    src.mkdir()
+
+    def write_file(i, rows):
+        d = tmp_path / f"d{i}"
+        spark.createDataFrame(rows, SW.DOCS_SCHEMA).coalesce(1) \
+            .write.parquet(str(d))
+        p = sorted(glob.glob(f"{d}/part-*"))[0]
+        shutil.copy(p, f"{src}/{i:04d}.parquet")
+        os.utime(f"{src}/{i:04d}.parquet", (1000 + i, 1000 + i))
+
+    name = "stream_span_stats_restart"
+
+    def start():
+        stream = (spark.readStream.schema(SW.DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        stats = SW.streaming_repeated_span_stats(stream, idx)
+        return (stats.writeStream.outputMode("complete")
+                .option("checkpointLocation", str(ckpt))
+                .format("memory").queryName(name).start())
+
+    write_file(0, f1)
+    q = start()
+    q.processAllAvailable()
+    q.stop()                              # hard stop mid-stream
+    write_file(1, f2)                     # arrives while DOWN
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans)
+           for r in rows}
+    assert len(rows) == len(got)          # exactly-once, no dup rows
+    arrivals = spark.createDataFrame(
+        [(i, t) for i, _, t in f1 + f2], "doc_id long, text string")
+    batch = {r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans)
+             for r in D.repeated_span_stats(
+                 corpus.unionByName(arrivals)).collect()
+             if r.doc_id in (1, 2, 3, 4) and r.dup_tokens > 0}
+    assert set(got) == {1, 3, 4}          # doc 2 clean; 1 pre-outage
+    assert got == batch
