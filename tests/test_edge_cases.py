@@ -536,3 +536,59 @@ def test_kfold_assign_fold_ids_match_hash_intervals(spark, k, ids):
                 fold = j - 1
                 break
         assert got[i] == fold, (i, h8, u)
+
+
+def test_r8_substring_family_edge_inputs(spark):
+    """Empty corpus, all-NULL text, single doc, and sub-k docs: the
+    substring family degrades to empty/zero outputs without error."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert D.repeated_spans(empty).count() == 0
+    assert D.repeated_span_stats(empty).count() == 0
+    assert D.scrub_repeated_spans(empty).count() == 0
+
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "doc_id long, text string")
+    assert D.repeated_spans(nulls).count() == 0
+    assert D.repeated_span_stats(nulls).count() == 0
+
+    single = spark.createDataFrame(
+        [(1, "just one lonely document here only")],
+        "doc_id long, text string")
+    assert D.repeated_spans(single).count() == 0
+    st = D.repeated_span_stats(single).first()
+    assert (st.dup_tokens, st.n_spans, st.dup_ppm) == (0, 0, 0)
+    sc = D.scrub_repeated_spans(single).first()
+    assert sc.clean_text == "just one lonely document here only"
+    assert sc.n_removed_tokens == 0
+
+    # every doc shorter than k: no grams anywhere
+    tiny = spark.createDataFrame([(1, "a b"), (2, "a b"), (3, "c")],
+                                 "doc_id long, text string")
+    assert D.repeated_spans(tiny).count() == 0
+    assert D.scrub_repeated_spans(tiny).filter(
+        "n_removed_tokens > 0").count() == 0
+
+
+def test_r8_mixture_and_surgical_edge_inputs(spark):
+    """Empty corpus / empty benchmark / budget-zero-ish degeneracies
+    for the r8 sampling and decontamination additions."""
+    from parallel_svms_spark.operators import contamination as C
+    from parallel_svms_spark.operators import sharding as SH
+
+    empty = spark.createDataFrame([], "doc_id long, source string,"
+                                      " text string")
+    assert SH.mixture_sample_tokens(empty).count() == 0
+    docs = spark.createDataFrame(
+        [(1, "a", "w1 w2 w3 w4 w5 w6"), (2, "a", "w7 w8 w9 wa wb")],
+        "doc_id long, source string, text string")
+    # budget 1: exactly the first doc on the walk per source
+    assert SH.mixture_sample_tokens(docs, budget_tokens=1).count() == 1
+    # empty benchmark: surgical is the identity rewrite
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+           for r in C.decontaminate_surgical(docs, bench).collect()}
+    assert out == {1: ("w1 w2 w3 w4 w5 w6", 0),
+                   2: ("w7 w8 w9 wa wb", 0)}
+    # corpus empty against a real benchmark: empty output
+    assert C.decontaminate_surgical(
+        empty.select("doc_id", "text"), docs).count() == 0
