@@ -560,7 +560,7 @@ _QKEY_ORDER = [
     # text analysis
     "text_token_stats", "vocab_topk", "ngram_topk", "scrub_text",
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
-    "lang_confusion",
+    "lang_confusion", "dataset_manifest",
     "doc_fingerprint", "token_count", "length_profile",
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob", "compression_profile",
@@ -877,6 +877,9 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lambda s, d: TX.lang_id(load_table(s, d, "documents")),
         # label-vs-prediction confusion matrix of the scorer — r8
         "lang_confusion": lambda s, d: TX.lang_confusion(
+            load_table(s, d, "documents")),
+        # one-pass per-source datasheet + __all__ rollup — r8
+        "dataset_manifest": lambda s, d: AU.dataset_manifest(
             load_table(s, d, "documents")),
         "doc_fingerprint": lambda s, d: TX.doc_fingerprint(load_table(s, d, "documents")),
         "token_count": lambda s, d: TX.token_count(load_table(s, d, "documents")),
@@ -2166,6 +2169,25 @@ SELECT doc_id, quality,
 FROM q
 """,
         "lang_id": _LANG_ID_ORACLE,
+        # the release datasheet: same conditional aggregates under
+        # DuckDB's ROLLUP; distinct-text count is the ground truth the
+        # engine's digest count must equal
+        "dataset_manifest": """
+SELECT COALESCE(source, '__all__') AS source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN text IS NULL THEN 0
+           ELSE len(string_split(text, ' ')) END) AS BIGINT) AS n_tokens,
+  CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS n_chars,
+  CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_text,
+  CAST((COUNT(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+        - COUNT(DISTINCT text)) * 1000000 // COUNT(*) AS BIGINT)
+    AS dup_ppm
+FROM documents GROUP BY ROLLUP(source)
+""",
         # the scorer's prediction CASE verbatim, rolled up to the
         # label-vs-prediction matrix
         "lang_confusion": (
@@ -3777,7 +3799,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 162 per-operator qkeys, 100 could never get a
+# time budget). With 163 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -4018,6 +4040,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                             _rowhash("length(lang)*1000000 "
                                      "+ length(pred_lang)*10000 "
                                      "+ n_docs")]),
+        ("dataset_manifest",
+         ["sum(n_tokens + n_chars)", "sum(n_docs + n_langs + dup_ppm)",
+          _rowhash("length(source)*100000000 + n_tokens*1000 "
+                   "+ n_docs + min_tokens + max_tokens")]),
         ("text_quality", ["sum(doc_id*n_tokens)",
                           "sum(cast(floor(quality*100000) as bigint))",
                           "sum(cast(floor(stopword_ratio*10000) "
@@ -4307,7 +4333,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 162 per-operator
+    per-round correctness budget), covering all 163 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

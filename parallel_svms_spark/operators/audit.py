@@ -140,3 +140,48 @@ def validate_constraints(orders: DataFrame, customer: DataFrame,
 
     return o_rows.unionByName(c_rows).unionByName(l_rows) \
         .unionByName(fk1).unionByName(fk2)
+
+
+def dataset_manifest(documents: DataFrame,
+                     source_col: str = "source",
+                     text_col: str = "text") -> DataFrame:
+    """Dataset manifest — the one-pass datasheet published alongside a
+    training-data release: per source (plus an ``__all__`` rollup
+    row), document count, whitespace-token and character volume,
+    length envelope, distinct-language and NULL-text counts, and the
+    exact-duplicate rate (docs minus distinct text digests) in LONG
+    ppm of docs. This is the release-gate summary a 100 TB pipeline
+    prints before anyone trains on the data — the per-metric deep
+    dives (``length_profile``, ``lang_confusion``,
+    ``repeated_span_stats``, ``validate_constraints``) hang off its
+    rows.
+
+    Scale shape: ONE scan — every column is a conditional/plain
+    aggregate over the same ``ROLLUP(source)`` grouping, so the
+    shuffle carries one partial-agg row per (partition, source);
+    the two COUNT(DISTINCT ...) columns ride Spark's expand-based
+    distinct aggregation (shuffle carries distinct digests/langs per
+    source, never documents). Output is |sources| + 1 rows.
+    """
+    n_tok = F.when(F.col(text_col).isNotNull(),
+                   F.size(F.split(F.col(text_col), " ")).cast("long"))
+    return (documents
+            .rollup(source_col)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.coalesce(n_tok, F.lit(0))).alias("n_tokens"),
+                 F.sum(F.coalesce(F.length(text_col).cast("long"),
+                                  F.lit(0))).alias("n_chars"),
+                 F.min(n_tok).alias("min_tokens"),
+                 F.max(n_tok).alias("max_tokens"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum(F.when(F.col(text_col).isNull(), 1)
+                       .otherwise(0).cast("long")).alias("n_null_text"),
+                 F.countDistinct(F.sha2(F.col(text_col), 256))
+                 .alias("n_distinct_texts"))
+            .select(F.coalesce(F.col(source_col), F.lit("__all__"))
+                    .alias("source"),
+                    "n_docs", "n_tokens", "n_chars", "min_tokens",
+                    "max_tokens", "n_langs", "n_null_text",
+                    F.expr("(n_docs - n_null_text - n_distinct_texts)"
+                           " * 1000000 DIV n_docs").cast("long")
+                    .alias("dup_ppm")))

@@ -89,3 +89,36 @@ def test_plan_has_no_cartesian_or_python(dirty):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dataset_manifest_rollup_consistency(spark, sf_dir):
+    """The __all__ row equals the column-sums of the per-source rows
+    (counts/volumes) and the global min/max envelope; dup_ppm reacts
+    to injected exact duplicates and NULL text is accounted."""
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import audit as AU
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = {r.source: r for r in AU.dataset_manifest(docs).collect()}
+    allr = rows.pop("__all__")
+    assert allr.n_docs == sum(r.n_docs for r in rows.values())
+    assert allr.n_tokens == sum(r.n_tokens for r in rows.values())
+    assert allr.n_chars == sum(r.n_chars for r in rows.values())
+    assert allr.min_tokens == min(r.min_tokens for r in rows.values())
+    assert allr.max_tokens == max(r.max_tokens for r in rows.values())
+    # inject: one exact dup + one NULL text into a single source
+    one = docs.limit(1).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars")
+    nul = docs.limit(1).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.lit(None).cast("string").alias("text"), "lang", "source",
+        "n_chars")
+    aug = {r.source: r for r in AU.dataset_manifest(
+        docs.unionByName(one).unionByName(nul)).collect()}
+    src = docs.limit(1).first().source
+    assert aug[src].n_null_text == rows[src].n_null_text + 1
+    assert aug[src].dup_ppm > rows[src].dup_ppm
+    assert aug["__all__"].n_docs == allr.n_docs + 2
