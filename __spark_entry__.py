@@ -571,7 +571,8 @@ _QKEY_ORDER = [
     "evolve_roundtrip", "bucketed_join", "merge_survivorship",
     # dedup / corpus assembly
     "dedup_exact", "dedup_exact_normalized", "dedup_incremental",
-    "source_overlap", "repeated_spans", "repeated_span_stats",
+    "source_overlap", "source_overlap_minhash",
+    "repeated_spans", "repeated_span_stats",
     "repeated_span_scrub", "repeated_spans_incremental",
     "dedup_clusters",
     "dedup_cluster_stats", "shard_pack", "shard_pack_shuffled",
@@ -717,6 +718,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-source shingle-overlap matrix: the mixture diagnostic
         # (which SOURCES duplicate each other, how much) — r8
         "source_overlap": lambda s, d: D.source_overlap(
+            load_table(s, d, "documents")),
+        # sketch twin of source_overlap: constant-size per-source
+        # MinHash profiles, estimated pairwise Jaccard — r8
+        "source_overlap_minhash": lambda s, d: D.source_overlap_minhash(
             load_table(s, d, "documents")),
         # substring-granular dedup (Lee et al. ACL 2022): maximal
         # token spans covered by corpus-repeated word 5-grams, and
@@ -1124,6 +1129,53 @@ SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
        CAST(COALESCE(nr, 0) AS BIGINT) AS n_removed_tokens
 FROM toks t LEFT JOIN agg a USING (doc_id)
             LEFT JOIN ncut USING (doc_id)
+"""
+
+
+def _source_overlap_minhash_oracle(n_hashes: int = 64,
+                                   seed: int = 42) -> str:
+    """Bit-for-bit recomputation of the source-granular MinHash
+    profiles: signed int64 from the low 16 md5 hex chars (literal
+    16^j weights in HUGEINT, then two's-complement fold), the same
+    seeded affine permutations as dedup._perm_params inlined as a
+    VALUES list, and the fold to the 31-bit Mersenne field."""
+    from parallel_svms_spark.operators.dedup import _perm_params
+    perms = ", ".join(f"({i}, {a}, {b})"
+                      for i, (a, b) in enumerate(_perm_params(n_hashes,
+                                                              seed)))
+    digit = ("CAST(strpos('0123456789abcdef', "
+             "substr(md5(shingle), {pos}, 1)) - 1 AS HUGEINT)")
+    terms = " + ".join(
+        digit.format(pos=16 + j) + f" * {16 ** (16 - j)}::HUGEINT"
+        for j in range(1, 17))
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source AS s,
+    UNNEST(CASE WHEN len(t) >= 5 THEN list_distinct(
+        [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t)-3)])
+      ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL)),
+hx AS (
+  SELECT s, CAST(
+    ((CASE WHEN u >= 9223372036854775808::HUGEINT
+           THEN u - 18446744073709551616::HUGEINT ELSE u END
+      % 2147483647) + 2147483647) % 2147483647 AS BIGINT) AS x
+  FROM (SELECT s, {terms} AS u FROM sh)),
+sigs AS (
+  SELECT s, p.i, MIN((p.a * x + p.b) % 2147483647) AS v
+  FROM hx, (VALUES {perms}) p(i, a, b)
+  GROUP BY s, p.i),
+pairs AS (
+  SELECT a.s AS source_a, b.s AS source_b,
+         CAST(SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_equal
+  FROM sigs a JOIN sigs b ON a.i = b.i AND a.s < b.s
+  GROUP BY a.s, b.s)
+SELECT source_a, source_b, n_equal,
+       CAST(n_equal * 1000000 // {n_hashes} AS BIGINT)
+         AS jaccard_ppm_est
+FROM pairs
 """
 
 
@@ -1800,6 +1852,9 @@ SELECT source_a, source_b, n_shared, ca.n AS n_a, cb.n AS n_b,
 FROM shared JOIN counts ca ON ca.s = source_a
             JOIN counts cb ON cb.s = source_b
 """,
+        # sketch twin: profiles recomputed bit-for-bit (dynamic
+        # oracle — the IVF rebuilt-centroid precedent)
+        "source_overlap_minhash": _source_overlap_minhash_oracle(),
         # substring dedup (k=5, min_count=2): gram CTE mirrors the
         # engine's 0-based positions; dup grams by STRING (the engine
         # keys on xxhash64 — collision can only over-mark, see
@@ -3799,7 +3854,7 @@ _LANG_ID_ORACLE = (
 # The driver's correctness gate records AT MOST 50 queries per round
 # (CORRECTNESS_r03 and r04 both stop at exactly 50 entries despite
 # wildly different per-query costs and orderings — a hard cap, not a
-# time budget). With 163 per-operator qkeys, 100 could never get a
+# time budget). With 164 per-operator qkeys, 100 could never get a
 # green row in any single round. So the driver-facing registry folds
 # redundant FAMILY VARIANTS into "suite" qkeys: a suite unions one
 # digest row per member — (q, n_rows, c1, c2, c3), where c1..c3 are
@@ -4112,6 +4167,11 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("source_overlap", ["sum(n_shared + n_a + n_b)",
                             "sum(containment_ppm)",
                             _rowhash("containment_ppm*1000 + n_shared")]),
+        ("source_overlap_minhash",
+         ["sum(n_equal)", "sum(jaccard_ppm_est)",
+          _rowhash("(length(source_a)*100 + ascii(substr(source_a,4,1)))"
+                   "*100000 + (length(source_b)*100 + "
+                   "ascii(substr(source_b,4,1)))*100 + n_equal")]),
         ("repeated_spans", ["sum(span_start + span_tokens)",
                             "count(distinct doc_id)",
                             _rowhash("doc_id*100000 + span_start*300"
@@ -4333,7 +4393,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 163 per-operator
+    per-round correctness budget), covering all 164 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

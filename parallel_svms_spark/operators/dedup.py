@@ -1479,3 +1479,69 @@ def repeated_spans_incremental(corpus: DataFrame, new_docs: DataFrame,
            .select("g"))
     hits = batch_grams.join(dup, "g").select("doc_id", "pos")
     return _spans_from_hits(hits, k)
+
+
+def source_overlap_minhash(documents: DataFrame, n_hashes: int = 64,
+                           k: int = 5, seed: int = 42,
+                           source_col: str = "source",
+                           text_col: str = "text") -> DataFrame:
+    """Sketch-path twin of ``source_overlap``: estimated pairwise
+    Jaccard between sources' shingle sets from ONE constant-size
+    MinHash profile per source — the 100 TB form of the mixture
+    diagnostic. The exact twin's first aggregation is bounded by
+    vocabulary × sources, which at web scale is itself corpus-order;
+    here each source keeps only ``n_hashes`` 8-byte minima (a
+    SOURCE-granular signature: min over every shingle the source
+    contains), so the profile build is a map-side-combinable
+    (source, i) min — the shuffle carries |sources|·n_hashes rows
+    per partition, never a shingle — and the comparison is an
+    all-pairs join of S·n_hashes-row profiles (S = sources, tiny).
+    Standard estimator: P[sig_a[i] = sig_b[i]] = J(A, B); mean of
+    n_hashes indicators, std ≈ √(J(1−J)/n).
+
+    Output: (source_a, source_b, n_equal, jaccard_ppm_est) for EVERY
+    unordered source pair — including zero-overlap pairs (the exact
+    twin omits them), since at scale absence-of-evidence and
+    evidence-of-absence differ. jaccard_ppm_est = 10⁶·n_equal DIV
+    n_hashes in exact LONG arithmetic.
+
+    Engine-portable by construction: shingle → 31-bit field via the
+    md5 ``_token_hash`` family (the SimHash precedent — DuckDB
+    recomputes the signed int64 from md5 hex and the affine
+    permutations from the same seeded ``_perm_params`` constants, so
+    the oracle reproduces every signature component bit-for-bit).
+    Duplicate (source, shingle) occurrences need no pre-distinct:
+    min() is idempotent, which is what removes the exact twin's
+    DISTINCT shuffle from the plan entirely.
+    """
+    params = _perm_params(int(n_hashes), int(seed))
+    sh = (documents
+          .filter(F.col(text_col).isNotNull())
+          .select(F.col(source_col).alias("s"),
+                  F.explode(F.array_distinct(
+                      shingles_col(text_col, int(k)))).alias("shingle"))
+          .select("s", F.pmod(_token_hash(F.col("shingle"), "md5"),
+                              F.lit(MERSENNE31)).alias("x")))
+    pa = F.array(*[F.struct(F.lit(i).alias("i"),
+                            F.lit(a).alias("a"),
+                            F.lit(b).alias("b"))
+                   for i, (a, b) in enumerate(params)])
+    vals = (sh.select("s", F.explode(F.transform(
+        pa, lambda e: F.struct(
+            e["i"].alias("i"),
+            F.pmod(e["a"] * F.col("x") + e["b"],
+                   F.lit(MERSENNE31)).alias("v")))).alias("iv"))
+        .select("s", F.col("iv.i").alias("i"), F.col("iv.v").alias("v")))
+    sigs = vals.groupBy("s", "i").agg(F.min("v").alias("v"))
+    left = sigs.select(F.col("s").alias("source_a"), "i",
+                       F.col("v").alias("va"))
+    right = sigs.select(F.col("s").alias("source_b"), "i",
+                        F.col("v").alias("vb"))
+    return (left.join(right, "i")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.sum(F.when(F.col("va") == F.col("vb"), 1)
+                       .otherwise(0)).cast("long").alias("n_equal"))
+            .select("source_a", "source_b", "n_equal",
+                    F.expr(f"n_equal * 1000000 DIV {int(n_hashes)}")
+                    .cast("long").alias("jaccard_ppm_est")))

@@ -638,3 +638,38 @@ def test_gram_index_two_day_cycle(spark, docs, tmp_path):
                for r in D.repeated_spans_incremental(
                    corpus.unionByName(b1), b2).collect()}
     assert day2 == inline2 and day2
+
+
+def test_source_overlap_minhash_contract(spark):
+    """Identical sources estimate 10^6, disjoint estimate 0, and the
+    profile is invariant under duplication (min is idempotent — the
+    property that removes the exact twin's DISTINCT shuffle)."""
+    rows = [(1, "A", "one two three four five six seven"),
+            (2, "B", "one two three four five six seven"),
+            (3, "C", "totally different words appearing here now")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, text string")
+    got = {(r.source_a, r.source_b): r.jaccard_ppm_est
+           for r in D.source_overlap_minhash(df).collect()}
+    assert got == {("A", "B"): 1_000_000, ("A", "C"): 0, ("B", "C"): 0}
+    dup = df.unionByName(df.selectExpr("doc_id + 100 as doc_id",
+                                       "source", "text"))
+    got2 = {(r.source_a, r.source_b): r.jaccard_ppm_est
+            for r in D.source_overlap_minhash(dup).collect()}
+    assert got2 == got
+
+
+def test_source_overlap_minhash_tracks_exact_jaccard(spark, docs):
+    """On the fixture the 64-hash estimate lands within the standard
+    estimator envelope of the exact per-pair Jaccard (computed from
+    the exact twin's shared/size counts at the same k)."""
+    exact = {(r.source_a, r.source_b):
+             r.n_shared / (r.n_a + r.n_b - r.n_shared)
+             for r in D.source_overlap(docs, k=5).collect()}
+    est = {(r.source_a, r.source_b): r.jaccard_ppm_est / 1e6
+           for r in D.source_overlap_minhash(docs, k=5).collect()}
+    assert set(exact) <= set(est)       # sketch reports every pair
+    errs = [abs(est[p] - exact[p]) for p in exact]
+    # std ~ sqrt(J(1-J)/64) <= 0.0625; allow 4 sigma per pair
+    assert max(errs) < 0.25
+    assert sum(errs) / len(errs) < 0.08
