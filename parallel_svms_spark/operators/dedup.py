@@ -1522,21 +1522,22 @@ def source_overlap_minhash(documents: DataFrame, n_hashes: int = 64,
                       shingles_col(text_col, int(k)))).alias("shingle"))
           .select("s", F.pmod(_token_hash(F.col("shingle"), "md5"),
                               F.lit(MERSENNE31)).alias("x")))
-    pa = F.array(*[F.struct(F.lit(i).alias("i"),
-                            F.lit(a).alias("a"),
-                            F.lit(b).alias("b"))
-                   for i, (a, b) in enumerate(params)])
-    vals = (sh.select("s", F.explode(F.transform(
-        pa, lambda e: F.struct(
-            e["i"].alias("i"),
-            F.pmod(e["a"] * F.col("x") + e["b"],
-                   F.lit(MERSENNE31)).alias("v")))).alias("iv"))
-        .select("s", F.col("iv.i").alias("i"), F.col("iv.v").alias("v")))
-    sigs = vals.groupBy("s", "i").agg(F.min("v").alias("v"))
-    left = sigs.select(F.col("s").alias("source_a"), "i",
-                       F.col("v").alias("va"))
-    right = sigs.select(F.col("s").alias("source_b"), "i",
-                        F.col("v").alias("vb"))
+    # one WIDE aggregation — n_hashes min() columns over the same
+    # shingle rows — instead of exploding every row n_hashes-fold:
+    # the shuffle carries |sources| rows of n_hashes longs, and the
+    # gram stream is never inflated (measured ~3x over the explode
+    # form at sf0.1: 10.8 s -> 3.7 s, identical 190-pair output)
+    aggs = [F.min(F.pmod(F.col("x") * a + b,
+                         F.lit(MERSENNE31))).alias(f"v{i}")
+            for i, (a, b) in enumerate(params)]
+    sigs = sh.groupBy("s").agg(*aggs)
+    sv = sigs.select("s", F.posexplode(F.array(
+        *[F.col(f"v{i}") for i in range(len(params))]))
+        .alias("i", "v"))
+    left = sv.select(F.col("s").alias("source_a"), "i",
+                     F.col("v").alias("va"))
+    right = sv.select(F.col("s").alias("source_b"), "i",
+                      F.col("v").alias("vb"))
     return (left.join(right, "i")
             .filter(F.col("source_a") < F.col("source_b"))
             .groupBy("source_a", "source_b")
