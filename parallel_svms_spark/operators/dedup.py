@@ -1316,9 +1316,15 @@ def scrub_repeated_spans(documents: DataFrame, k: int = 5,
     occurrence of g at a lexicographically smaller (doc, pos) exists;
     every token covered by a cut witness's [pos, pos+k−1] interval is
     removed. Consequences worth stating: the earliest copy of a
-    boilerplate passage survives verbatim (all its grams are minimal),
-    later copies lose exactly the repeated run; a phrase repeated
-    inside ONE document keeps its first occurrence; two byte-identical
+    boilerplate passage survives verbatim when its grams are distinct
+    (the common case — all its occurrences are minimal); the one
+    exception is a SELF-OVERLAPPING periodic run (e.g. "x x x …",
+    where the gram at (doc, 0) repeats at (doc, 1)), whose kept first
+    occurrence still loses the tokens covered by its own later,
+    overlapping witnesses — consistent in both engines and pinned by
+    the oracle. Later copies lose exactly the repeated run; a phrase
+    repeated inside ONE document keeps its first occurrence; two
+    byte-identical
     documents keep the lower-id one intact and cut the run from the
     other — substring dedup subsumes exact dedup on the covered range.
 
@@ -1333,11 +1339,12 @@ def scrub_repeated_spans(documents: DataFrame, k: int = 5,
     pos))`` instead of count, equally combinable, so a
     million-occurrence gram still reduces map-side and never
     single-tasks a sort the way a per-gram rank window would).
-    Cut positions collapse to per-doc coverage arrays (bounded by
-    document length, NOT corpus size), and the rewrite is ONE
-    id-keyed join of those arrays back to the text plus a codegen'd
-    indexed-filter array expression — the text column moves through
-    exactly one join and zero wide shuffles.
+    Cut witnesses merge into maximal cut spans (bounded by document
+    length, NOT corpus size), and the rewrite is ONE id-keyed join
+    of those span lists back to the text plus a codegen'd
+    slice-and-concat over the complement intervals — O(L + spans)
+    per document (see ``_rewrite_without``); the text column moves
+    through exactly one join and zero wide shuffles.
 
     Portability: the engine keys gram identity on xxhash64 (collision
     ⇒ a non-copy might be cut — same conservative direction as
@@ -1367,32 +1374,50 @@ def _rewrite_without(documents: DataFrame, witnesses: DataFrame,
                      k: int, id_col: str, text_col: str) -> DataFrame:
     """Shared rewrite tail: given (doc_id, pos) cut-witness rows,
     remove every token in their [pos, pos+k−1] intervals and rejoin.
-    Cut positions collapse to per-doc coverage arrays (bounded by
-    document length, not corpus size); the rewrite is ONE id-keyed
-    join plus a codegen'd indexed array filter — the text column
-    moves through exactly one join and zero wide shuffles. Returns
+
+    Cost shape (r9 — replaces the O(L·C) per-token coverage scan,
+    which made a fully-boilerplate 200k-token book one ~4·10¹⁰-
+    comparison straggler task): witness positions merge into maximal
+    cut SPANS first (``_spans_from_hits`` applies verbatim — every
+    cut interval has identical length k, so starts p₁ < p₂ overlap
+    or touch iff p₂ − p₁ ≤ k, the same gaps-and-islands break), the
+    complement (kept) segments are derived as (prev-span-end →
+    next-span-start) boundary pairs, and ``clean_text`` is rebuilt
+    with one ``zip_with``+``slice``+``flatten`` over ≤ n_spans+1
+    contiguous slices — O(L + spans) per document, all codegen'd.
+    Merged spans are disjoint, so ``sum(span_tokens)`` IS the
+    distinct-covered-token count. The text column moves through
+    exactly one id-keyed join and zero wide shuffles. Returns
     (doc_id, clean_text, n_removed_tokens), one row per non-NULL-text
     document."""
     toks = tokens_col(text_col)
     base = (ensure_parallelism(documents)
             .filter(F.col(text_col).isNotNull()))
-    cuts = (witnesses
-            .select("doc_id",
-                    F.explode(F.sequence(
-                        F.col("pos"), F.col("pos") + int(k) - 1))
-                    .alias("i"))
+    cuts = (_spans_from_hits(witnesses, int(k))
             .groupBy("doc_id")
-            .agg(F.collect_set("i").alias("cov")))
-    out_toks = F.filter(
-        toks, lambda t, i: ~F.array_contains(F.col("cov"), i))
+            .agg(F.sort_array(F.collect_list(F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_tokens").alias("l"))))
+                 .alias("spans"),
+                 F.sum("span_tokens").alias("cut")))
+    # kept segment i spans [starts[i], ends[i]) in 0-based token
+    # coordinates: starts = 0 ++ span ends, ends = span starts ++ L
+    starts = F.concat(F.array(F.lit(0).cast("long")),
+                      F.transform("spans", lambda s: s["s"] + s["l"]))
+    ends = F.concat(F.transform("spans", lambda s: s["s"]),
+                    F.array(F.size(toks).cast("long")))
+    kept = F.flatten(F.zip_with(
+        starts, ends,
+        lambda a, b: F.slice(toks, (a + 1).cast("int"),
+                             (b - a).cast("int"))))
     return (base
             .select(F.col(id_col).alias("doc_id"), F.col(text_col))
             .join(cuts, "doc_id", "left")
             .select("doc_id",
-                    F.when(F.col("cov").isNull(), F.col(text_col))
-                    .otherwise(F.array_join(out_toks, " "))
+                    F.when(F.col("spans").isNull(), F.col(text_col))
+                    .otherwise(F.array_join(kept, " "))
                     .alias("clean_text"),
-                    F.coalesce(F.size("cov"), F.lit(0)).cast("long")
+                    F.coalesce(F.col("cut"), F.lit(0)).cast("long")
                     .alias("n_removed_tokens")))
 
 

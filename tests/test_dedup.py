@@ -598,6 +598,70 @@ def test_scrub_repeated_spans_fixture_consistency(spark, docs):
     assert bad == 0
 
 
+def _rewrite_without_scan_reference(documents, witnesses, k,
+                                    id_col="doc_id", text_col="text"):
+    """The r8 rewrite tail (per-token array_contains coverage scan),
+    kept HERE as the equivalence reference for the r9 O(L + spans)
+    slice-and-concat tail (VERDICT r8 #2). Same outputs, worse plan."""
+    toks = F.split(F.col(text_col), " ")
+    cuts = (witnesses
+            .select("doc_id",
+                    F.explode(F.sequence(
+                        F.col("pos"), F.col("pos") + int(k) - 1))
+                    .alias("i"))
+            .groupBy("doc_id")
+            .agg(F.collect_set("i").alias("cov")))
+    out_toks = F.filter(
+        toks, lambda t, i: ~F.array_contains(F.col("cov"), i))
+    return (documents.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("doc_id"), F.col(text_col))
+            .join(cuts, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("cov").isNull(), F.col(text_col))
+                    .otherwise(F.array_join(out_toks, " "))
+                    .alias("clean_text"),
+                    F.coalesce(F.size("cov"), F.lit(0)).cast("long")
+                    .alias("n_removed_tokens")))
+
+
+def test_rewrite_tail_equivalent_to_scan_reference(spark, docs):
+    """r9 linearized rewrite tail == r8 per-token-scan tail, row for
+    row, on the fixture corpus AND on adversarial shapes the fixture
+    lacks: a fully-covered long document (the r8 straggler case), a
+    self-overlapping periodic run, cuts at both document edges."""
+    long_dup = " ".join(f"w{i}" for i in range(2000))
+    rows = [(90_001, long_dup), (90_002, long_dup),      # full cover
+            (90_003, " ".join(["x"] * 40)),              # periodic
+            (90_004, " ".join(["x"] * 40)),
+            (90_005, "edge head " + " ".join(
+                f"m{i}" for i in range(10)) + " edge tail"),
+            (90_006, "A B " + " ".join(
+                f"m{i}" for i in range(10)) + " C D")]
+    extra = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+    for kk in (2, 5):
+        grams = D._gram_positions(corpus, kk, "doc_id", "text")
+        firsts = (grams.groupBy("g")
+                  .agg(F.min(F.struct("doc_id", "pos")).alias("keep"),
+                       F.count("*").alias("n_occ"))
+                  .filter(F.col("n_occ") >= 2).select("g", "keep"))
+        wit = (grams.join(firsts, "g")
+               .filter((F.col("doc_id") != F.col("keep.doc_id"))
+                       | (F.col("pos") != F.col("keep.pos")))
+               .select("doc_id", "pos"))
+        new = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+               for r in D._rewrite_without(
+                   corpus, wit, kk, "doc_id", "text").collect()}
+        old = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+               for r in _rewrite_without_scan_reference(
+                   corpus, wit, kk).collect()}
+        assert new == old
+        # the straggler case really was exercised: doc 90_002 is
+        # fully covered (2000 tokens removed, empty clean_text)
+        assert new[90_002] == ("", 2000)
+        assert new[90_001][1] == 0
+
+
 def test_repeated_spans_incremental_equivalence(spark, docs):
     """Incremental(corpus, batch) == the full run over corpus ∪ batch
     restricted to batch documents (the family's standard pin)."""

@@ -60,7 +60,14 @@ def test_digest_expr_dialect():
                "coalesce", "cast", "as", "bigint",
                # the _rowhash checksum (ADVICE r5): md5/substring/instr
                # behave identically in Spark SQL and DuckDB
-               "md5", "substring", "instr"}
+               "md5", "substring", "instr",
+               # r9 (VERDICT r8 #1): ascii/substr, used by
+               # source_overlap_minhash's row-hash, are defined
+               # identically in Spark SQL and DuckDB (1-based substr,
+               # ascii = codepoint of first char); CORRECTNESS_r08's
+               # green dedup_exact_suite hash verified both engines
+               # compute that digest bit-identically
+               "ascii", "substr"}
     for suite, members in em._SUITES.items():
         for qkey, exprs in members:
             assert len(exprs) <= 3, (suite, qkey)
