@@ -574,6 +574,7 @@ _QKEY_ORDER = [
     "source_overlap", "source_overlap_minhash",
     "repeated_spans", "repeated_span_stats",
     "repeated_span_scrub", "repeated_spans_incremental",
+    "repeated_span_scrub_incremental",
     "dedup_clusters",
     "dedup_cluster_stats", "shard_pack", "shard_pack_shuffled",
     "pack_sequences",
@@ -738,6 +739,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gram index, corpus never re-grammed
         "repeated_spans_incremental": lambda s, d: (
             lambda docs: D.repeated_spans_incremental(
+                docs.filter("source <> 'src0'"),
+                docs.filter("source = 'src0'")))(
+            load_table(s, d, "documents")),
+        # r9: keep-first scrub of the batch against the archive's
+        # persisted (first_doc, first_pos) witness — the transform
+        # form of the incremental screen, corpus never re-grammed
+        "repeated_span_scrub_incremental": lambda s, d: (
+            lambda docs: D.scrub_repeated_spans_incremental(
                 docs.filter("source <> 'src0'"),
                 docs.filter("source = 'src0'")))(
             load_table(s, d, "documents")),
@@ -1932,6 +1941,15 @@ FROM toks t LEFT JOIN per ON per.doc_id = t.doc_id
         # engine's combinable min(struct) (oracle clarity over oracle
         # skew); token rebuild is the same lossless split/join
         "repeated_span_scrub": _SCRUB_SQL,
+        # incremental scrub == full-run scrub restricted to batch
+        # docs (the archive witness reproduces the global keeper;
+        # equivalence test-pinned in tests/test_dedup.py)
+        "repeated_span_scrub_incremental": f"""
+WITH scrubbed AS ({_SCRUB_SQL})
+SELECT s.doc_id, s.clean_text, s.n_removed_tokens
+FROM scrubbed s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.source = 'src0'
+""",
         # the r8 curation chain: scrub THEN budget — the ordering
         # pipelines actually use (dedup before sampling, so token
         # budgets buy unique tokens); scrub oracle verbatim as a
@@ -4188,6 +4206,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("repeated_spans_incremental",
          ["sum(span_start + span_tokens)", "count(distinct doc_id)",
           _rowhash("doc_id*100000 + span_start*300 + span_tokens")]),
+        ("repeated_span_scrub_incremental",
+         ["sum(n_removed_tokens)", "sum(length(clean_text))",
+          _rowhash("doc_id*100000 + n_removed_tokens*300 + "
+                   "length(clean_text)")]),
         ("dedup_exact_normalized", ["sum(doc_id)",
                                     "count(distinct doc_id)",
                                     _rowhash("doc_id")]),

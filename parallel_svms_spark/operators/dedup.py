@@ -1438,9 +1438,23 @@ def gram_count_index(documents: DataFrame, k: int = 5,
     web corpora well below the worst case. The trade is storage for
     the daily re-scan, the same trade every inverted index makes.
     Build is one combinable aggregation on the 8-byte hash.
+
+    r9: each row also carries the gram's KEEP-FIRST WITNESS —
+    (first_doc, first_pos), the lexicographically minimal occurrence
+    — so ``scrub_repeated_spans_incremental`` can cut a batch
+    keep-first against the archive without re-gramming the corpus.
+    ``min(struct(doc, pos))`` is exactly as map-side-combinable as
+    the count, and appended day-rows collapse the same way readers
+    already collapse counts: sum(n_occ), min(struct(first_doc,
+    first_pos)) per gram. Cost: +12 B per distinct gram.
     """
     return (_gram_positions(documents, int(k), id_col, text_col)
-            .groupBy("g").agg(F.count("*").alias("n_occ")))
+            .groupBy("g").agg(
+                F.count("*").alias("n_occ"),
+                F.min(F.struct("doc_id", "pos")).alias("keep"))
+            .select("g", "n_occ",
+                    F.col("keep.doc_id").alias("first_doc"),
+                    F.col("keep.pos").alias("first_pos")))
 
 
 def gram_index_append(new_docs: DataFrame, index_path: str,
@@ -1504,6 +1518,64 @@ def repeated_spans_incremental(corpus: DataFrame, new_docs: DataFrame,
            .select("g"))
     hits = batch_grams.join(dup, "g").select("doc_id", "pos")
     return _spans_from_hits(hits, k)
+
+
+def scrub_repeated_spans_incremental(corpus: DataFrame,
+                                     new_docs: DataFrame,
+                                     index: DataFrame | None = None,
+                                     k: int = 5,
+                                     id_col: str = "doc_id",
+                                     text_col: str = "text") -> DataFrame:
+    """Incremental keep-first scrub (r9 — closes the lifecycle gap
+    VERDICT r8 noted): the ``scrub_repeated_spans(corpus ∪
+    new_docs)`` rows belonging to NEW documents, computed without
+    re-gramming the corpus. The keep-first contract needs more than
+    ``repeated_spans_incremental``'s archive COUNTS — it needs the
+    archive's minimal (doc, pos) WITNESS per gram, which
+    ``gram_count_index`` persists as (first_doc, first_pos) since
+    r9. Per batch gram: global keeper = min(archive witness, batch
+    minimum); a batch occurrence is cut iff the gram occurs ≥ 2
+    times across archive ∪ batch and the occurrence is not the
+    global keeper. Archive documents are immutable by contract — a
+    batch doc that out-ranks an archive copy (smaller id) keeps its
+    text, and the archive copy simply isn't rewritten, exactly the
+    restriction-to-batch semantics of the detection twin.
+
+    At scale: batch grams join the index once on the 8-byte hash
+    (appended day-rows collapse in one combinable
+    sum + min(struct) aggregation); the corpus text is never read;
+    the rewrite tail is the shared O(L + spans) slice-and-concat.
+    Full-run-restriction equivalence and the two-day append cycle
+    are test-pinned (``tests/test_dedup.py``).
+    """
+    from parallel_svms_spark.caching import scoped_persist
+    k = int(k)
+    assert k >= 2
+    batch_grams = scoped_persist(
+        _gram_positions(new_docs, k, id_col, text_col))
+    if index is None:
+        index = gram_count_index(corpus, k, id_col, text_col)
+    arch = index.groupBy("g").agg(
+        F.sum("n_occ").alias("old_n"),
+        F.min(F.struct(F.col("first_doc").alias("doc_id"),
+                       F.col("first_pos").alias("pos")))
+        .alias("old_keep"))
+    batch_agg = batch_grams.groupBy("g").agg(
+        F.count("*").alias("new_n"),
+        F.min(F.struct("doc_id", "pos")).alias("new_keep"))
+    firsts = (batch_agg.join(arch, "g", "left")
+              .filter(F.col("new_n")
+                      + F.coalesce(F.col("old_n"), F.lit(0)) >= 2)
+              .select("g",
+                      F.when(F.col("old_keep").isNull()
+                             | (F.col("new_keep") < F.col("old_keep")),
+                             F.col("new_keep"))
+                      .otherwise(F.col("old_keep")).alias("keep")))
+    witnesses = (batch_grams.join(firsts, "g")
+                 .filter((F.col("doc_id") != F.col("keep.doc_id"))
+                         | (F.col("pos") != F.col("keep.pos")))
+                 .select("doc_id", "pos"))
+    return _rewrite_without(new_docs, witnesses, k, id_col, text_col)
 
 
 def source_overlap_minhash(documents: DataFrame, n_hashes: int = 64,

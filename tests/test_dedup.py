@@ -704,6 +704,77 @@ def test_gram_index_two_day_cycle(spark, docs, tmp_path):
     assert day2 == inline2 and day2
 
 
+def test_scrub_incremental_equals_full_run_restriction(spark, docs):
+    """scrub_repeated_spans_incremental(archive, batch) == full-run
+    scrub(archive ∪ batch) restricted to batch docs — the keep-first
+    witness from the index reproduces the global keeper exactly."""
+    corpus = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    inc = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+           for r in D.scrub_repeated_spans_incremental(
+               corpus, batch).collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+            for r in D.scrub_repeated_spans(docs).collect()
+            if r.doc_id in batch_ids}
+    assert inc == full and inc
+    assert any(v[1] > 0 for v in inc.values())
+
+
+def test_scrub_incremental_witness_semantics(spark):
+    """The archive witness is honored positionally: a batch copy of
+    archive boilerplate is cut; a batch doc that OUT-RANKS the
+    archive copy (smaller id) keeps its text — restriction-to-batch
+    semantics; batch-internal repeats keep the batch-first copy."""
+    boiler = "copy right all rights reserved do not redistribute"
+    corpus = spark.createDataFrame(
+        [(100, boiler + " archive tail"),
+         (200, "unrelated archive content entirely here now")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(300, "intro words " + boiler),       # archive wins -> cut
+         (50, boiler + " low id wins"),        # batch outranks archive
+         (400, "b1 b2 b3 b4 b5 b6"),           # batch-internal pair:
+         (500, "b1 b2 b3 b4 b5 b6")],          # first kept, second cut
+        "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+           for r in D.scrub_repeated_spans_incremental(
+               corpus, batch).collect()}
+    assert got[300] == ("intro words", 8)
+    assert got[50] == (boiler + " low id wins", 0)
+    assert got[400] == ("b1 b2 b3 b4 b5 b6", 0)
+    assert got[500] == ("", 6)
+
+
+def test_scrub_incremental_two_day_append_cycle(spark, docs, tmp_path):
+    """Persist day-0 witness index, scrub batch-1, APPEND batch-1's
+    grams, scrub batch-2 against the updated parquet index: identical
+    rows to the inline incremental over (corpus ∪ batch1, batch2) —
+    appended day-rows collapse by sum(n_occ) + min(witness struct)."""
+    corpus = docs.filter("source not in ('src0', 'src1')")
+    b1 = docs.filter("source = 'src0'")
+    b2 = docs.filter("source = 'src1'")
+    path = str(tmp_path / "gram_witness_index")
+    D.gram_count_index(corpus).write.parquet(path)
+    idx = spark.read.parquet(path)
+    day1 = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+            for r in D.scrub_repeated_spans_incremental(
+                corpus, b1, index=idx).collect()}
+    inline1 = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+               for r in D.scrub_repeated_spans_incremental(
+                   corpus, b1).collect()}
+    assert day1 == inline1
+    D.gram_index_append(b1, path)
+    idx2 = spark.read.parquet(path)
+    day2 = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+            for r in D.scrub_repeated_spans_incremental(
+                corpus, b2, index=idx2).collect()}
+    inline2 = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+               for r in D.scrub_repeated_spans_incremental(
+                   corpus.unionByName(b1), b2).collect()}
+    assert day2 == inline2 and day2
+
+
 def test_source_overlap_minhash_contract(spark):
     """Identical sources estimate 10^6, disjoint estimate 0, and the
     profile is invariant under duplication (min is idempotent — the
