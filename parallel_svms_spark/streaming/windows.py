@@ -1092,7 +1092,16 @@ def streaming_repeated_span_stats(stream_docs: DataFrame,
     with non-zero repeated coverage — a screen, not an audit; the
     batch twin's zero rows for clean docs have no streaming analogue
     (an absent aggregation group never fires). Equivalence with the
-    batch stats on the dirty set is test-pinned.
+    batch stats on the dirty set is test-pinned — WITH one stated
+    exception (ADVICE r8): occurrence counts are in-doc + ARCHIVE
+    only, so two documents arriving before the index is appended
+    that share a novel repeated gram are NOT flagged — a
+    cross-arrival blind spot ``repeated_spans_incremental`` (which
+    sums batch-internal cross-doc counts) does not have. Callers
+    wanting incremental-equivalent semantics must
+    ``gram_index_append`` each micro-batch's grams before the next
+    batch arrives; the divergent case is itself test-pinned
+    (``test_streaming_repeated_span_cross_arrival_blind_spot``).
     """
     from parallel_svms_spark.operators.dedup import tokens_col
     k = int(k)

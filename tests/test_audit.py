@@ -122,3 +122,35 @@ def test_dataset_manifest_rollup_consistency(spark, sf_dir):
     assert aug[src].n_null_text == rows[src].n_null_text + 1
     assert aug[src].dup_ppm > rows[src].dup_ppm
     assert aug["__all__"].n_docs == allr.n_docs + 2
+
+
+def test_dataset_manifest_null_source_and_lang_col(spark, sf_dir):
+    """ADVICE r8: a genuinely-NULL source gets its own __null__ row
+    (never merged with the grand total), and a schema without a
+    language column yields n_langs NULL instead of failing."""
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import audit as AU
+
+    docs = load_table(spark, sf_dir, "documents")
+    nosrc = docs.limit(3).select(
+        (F.col("doc_id") + 30_000).alias("doc_id"), "text", "lang",
+        F.lit(None).cast("string").alias("source"), "n_chars")
+    rows = {r.source: r for r in AU.dataset_manifest(
+        docs.unionByName(nosrc)).collect()}
+    assert rows["__null__"].n_docs == 3
+    assert rows["__all__"].n_docs == docs.count() + 3
+    # exactly one total row: per-source rows + __null__ + __all__
+    n_sources = docs.select("source").distinct().count()
+    assert len(rows) == n_sources + 2
+    # schema without a language column: n_langs is NULL, not an error
+    slim = docs.select("doc_id", "text", "source")
+    got = {r.source: r for r in AU.dataset_manifest(slim).collect()}
+    assert got["__all__"].n_langs is None
+    assert got["__all__"].n_docs == docs.count()
+    # custom lang_col name is honored
+    ren = docs.withColumnRenamed("lang", "language")
+    cus = {r.source: r for r in AU.dataset_manifest(
+        ren, lang_col="language").collect()}
+    assert cus["__all__"].n_langs == rows["__all__"].n_langs

@@ -1362,6 +1362,61 @@ def test_streaming_repeated_span_stats_matches_batch(spark):
     assert got == batch
 
 
+def test_streaming_repeated_span_cross_arrival_blind_spot(spark):
+    """ADVICE r8: the stream-static screen counts in-doc + ARCHIVE
+    occurrences only, so two docs arriving before the index is
+    appended that share a NOVEL repeated gram are not flagged — the
+    documented divergence from repeated_spans_incremental. This test
+    PINS the divergence both ways: un-appended -> no rows (while the
+    batch incremental DOES flag the pair), and after
+    gram_index_append of the first arrival the second one IS caught.
+    """
+    from parallel_svms_spark.operators import dedup as D
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    novel = "nv1 nv2 nv3 nv4 nv5 nv6 nv7"
+    corpus = spark.createDataFrame(
+        [(100, "archive content entirely unrelated to arrivals")],
+        "doc_id long, text string")
+    arrivals = [(1, t0, "first copy " + novel),
+                (2, t0 + timedelta(minutes=1), "second copy " + novel)]
+
+    def run_screen(index_df, batch=arrivals):
+        with tempfile.TemporaryDirectory() as tmp:
+            spark.createDataFrame(batch, SW.DOCS_SCHEMA).coalesce(1) \
+                .write.parquet(f"{tmp}/d")
+            stream = (spark.readStream.schema(SW.DOCS_SCHEMA)
+                      .parquet(f"{tmp}/d"))
+            stats = SW.streaming_repeated_span_stats(stream, index_df)
+            name = "stream_span_blind_spot_test"
+            q = (stats.writeStream.outputMode("complete")
+                 .format("memory").queryName(name).start())
+            q.processAllAvailable()
+            q.stop()
+            return {r.doc_id for r in
+                    spark.sql(f"SELECT * FROM {name}").collect()}
+
+    # un-appended index: the shared novel gram is invisible ...
+    assert run_screen(D.gram_count_index(corpus)) == set()
+    # ... while the batch incremental flags BOTH batch-internal copies
+    arr_df = spark.createDataFrame([(i, t) for i, _, t in arrivals],
+                                   "doc_id long, text string")
+    inc = {r.doc_id for r in D.repeated_spans_incremental(
+        corpus, arr_df).collect()}
+    assert inc == {1, 2}
+    # the documented caller contract is screen-THEN-append: after
+    # arrival 1 (screened clean above) is appended, the next
+    # micro-batch's copy IS caught
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/gidx"
+        D.gram_count_index(corpus).write.parquet(path)
+        D.gram_index_append(
+            spark.createDataFrame([(1, arrivals[0][2])],
+                                  "doc_id long, text string"), path)
+        assert run_screen(spark.read.parquet(path),
+                          batch=arrivals[1:]) == {2}
+
+
 def test_streaming_repeated_span_stats_restart_exactly_once(
         spark, tmp_path):
     """Kill-and-restart contract for the substring-screen twin: the

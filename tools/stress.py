@@ -261,6 +261,32 @@ def main() -> None:
     timed("mixture_sample_tokens", n_docs,
           lambda: SHOP.mixture_sample_tokens(
               docs, budget_tokens=1500 * mult_docs).count())
+    # r9: incremental keep-first scrub — 1/7 of the corpus as the
+    # daily batch against the other 6/7's witness index (index build
+    # timed too, as in dedup_minhash_incremental)
+    timed("repeated_span_scrub_incremental", n_docs,
+          lambda: int(dedup.scrub_repeated_spans_incremental(
+              docs.filter("doc_id % 7 != 0"),
+              docs.filter("doc_id % 7 = 0"))
+              .agg(F.sum(F.length("clean_text")
+                         + F.col("n_removed_tokens"))).first()[0]))
+
+    # r9: long-document rewrite-tail legs — the r8 tail was O(L·C)
+    # per doc (O(L²) fully covered: a 100k-token fully-boilerplate
+    # doc ≈ 10¹⁰ comparisons in ONE task); the r9 slice-and-concat
+    # tail must be near-linear in L. Two fully-duplicated docs at L
+    # and at 2L: the wall-clock ratio is the slope witness.
+    def _longdoc_leg(L):
+        body = " ".join(f"w{i}" for i in range(L))
+        ld = spark.createDataFrame([(1, body), (2, body)],
+                                   "doc_id long, text string")
+        return int(dedup.scrub_repeated_spans(ld)
+                   .agg(F.sum(F.length("clean_text")
+                              + F.col("n_removed_tokens")))
+                   .first()[0])
+
+    timed("longdoc_scrub_100k", 2, lambda: _longdoc_leg(100_000))
+    timed("longdoc_scrub_200k", 2, lambda: _longdoc_leg(200_000))
 
     def _zorder_compact_leg():
         import shutil
