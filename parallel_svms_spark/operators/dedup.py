@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from parallel_svms_spark.io.sources import ensure_parallelism
+from parallel_svms_spark.io.sources import ensure_parallelism, let_col
 
 # seeded parameters for the minhash permutation family
 # h_i(x) = (a_i * x + b_i) mod MERSENNE31 — public standard construction.
@@ -64,13 +64,27 @@ def _pairs_from_ids(ids: F.Column) -> F.Column:
 
 
 def shingles_col(text_col: str = "text", k: int = 3) -> F.Column:
-    """Word k-shingles as strings, all JVM-side array expressions."""
+    """Word k-shingles as strings, all JVM-side array expressions.
+
+    r9 linearization: built as a ``zip_with`` chain over k SHIFTED
+    SLICES of the token array, not a per-position ``slice`` inside a
+    ``transform`` lambda — Catalyst does not hoist loop-invariant
+    subexpressions out of lambda bodies, so the old form re-split
+    the text once per shingle, O(L²) per document (182 s for ONE
+    30k-token doc). Here the split is evaluated k+3 times per ROW
+    (constant), every lambda references only its bound arguments
+    (which also keeps the expression safe as a pandas-UDF input —
+    ``let_col``-captured lambdas break ExtractPythonUDFs in the
+    minhash plans), and the whole thing stays codegen'd."""
     toks = tokens_col(text_col)
     n = F.size(toks)
-    return F.when(n >= k, F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )).otherwise(F.array(F.array_join(toks, " ")))
+    m = F.greatest(n - k + 1, F.lit(0))
+    sh = F.slice(toks, 1, m)
+    for i in range(1, k):
+        sh = F.zip_with(sh, F.slice(toks, i + 1, m),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n >= k, sh).otherwise(
+        F.array(F.array_join(toks, " ")))
 
 
 # ---------------------------------------------------------------------------
@@ -1223,23 +1237,33 @@ def _gram_positions(documents: DataFrame, k: int, id_col: str,
                     text_col: str) -> DataFrame:
     """(doc_id, pos, g) rows — 0-based k-gram start positions with
     the gram's xxhash64. One zero-exchange array projection per doc;
-    the gram STRING never leaves the map task."""
-    toks = tokens_col(text_col)
-    n = F.size(toks)
+    the gram STRING never leaves the map task. Gram strings come
+    from the ``shingles_col`` zip_with chain (r9) so the split runs
+    a constant number of times per document, not once per gram —
+    the inline-slice-in-lambda form was O(L²) per document (minutes
+    for a single 30k-token doc; see ``shingles_col``)."""
     return (ensure_parallelism(documents)
             .filter(F.col(text_col).isNotNull())
             .select(F.col(id_col).alias("doc_id"),
-                    F.when(n >= k, F.transform(
-                        F.sequence(F.lit(0), n - k),
-                        lambda i: F.struct(
-                            i.alias("pos"),
-                            F.xxhash64(F.array_join(
-                                F.slice(toks, i + 1, k), " "))
-                            .alias("g"))))
-                    .otherwise(F.array()).alias("gs"))
+                    gram_structs_col(text_col, k).alias("gs"))
             .select("doc_id", F.explode("gs").alias("s"))
             .select("doc_id", F.col("s.pos").alias("pos"),
                     F.col("s.g").alias("g")))
+
+
+def gram_structs_col(text_col: str, k: int) -> F.Column:
+    """Array of (pos, g) structs — 0-based k-gram start position +
+    xxhash64 of the gram string — shared by ``_gram_positions`` and
+    the streaming substring screen. Linear per document: gram
+    strings come from the ``shingles_col`` zip_with chain; docs
+    shorter than k tokens yield an empty array (shingles_col's
+    whole-text fallback is NOT a k-gram, so it is excluded here)."""
+    toks = tokens_col(text_col)
+    return F.when(F.size(toks) >= k, F.transform(
+        shingles_col(text_col, int(k)),
+        lambda s, i: F.struct(i.alias("pos"),
+                              F.xxhash64(s).alias("g")))) \
+        .otherwise(F.array())
 
 
 def _spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
@@ -1401,15 +1425,17 @@ def _rewrite_without(documents: DataFrame, witnesses: DataFrame,
                  .alias("spans"),
                  F.sum("span_tokens").alias("cut")))
     # kept segment i spans [starts[i], ends[i]) in 0-based token
-    # coordinates: starts = 0 ++ span ends, ends = span starts ++ L
+    # coordinates: starts = 0 ++ span ends, ends = span starts ++ L.
+    # The token array is let-bound: slicing an inline split() inside
+    # the zip_with lambda would re-split the text per segment.
     starts = F.concat(F.array(F.lit(0).cast("long")),
                       F.transform("spans", lambda s: s["s"] + s["l"]))
-    ends = F.concat(F.transform("spans", lambda s: s["s"]),
-                    F.array(F.size(toks).cast("long")))
-    kept = F.flatten(F.zip_with(
-        starts, ends,
-        lambda a, b: F.slice(toks, (a + 1).cast("int"),
-                             (b - a).cast("int"))))
+    kept = let_col(toks, lambda ts: F.flatten(F.zip_with(
+        starts,
+        F.concat(F.transform("spans", lambda s: s["s"]),
+                 F.array(F.size(ts).cast("long"))),
+        lambda a, b: F.slice(ts, (a + 1).cast("int"),
+                             (b - a).cast("int")))))
     return (base
             .select(F.col(id_col).alias("doc_id"), F.col(text_col))
             .join(cuts, "doc_id", "left")

@@ -1103,23 +1103,20 @@ def streaming_repeated_span_stats(stream_docs: DataFrame,
     batch arrives; the divergent case is itself test-pinned
     (``test_streaming_repeated_span_cross_arrival_blind_spot``).
     """
-    from parallel_svms_spark.operators.dedup import tokens_col
+    from parallel_svms_spark.operators.dedup import (gram_structs_col,
+                                                     tokens_col)
     k = int(k)
     assert k >= 2 and int(min_count) >= 2
     idx = index.groupBy("g").agg(F.sum("n_occ").alias("old_n"))
-    toks = tokens_col("text")
-    n = F.size(toks)
-    gs = (F.when(n >= k, F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " "))
-            .alias("g"))))
-        .otherwise(F.array()))
+    # r9: the shared linear gram expression (zip_with chain) — the
+    # old inline-slice-in-lambda form re-split the text per gram,
+    # O(L²) per arriving doc (see dedup.shingles_col)
     grams = (stream_docs
              .filter(F.col("text").isNotNull())
-             .select("doc_id", "ts", n.cast("long").alias("n_tokens"),
-                     gs.alias("gs"))
+             .select("doc_id", "ts",
+                     F.size(tokens_col("text")).cast("long")
+                     .alias("n_tokens"),
+                     gram_structs_col("text", k).alias("gs"))
              .select("doc_id", "ts", "n_tokens", F.explode(
                  F.transform(
                      F.col("gs"),
