@@ -225,6 +225,38 @@ def _pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SH.pack_shards(final, budget_tokens=2048)
 
 
+def _pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N incremental-ingest lifecycle as ONE lazily-planned DAG
+    (r9): archive = every non-src0 source (immutable history), batch
+    = src0 (today's crawl). exact-incremental dedup (40 B digest
+    anti-join vs the archive + min-id collapse within the batch) →
+    incremental keep-first substring scrub against the archive's
+    gram witness (corpus text never re-read) → release datasheet of
+    the ACCEPTED batch (``dataset_manifest`` over the scrubbed text,
+    langs carried through). Every stage is an existing oracle-checked
+    operator; the qkey pins that the INCREMENTAL family composes —
+    the day-N shape none of the full-corpus pipelines exercise.
+    NULL-text rows are excluded up front (the scrub family convention;
+    also keeps the digest anti-join's NULL-key semantics out of the
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.operators import audit as AU
+    from parallel_svms_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter("text is not null")
+    archive = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    fresh = D.dedup_against(archive, batch)
+    scrubbed = D.scrub_repeated_spans_incremental(archive, fresh)
+    day = (scrubbed
+           .join(fresh.select("doc_id", "lang"), "doc_id")
+           .select("doc_id", F.col("clean_text").alias("text"),
+                   "lang", F.lit("src0").alias("source")))
+    return AU.dataset_manifest(day)
+
+
 def _pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r6 pretraining assembly line as ONE lazily-planned DAG:
     hash split → train decontaminated against its own held-out splits
@@ -587,7 +619,7 @@ _QKEY_ORDER = [
     "decontaminate_surgical",
     "split_decontaminate", "mixture_sample",
     "mixture_sample_hash", "mixture_sample_tokens",
-    "pipeline_scrub_mixture",
+    "pipeline_scrub_mixture", "pipeline_daily_ingest",
     "pipeline_curate", "pipeline_pretrain",
     # similarity / ANN
     "label_centroids",
@@ -1089,6 +1121,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), blocking="passjoin"),
         "compaction_roundtrip": _compaction_roundtrip,
         "pipeline_curate": _pipeline_curate,
+        "pipeline_daily_ingest": _pipeline_daily_ingest,
         "pipeline_pretrain": _pipeline_pretrain,
         "multimodal_features": _multimodal_features,
         "frame_sample": _frame_sample,
@@ -1138,6 +1171,51 @@ SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
        CAST(COALESCE(nr, 0) AS BIGINT) AS n_removed_tokens
 FROM toks t LEFT JOIN agg a USING (doc_id)
             LEFT JOIN ncut USING (doc_id)
+"""
+
+
+def _daily_ingest_oracle() -> str:
+    """The pipeline_daily_ingest chain as one DuckDB statement: the
+    scrub CTE block is _SCRUB_SQL retargeted from `documents` to the
+    archive-union-fresh `dset` CTE and wrapped as a `scrubbed` CTE so
+    the manifest rollup can consume it."""
+    body = _SCRUB_SQL.replace(
+        "FROM documents WHERE text IS NOT NULL", "FROM dset")
+    ctes, final = body.rsplit("SELECT t.doc_id", 1)
+    ctes = ctes.strip()[len("WITH"):].strip()
+    final = "SELECT t.doc_id" + final.rstrip()
+    return f"""
+WITH arch AS (SELECT * FROM documents
+              WHERE source <> 'src0' AND text IS NOT NULL),
+bat AS (SELECT * FROM documents
+        WHERE source = 'src0' AND text IS NOT NULL),
+fresh AS (
+  SELECT b.* FROM bat b
+  WHERE NOT EXISTS (SELECT 1 FROM arch c WHERE c.text = b.text)
+    AND b.doc_id = (SELECT MIN(b2.doc_id) FROM bat b2
+                    WHERE b2.text = b.text)),
+dset AS (SELECT doc_id, text FROM arch
+         UNION ALL SELECT doc_id, text FROM fresh),
+{ctes},
+scrubbed AS ({final}),
+day AS (
+  SELECT s.clean_text AS text, f.lang, 'src0' AS source
+  FROM scrubbed s JOIN fresh f ON f.doc_id = s.doc_id)
+SELECT CASE WHEN GROUPING(source) = 1 THEN '__all__'
+            ELSE COALESCE(source, '__null__') END AS source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN text IS NULL THEN 0
+           ELSE len(string_split(text, ' ')) END) AS BIGINT) AS n_tokens,
+  CAST(SUM(COALESCE(length(text), 0)) AS BIGINT) AS n_chars,
+  CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_text,
+  CAST((COUNT(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+        - COUNT(DISTINCT text)) * 1000000 // COUNT(*) AS BIGINT)
+    AS dup_ppm
+FROM day GROUP BY ROLLUP(source)
 """
 
 
@@ -1941,6 +2019,13 @@ FROM toks t LEFT JOIN per ON per.doc_id = t.doc_id
         # engine's combinable min(struct) (oracle clarity over oracle
         # skew); token rebuild is the same lossless split/join
         "repeated_span_scrub": _SCRUB_SQL,
+        # day-N ingest lifecycle chained in SQL: text-equality
+        # incremental dedup (the dedup_incremental CTE shape) ->
+        # full-run scrub over archive ∪ fresh restricted to fresh
+        # (== the engine's witness-index incremental scrub,
+        # equivalence test-pinned) -> the dataset_manifest rollup
+        # over the accepted batch
+        "pipeline_daily_ingest": _daily_ingest_oracle(),
         # incremental scrub == full-run scrub restricted to batch
         # docs (the archive witness reproduces the global keeper;
         # equivalence test-pinned in tests/test_dedup.py)
@@ -4211,6 +4296,11 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
          ["sum(n_removed_tokens)", "sum(length(clean_text))",
           _rowhash("doc_id*100000 + n_removed_tokens*300 + "
                    "length(clean_text)")]),
+        ("pipeline_daily_ingest",
+         ["sum(n_docs + n_tokens + n_null_text)",
+          "sum(n_chars + min_tokens + max_tokens)",
+          _rowhash("length(source)*100000 + n_docs*100 + dup_ppm"
+                   " + n_langs")]),
         ("dedup_exact_normalized", ["sum(doc_id)",
                                     "count(distinct doc_id)",
                                     _rowhash("doc_id")]),

@@ -201,3 +201,33 @@ def test_pipeline_scrub_mixture_equals_staged(spark, sf_dir):
                             F.size(F.split("text", " ")).alias("n"))
                 .collect())
     assert all(n <= orig[i] for i, _, n in composed)
+
+
+def test_pipeline_daily_ingest_equals_staged(spark, sf_dir):
+    """r9 day-N composition: the manifest rows equal the staged run
+    (dedup_against -> scrub_repeated_spans_incremental -> manifest),
+    and the accepted-batch counts reconcile with the stage outputs."""
+    from parallel_svms_spark.io.sources import load_table
+    from parallel_svms_spark.operators import audit as AU
+    from parallel_svms_spark.operators import dedup as D
+    import __spark_entry__ as E
+
+    composed = {tuple(r) for r in
+                E.queries_all()["pipeline_daily_ingest"](
+                    spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter("text is not null")
+    archive = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    fresh = D.dedup_against(archive, batch)
+    scrubbed = D.scrub_repeated_spans_incremental(archive, fresh)
+    day = (scrubbed.join(fresh.select("doc_id", "lang"), "doc_id")
+           .select("doc_id", F.col("clean_text").alias("text"),
+                   "lang", F.lit("src0").alias("source")))
+    staged = {tuple(r) for r in AU.dataset_manifest(day).collect()}
+    assert composed == staged and len(composed) == 2  # src0 + __all__
+    # the datasheet's doc count IS the accepted-batch count, and
+    # acceptance only ever drops docs
+    n_docs = {r[0]: r[1] for r in composed}
+    assert n_docs["src0"] == n_docs["__all__"] == fresh.count()
+    assert fresh.count() <= batch.count()
