@@ -607,6 +607,7 @@ _QKEY_ORDER = [
     "repeated_spans", "repeated_span_stats",
     "repeated_span_scrub", "repeated_spans_incremental",
     "repeated_span_scrub_incremental",
+    "repeated_span_stats_incremental",
     "dedup_clusters",
     "dedup_cluster_stats", "shard_pack", "shard_pack_shuffled",
     "pack_sequences",
@@ -779,6 +780,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # form of the incremental screen, corpus never re-grammed
         "repeated_span_scrub_incremental": lambda s, d: (
             lambda docs: D.scrub_repeated_spans_incremental(
+                docs.filter("source <> 'src0'"),
+                docs.filter("source = 'src0'")))(
+            load_table(s, d, "documents")),
+        # r9: per-batch-doc dup/novelty fraction vs the archive —
+        # the daily mixing signal (stats form of the incremental pair)
+        "repeated_span_stats_incremental": lambda s, d: (
+            lambda docs: D.repeated_span_stats_incremental(
                 docs.filter("source <> 'src0'"),
                 docs.filter("source = 'src0'")))(
             load_table(s, d, "documents")),
@@ -2000,6 +2008,24 @@ SELECT s.doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
 FROM isl s JOIN documents d ON d.doc_id = s.doc_id
 WHERE d.source = 'src0'
 GROUP BY s.doc_id, s.island
+""",
+        # incremental stats == full-run stats restricted to batch
+        # docs (same restriction argument as the detect/scrub twins)
+        "repeated_span_stats_incremental": _REPEATED_SPANS_CTE + """
+, spans AS (
+  SELECT doc_id, MIN(pos) AS mn, MAX(pos) + 5 - MIN(pos) AS stok
+  FROM isl GROUP BY doc_id, island),
+per AS (
+  SELECT doc_id, SUM(stok) AS dup_raw, COUNT(*) AS spans_raw
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(dup_raw, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(spans_raw, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(dup_raw, 0) * 1000000 // len(t.t) AS BIGINT)
+         AS dup_ppm
+FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+LEFT JOIN per ON per.doc_id = t.doc_id
+WHERE d.source = 'src0'
 """,
         "repeated_span_stats": _REPEATED_SPANS_CTE + """
 , spans AS (
@@ -4296,6 +4322,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
          ["sum(n_removed_tokens)", "sum(length(clean_text))",
           _rowhash("doc_id*100000 + n_removed_tokens*300 + "
                    "length(clean_text)")]),
+        ("repeated_span_stats_incremental",
+         ["sum(dup_tokens + n_spans)", "sum(dup_ppm)",
+          _rowhash("doc_id*2000000 + dup_ppm + n_tokens")]),
         ("pipeline_daily_ingest",
          ["sum(n_docs + n_tokens + n_null_text)",
           "sum(n_chars + min_tokens + max_tokens)",

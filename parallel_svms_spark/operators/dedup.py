@@ -1309,6 +1309,15 @@ def repeated_span_stats(documents: DataFrame, k: int = 5,
     """
     spans = repeated_spans(documents, k=k, min_count=min_count,
                            id_col=id_col, text_col=text_col)
+    return _stats_from_spans(spans, documents, id_col, text_col)
+
+
+def _stats_from_spans(spans: DataFrame, documents: DataFrame,
+                      id_col: str, text_col: str) -> DataFrame:
+    """Shared stats tail of the repeated-span family: per-doc span
+    rollup + id-keyed left join back to a narrow (doc_id, n_tokens)
+    projection of ``documents`` — one row per non-NULL-text doc,
+    zeros for clean docs. Text never shuffles."""
     per = spans.groupBy("doc_id").agg(
         F.sum("span_tokens").alias("dup_raw"),
         F.count("*").alias("spans_raw"))
@@ -1325,6 +1334,28 @@ def repeated_span_stats(documents: DataFrame, k: int = 5,
                     .alias("n_spans"),
                     F.expr("coalesce(dup_raw, 0) * 1000000 DIV n_tokens")
                     .cast("long").alias("dup_ppm")))
+
+
+def repeated_span_stats_incremental(corpus: DataFrame,
+                                    new_docs: DataFrame,
+                                    index: DataFrame | None = None,
+                                    k: int = 5, min_count: int = 2,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text") -> DataFrame:
+    """Per-BATCH-document duplicated-content fraction vs the archive
+    (r9 — completes the family matrix: detect/stats/scrub each now
+    have full-corpus AND incremental forms). The number a daily
+    mixing decision actually wants: how much of today's crawl is
+    boilerplate already present in (or repeated within) the corpus —
+    1 − dup_ppm/10⁶ is the batch's NOVELTY fraction. Spans come from
+    ``repeated_spans_incremental`` (batch grams + persisted archive
+    counts, corpus never re-grammed); the stats tail is shared with
+    ``repeated_span_stats`` verbatim, based on the BATCH docs only.
+    Full-run-restriction equivalence is test-pinned."""
+    spans = repeated_spans_incremental(corpus, new_docs, index=index,
+                                       k=k, min_count=min_count,
+                                       id_col=id_col, text_col=text_col)
+    return _stats_from_spans(spans, new_docs, id_col, text_col)
 
 
 def scrub_repeated_spans(documents: DataFrame, k: int = 5,

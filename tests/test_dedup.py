@@ -746,6 +746,27 @@ def test_scrub_incremental_witness_semantics(spark):
     assert got[500] == ("", 6)
 
 
+def test_stats_incremental_equals_full_run_restriction(spark, docs):
+    """repeated_span_stats_incremental(archive, batch) == full-run
+    repeated_span_stats(archive ∪ batch) restricted to batch docs —
+    and 10⁶ − dup_ppm really is the batch novelty signal (clean docs
+    read dup_ppm 0, fully-duplicated ones 10⁶)."""
+    corpus = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    inc = {r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans, r.dup_ppm)
+           for r in D.repeated_span_stats_incremental(
+               corpus, batch).collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = {r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans, r.dup_ppm)
+            for r in D.repeated_span_stats(docs).collect()
+            if r.doc_id in batch_ids}
+    assert inc == full and inc
+    assert all(0 <= v[3] <= 1_000_000 for v in inc.values())
+    # the fixture carries both clean and duplicated batch docs
+    assert any(v[3] == 0 for v in inc.values())
+    assert any(v[3] > 0 for v in inc.values())
+
+
 def test_scrub_incremental_two_day_append_cycle(spark, docs, tmp_path):
     """Persist day-0 witness index, scrub batch-1, APPEND batch-1's
     grams, scrub batch-2 against the updated parquet index: identical
