@@ -612,6 +612,7 @@ _QKEY_ORDER = [
     "dedup_cluster_stats", "shard_pack", "shard_pack_shuffled",
     "pack_sequences",
     "sample_stratified", "sample_uniform", "sample_weighted",
+    "sample_cluster_balanced",
     "dataset_split", "chunk_documents", "cv_folds", "padding_stats", "pack_chunks",
     "dedup_editdist", "editdist_passjoin",
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
@@ -822,6 +823,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")
             .select("doc_id", "source", "n_chars"),
             weight=F.col("n_chars") / F.lit(2000.0)),
+        # r9 diversity quota: exactly per_list vectors per IVF
+        # semantic cluster, skew-safe two-phase top-k per list
+        "sample_cluster_balanced": lambda s, d: __import__(
+            "parallel_svms_spark.operators.similarity",
+            fromlist=["x"]).cluster_balanced_sample(
+                load_table(s, d, "embeddings"), per_list=20),
         # deterministic train/valid/test carve — hash-interval
         # assignment, stable under corpus growth
         "dataset_split": lambda s, d: SH.dataset_split(
@@ -3246,6 +3253,7 @@ FROM samp
 """,
         # sample_weighted: per-row keep probability min(n_chars/2000,1)
         # via the same md5-hex coin; hex/lpad/lower agree across engines
+        "sample_cluster_balanced": _cluster_balanced_sample_oracle(),
         "sample_weighted": """
 SELECT doc_id, source, n_chars
 FROM documents
@@ -3647,6 +3655,24 @@ FROM a
 WHERE ivf_list IN ({", ".join(map(str, probes))})
 ORDER BY cosine DESC, vec_id
 LIMIT {k}
+"""
+
+
+def _cluster_balanced_sample_oracle(per_list: int = 20) -> str:
+    """DuckDB twin of similarity.cluster_balanced_sample: shared
+    index rebuild + ROW_NUMBER per list over the md5(id) walk order
+    (the engine's salted two-phase top-k selects the identical set —
+    see the operator docstring for the proof sketch)."""
+    cte, _ = _ivf_assignment_parts()
+    return f"""{cte}
+SELECT a.vec_id, emb.label, a.ivf_list
+FROM (SELECT vec_id, ivf_list,
+             ROW_NUMBER() OVER (
+                 PARTITION BY ivf_list
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM a) a
+JOIN embeddings emb ON emb.vec_id = a.vec_id
+WHERE rn <= {per_list}
 """
 
 
@@ -4377,6 +4403,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                             "count(distinct source)"]),
         ("sample_weighted", ["sum(doc_id)", "sum(n_chars)",
                              "count(distinct source)"]),
+        ("sample_cluster_balanced",
+         ["sum(vec_id)", "count(distinct ivf_list)",
+          _rowhash("vec_id*1000 + ivf_list*10 + label")]),
         ("shard_pack", ["sum(doc_id*shard)", "sum(n_tokens)",
                         "sum(shard)"]),
         ("shard_pack_shuffled", ["sum(doc_id*shard)", "sum(n_tokens)",

@@ -251,6 +251,53 @@ def ivf_assign_with(embeddings: DataFrame, C: np.ndarray,
     return embeddings.mapInPandas(assign, schema=schema)
 
 
+def cluster_balanced_sample(embeddings: DataFrame, per_list: int = 20,
+                            n_lists: int = 16, seed: int = 42,
+                            features_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """Diversity sampling (r9): exactly ``min(per_list, |list|)``
+    vectors per IVF semantic cluster — the cluster-balanced quota
+    selection a pretraining mixture uses so a dominant embedding
+    region (one giant web template, one language) cannot crowd the
+    sample, the selection counterpart of SemDeDup's cluster-bucketed
+    dedup (Abbas et al. 2023: dedup WITHIN clusters; this SAMPLES
+    within clusters). Within each list the kept rows are the first
+    ``per_list`` by the md5(id) walk order — deterministic, uniform
+    in distribution, engine-reproducible (the ``mixture_sample_hash``
+    convention).
+
+    Scale shape: assignment is the shared broadcast-matmul map
+    (``ivf_assign``, no exchange); the per-list quota is a SKEW-SAFE
+    two-phase top-k — phase 1 ranks within (list, salt=xxhash64 % 32)
+    buckets and keeps ≤ per_list per bucket, phase 2 re-ranks the
+    ≤ 32·per_list survivors per list — so a mega-list never lands a
+    corpus-sized sort in ONE task the way a bare per-list rank window
+    would (window partitions are bounded by 32·per_list and the salt
+    bucket size respectively). Output: (vec_id, label, ivf_list).
+
+    Oracle: the rebuilt-centroid assignment CTE
+    (``_ivf_assignment_parts``) + ROW_NUMBER per list over the same
+    md5 order — the salted two-phase provably selects the identical
+    set (phase 1 only drops rows ranked > per_list within a SUBSET of
+    their list, which global rank > per_list implies).
+    """
+    assigned, _ = ivf_assign(embeddings, n_lists=n_lists, seed=seed,
+                             features_col=features_col, id_col=id_col)
+    h = F.md5(F.col(id_col).cast("string"))
+    cand = (assigned
+            .select(F.col(id_col), "label", "ivf_list", h.alias("_h"),
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+                    .alias("_salt")))
+    w1 = W.partitionBy("ivf_list", "_salt").orderBy("_h", id_col)
+    w2 = W.partitionBy("ivf_list").orderBy("_h", id_col)
+    return (cand
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= int(per_list))
+            .withColumn("_r2", F.row_number().over(w2))
+            .filter(F.col("_r2") <= int(per_list))
+            .select(id_col, "label", "ivf_list"))
+
+
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              n_lists: int = 16, n_probe: int = 4, seed: int = 42,
              features_col: str = "embedding") -> DataFrame:

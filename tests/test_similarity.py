@@ -423,3 +423,35 @@ def test_pq_index_append_two_day_cycle(spark, emb, tmp_path):
             for r in S.pq_encode(emb, C).collect()}
     assert got == want
     assert len(got) == emb.count()
+
+
+def test_cluster_balanced_sample_quota_and_equivalence(emb):
+    """r9 diversity quota: exactly min(per_list, |list|) rows per IVF
+    list, the salted two-phase top-k selects the IDENTICAL set a
+    plain per-list rank window would, and the draw is deterministic."""
+    from pyspark.sql import Window as W
+
+    per_list = 7
+    got = S.cluster_balanced_sample(emb, per_list=per_list)
+    rows = got.collect()
+    assigned, _ = S.ivf_assign(emb)
+    sizes = {r.ivf_list: r.n for r in
+             assigned.groupBy("ivf_list").agg(
+                 F.count("*").alias("n")).collect()}
+    per = {}
+    for r in rows:
+        per[r.ivf_list] = per.get(r.ivf_list, 0) + 1
+    assert per == {l: min(per_list, n) for l, n in sizes.items()
+                   if min(per_list, n) > 0}
+    # reference: plain (skew-UNSAFE) global rank window per list
+    w = W.partitionBy("ivf_list").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id")
+    ref = {(r.vec_id, r.ivf_list) for r in
+           assigned.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= per_list)
+           .select("vec_id", "ivf_list").collect()}
+    assert {(r.vec_id, r.ivf_list) for r in rows} == ref
+    # deterministic re-run
+    again = {(r.vec_id, r.ivf_list) for r in
+             S.cluster_balanced_sample(emb, per_list=per_list).collect()}
+    assert again == ref
