@@ -1445,10 +1445,28 @@ def _rewrite_without(documents: DataFrame, witnesses: DataFrame,
     exactly one id-keyed join and zero wide shuffles. Returns
     (doc_id, clean_text, n_removed_tokens), one row per non-NULL-text
     document."""
+    return apply_span_cuts(documents, _spans_from_hits(witnesses, int(k)),
+                           id_col=id_col, text_col=text_col)
+
+
+def apply_span_cuts(documents: DataFrame, spans: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Rewrite documents with the given MERGED, DISJOINT cut spans
+    removed — the public rewrite half of the scrub family (r9): a
+    streaming screen (``streaming_repeated_span_cuts``) emits span
+    DECISIONS continuously, and this batch join applies them at
+    materialization time (text never rides a streaming shuffle).
+    ``spans`` is (doc_id, span_start, span_tokens) with
+    non-overlapping, non-adjacent spans per doc — exactly what
+    ``_spans_from_hits`` / the streaming twin emit. Same O(L + spans)
+    slice-and-concat reconstruction and output contract as
+    ``scrub_repeated_spans``: (doc_id, clean_text,
+    n_removed_tokens), one row per non-NULL-text document."""
     toks = tokens_col(text_col)
     base = (ensure_parallelism(documents)
             .filter(F.col(text_col).isNotNull()))
-    cuts = (_spans_from_hits(witnesses, int(k))
+    cuts = (spans
             .groupBy("doc_id")
             .agg(F.sort_array(F.collect_list(F.struct(
                     F.col("span_start").alias("s"),

@@ -1152,3 +1152,98 @@ def streaming_repeated_span_stats(stream_docs: DataFrame,
     return agg.select("doc_id", "n_tokens",
                       fold["dup"].alias("dup_tokens"),
                       fold["ns"].alias("n_spans"))
+
+
+def streaming_repeated_span_cuts(stream_docs: DataFrame,
+                                 index: DataFrame, k: int = 5,
+                                 watermark: str = "2 hours",
+                                 window: str = "1 hour") -> DataFrame:
+    """Streaming twin of the SCRUB half of the substring family (r9):
+    emit (doc_id, span_start, span_tokens) keep-first CUT DECISIONS
+    for each arriving document against the FROZEN archive witness
+    index (``gram_count_index``'s r9 schema with first_doc /
+    first_pos); apply them at materialization time with the batch
+    ``dedup.apply_span_cuts`` — the text column never rides a
+    streaming shuffle, only 20 B gram rows and span triples do (the
+    reason this twin emits decisions, not rewritten blobs).
+
+    Keep-first semantics match ``scrub_repeated_spans_incremental``
+    EXACTLY: an arriving occurrence (d, p) is cut iff an earlier
+    occurrence of its gram exists in the SAME document, or the
+    archive witness (first_doc, first_pos) lexicographically precedes
+    (d, p) — an arriving doc that outranks the archive copy keeps its
+    text, restriction-to-batch style. Cross-arrival blind spot: same
+    as ``streaming_repeated_span_stats`` (two arrivals sharing a
+    novel gram are not flagged until the index is appended — callers
+    wanting incremental-equivalent semantics ``gram_index_append``
+    each micro-batch); the equivalence test pins the no-cross-repeat
+    case and the scrub-twin witness cases.
+
+    Stage shape, all linear per document: in-doc earlier-occurrence
+    flags via ONE array sort by (gram, pos) + predecessor mark +
+    re-sort by pos (no per-element scan — the stats twin's in_doc
+    count is per-element O(L²), this is O(L log L)); stream-static
+    left join on the 8-byte hash against the pre-collapsed witness;
+    watermarked (window, doc_id) collect of cut positions (state
+    bounded by watermark horizon × doc length); spans from the
+    sorted positions by two zip_with gaps-and-islands passes (a span
+    STARTS where the previous cut is > k away and ENDS at p+k−1
+    where the next cut is > k away — no fold, no array append).
+    """
+    from parallel_svms_spark.operators.dedup import gram_structs_col
+    k = int(k)
+    assert k >= 2
+    idx = index.groupBy("g").agg(
+        F.min(F.struct(F.col("first_doc").alias("d"),
+                       F.col("first_pos").alias("p"))).alias("old_keep"))
+    gs = gram_structs_col("text", k)
+    srt = F.array_sort(F.transform(
+        gs, lambda e: F.struct(e["g"].alias("g"),
+                               e["pos"].alias("pos"))))
+    n = F.size(srt)
+    prev = F.concat(
+        F.array(F.struct(F.lit(None).cast("bigint").alias("g"),
+                         F.lit(-1).alias("pos"))),
+        F.slice(srt, 1, F.greatest(n - 1, F.lit(0))))
+    marks = F.when(n > 0, F.array_sort(F.zip_with(
+        srt, prev,
+        lambda a, b: F.struct(
+            a["pos"].alias("pos"), a["g"].alias("g"),
+            (b["g"].isNotNull() & (a["g"] == b["g"])).alias("dup"))))) \
+        .otherwise(F.array())
+    grams = (stream_docs
+             .filter(F.col("text").isNotNull())
+             .select("doc_id", "ts", F.explode(marks).alias("m"))
+             .select("doc_id", "ts", F.col("m.pos").alias("pos"),
+                     F.col("m.g").alias("g"),
+                     F.col("m.dup").alias("dup")))
+    hits = (grams.withWatermark("ts", watermark)
+            .join(idx, "g", "left_outer")
+            .filter(F.col("dup")
+                    | (F.col("old_keep").isNotNull()
+                       & (F.col("old_keep")
+                          < F.struct(F.col("doc_id").alias("d"),
+                                     F.col("pos").alias("p"))))))
+    agg = (hits.groupBy(F.window("ts", window), "doc_id")
+           .agg(F.sort_array(F.collect_list("pos")).alias("ps")))
+    ps = F.col("ps")
+    m = F.size(ps)
+    sentinel = 1 << 30
+    prevp = F.concat(F.array(F.lit(-sentinel)),
+                     F.slice(ps, 1, F.greatest(m - 1, F.lit(0))))
+    nextp = F.concat(F.slice(ps, 2, F.greatest(m - 1, F.lit(0))),
+                     F.array(F.lit(sentinel)))
+    starts = F.filter(
+        F.zip_with(ps, prevp, lambda p, q: F.when(p - q > k, p)),
+        lambda x: x.isNotNull())
+    ends = F.filter(
+        F.zip_with(ps, nextp, lambda p, q: F.when(q - p > k, p + k - 1)),
+        lambda x: x.isNotNull())
+    spans = F.zip_with(
+        starts, ends,
+        lambda a, b: F.struct(
+            a.cast("long").alias("span_start"),
+            (b - a + 1).cast("long").alias("span_tokens")))
+    return (agg.select("doc_id", F.explode(spans).alias("s"))
+            .select("doc_id", F.col("s.span_start").alias("span_start"),
+                    F.col("s.span_tokens").alias("span_tokens")))

@@ -1417,6 +1417,132 @@ def test_streaming_repeated_span_cross_arrival_blind_spot(spark):
                           batch=arrivals[1:]) == {2}
 
 
+def test_streaming_repeated_span_cuts_matches_batch_scrub(spark):
+    """r9 scrub twin: streamed cut decisions + batch apply_span_cuts
+    == scrub_repeated_spans_incremental, across the witness cases —
+    archive-dup (cut), batch doc outranking the archive copy (kept),
+    intra-doc repeat (first kept), clean doc (no rows). Arrivals
+    share no novel grams (the documented cross-arrival blind spot is
+    pinned separately)."""
+    from parallel_svms_spark.operators import dedup as D
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    boiler = "copy right all rights reserved do not redistribute"
+    corpus = spark.createDataFrame(
+        [(100, boiler + " archive tail words"),
+         (101, "other archive content entirely unrelated here")],
+        "doc_id long, text string")
+    idx = D.gram_count_index(corpus)
+    arrivals = [
+        (300, t0, "header words here " + boiler),
+        (50, t0 + timedelta(minutes=1), boiler + " low id outranks"),
+        (400, t0 + timedelta(minutes=2),
+         "p q r s t m1 m2 m3 m4 m5 m6 p q r s t"),
+        (500, t0 + timedelta(minutes=3),
+         "totally clean arrival nothing repeated anywhere at all"),
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(arrivals, SW.DOCS_SCHEMA).coalesce(1) \
+            .write.parquet(f"{tmp}/d")
+        stream = (spark.readStream.schema(SW.DOCS_SCHEMA)
+                  .parquet(f"{tmp}/d"))
+        cuts = SW.streaming_repeated_span_cuts(stream, idx)
+        name = "stream_span_cuts_test"
+        q = (cuts.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.doc_id, r.span_start, r.span_tokens)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    arr_df = spark.createDataFrame([(i, t) for i, _, t in arrivals],
+                                   "doc_id long, text string")
+    # span-level: cuts == the batch incremental's witness spans
+    assert {d for d, _, _ in got} == {300, 400}   # 50 outranks, 500 clean
+    # text-level: apply the streamed decisions and compare clean_text
+    spans_df = spark.createDataFrame(
+        sorted(got), "doc_id long, span_start long, span_tokens long")
+    applied = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+               for r in D.apply_span_cuts(arr_df, spans_df).collect()}
+    batch = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+             for r in D.scrub_repeated_spans_incremental(
+                 corpus, arr_df).collect()}
+    assert applied == batch
+    assert applied[300] == ("header words here", 8)
+    assert applied[50][1] == 0                     # outranking doc intact
+    assert applied[400] == ("p q r s t m1 m2 m3 m4 m5 m6", 5)
+    assert applied[500][1] == 0
+
+
+def test_streaming_repeated_span_cuts_restart_exactly_once(
+        spark, tmp_path):
+    """Kill-and-restart contract for the r9 scrub twin: cut decisions
+    for docs arriving after the outage are emitted exactly-once, and
+    the final applied text equals the batch incremental scrub."""
+    import glob
+    import os
+    import shutil
+
+    from parallel_svms_spark.operators import dedup as D
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    boiler = "copy right all rights reserved do not redistribute"
+    corpus = spark.createDataFrame(
+        [(100, boiler + " archive tail words"),
+         (101, "other archive content entirely unrelated here")],
+        "doc_id long, text string")
+    idx = D.gram_count_index(corpus)
+    f1 = [(300, t0, "header words here " + boiler),
+          (301, t0 + timedelta(minutes=1),
+           "nothing similar here at all whatsoever to anything")]
+    f2 = [(400, t0 + timedelta(minutes=5),
+           "p q r s t m1 m2 m3 m4 m5 m6 p q r s t"),
+          (401, t0 + timedelta(minutes=6), boiler + " another copy")]
+    src, ckpt = tmp_path / "src", tmp_path / "ck"
+    src.mkdir()
+
+    def write_file(i, rows):
+        d = tmp_path / f"d{i}"
+        spark.createDataFrame(rows, SW.DOCS_SCHEMA).coalesce(1) \
+            .write.parquet(str(d))
+        p = sorted(glob.glob(f"{d}/part-*"))[0]
+        shutil.copy(p, f"{src}/{i:04d}.parquet")
+        os.utime(f"{src}/{i:04d}.parquet", (1000 + i, 1000 + i))
+
+    name = "stream_span_cuts_restart"
+
+    def start():
+        stream = (spark.readStream.schema(SW.DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        cuts = SW.streaming_repeated_span_cuts(stream, idx)
+        return (cuts.writeStream.outputMode("complete")
+                .option("checkpointLocation", str(ckpt))
+                .format("memory").queryName(name).start())
+
+    write_file(0, f1)
+    q = start()
+    q.processAllAvailable()
+    q.stop()                              # hard stop mid-stream
+    write_file(1, f2)                     # arrives while DOWN
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {(r.doc_id, r.span_start, r.span_tokens) for r in rows}
+    assert len(rows) == len(got)          # exactly-once, no dup rows
+    arr_df = spark.createDataFrame(
+        [(i, t) for i, _, t in f1 + f2], "doc_id long, text string")
+    spans_df = spark.createDataFrame(
+        sorted(got), "doc_id long, span_start long, span_tokens long")
+    applied = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+               for r in D.apply_span_cuts(arr_df, spans_df).collect()}
+    batch = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+             for r in D.scrub_repeated_spans_incremental(
+                 corpus, arr_df).collect()}
+    assert applied == batch
+    assert {d for d, _, _ in got} == {300, 400, 401}
+
+
 def test_streaming_repeated_span_stats_restart_exactly_once(
         spark, tmp_path):
     """Kill-and-restart contract for the substring-screen twin: the
