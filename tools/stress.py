@@ -270,6 +270,17 @@ def main() -> None:
               docs.filter("doc_id % 7 = 0"))
               .agg(F.sum(F.length("clean_text")
                          + F.col("n_removed_tokens"))).first()[0]))
+    # r9: per-batch novelty stats, same 1/7 split
+    timed("repeated_span_stats_incremental", n_docs,
+          lambda: dedup.repeated_span_stats_incremental(
+              docs.filter("doc_id % 7 != 0"),
+              docs.filter("doc_id % 7 = 0")).count())
+    # r9: per-IVF-cluster diversity quota over the replicated vectors
+    # (the skew-safe two-phase top-k is what the leg certifies: the
+    # replicated corpus makes every list mult-fold deeper)
+    timed("sample_cluster_balanced", n_emb,
+          lambda: similarity.cluster_balanced_sample(
+              emb, per_list=1000).count())
 
     # r9: long-document rewrite-tail legs — the r8 tail was O(L·C)
     # per doc (O(L²) fully covered: a 100k-token fully-boilerplate
