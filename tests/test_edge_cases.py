@@ -592,3 +592,40 @@ def test_r8_mixture_and_surgical_edge_inputs(spark):
     # corpus empty against a real benchmark: empty output
     assert C.decontaminate_surgical(
         empty.select("doc_id", "text"), docs).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("ab"), min_size=0, max_size=10),
+                min_size=1, max_size=5))
+def test_scrub_repeated_spans_property_vs_python(spark, token_lists):
+    """r9 property pin for the keep-first scrub at k=2 over a 2-letter
+    token alphabet (forces dense gram collisions — self-overlapping
+    periodic runs, cross-doc and intra-doc repeats all arise): the
+    engine must match a direct Python model of the contract (witness
+    = lexicographically-minimal (doc, pos) per gram with ≥2 global
+    occurrences; every token in a non-witness occurrence's [p, p+1]
+    is cut)."""
+    k = 2
+    texts = [" ".join(t) for t in token_lists]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+           for r in D.scrub_repeated_spans(df, k=k).collect()}
+
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    occ: dict = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p:p + k]), []).append((i, p))
+    cov: dict = {i: set() for i in toks}
+    for g, places in occ.items():
+        if len(places) < 2:
+            continue
+        keep = min(places)
+        for (i, p) in places:
+            if (i, p) != keep:
+                cov[i].update(range(p, p + k))
+    want = {i: (" ".join(t for j, t in enumerate(ts)
+                         if j not in cov[i]), len(cov[i]))
+            for i, ts in toks.items()}
+    assert got == want
