@@ -1542,13 +1542,43 @@ def gram_index_append(new_docs: DataFrame, index_path: str,
     reader sees day N or day N+1, never a torn index. A gram present
     on both days simply has two rows; readers sum per key
     (``repeated_spans_incremental`` does this internally — one
-    combinable aggregation), and ``compact_small_files`` can fold an
+    combinable aggregation), and ``gram_index_compact`` folds an
     index with many appended days back to one row per gram whenever
-    the day-row overhead grows. Same contract as
-    ``minhash_index_append``: k must match the index's build k.
+    the day-row overhead grows (``compact_small_files`` only
+    bin-packs FILES — it keeps the duplicate gram rows). Same
+    contract as ``minhash_index_append``: k must match the index's
+    build k.
     """
     (gram_count_index(new_docs, k, id_col, text_col)
      .write.mode("append").parquet(index_path))
+
+
+def gram_index_compact(spark, index_path: str,
+                       compacted_path: str) -> None:
+    """Maintenance half #2 of the gram-index lifecycle (r9): fold an
+    index carrying many appended day-rows back to ONE row per gram —
+    the SEMANTIC compaction ``compact_small_files`` cannot do (it
+    bin-packs files, keeping duplicate gram rows). The fold is
+    exactly the collapse every reader already performs — sum(n_occ)
+    plus min of the (first_doc, first_pos) witness per gram — so a
+    compacted index is read-equivalent by construction (test-pinned:
+    screen and scrub results identical before/after). Writes to a
+    NEW path so the swap is atomic at the catalog/caller level
+    (rename or repoint after the write lands); the source index stays
+    immutable throughout, preserving the no-torn-reads contract of
+    ``gram_index_append``. One combinable aggregation on the 8-byte
+    hash; output is bounded by |distinct grams| regardless of how
+    many days were appended."""
+    idx = spark.read.parquet(index_path)
+    (idx.groupBy("g")
+        .agg(F.sum("n_occ").alias("n_occ"),
+             F.min(F.struct(F.col("first_doc").alias("d"),
+                            F.col("first_pos").alias("p")))
+             .alias("keep"))
+        .select("g", "n_occ",
+                F.col("keep.d").alias("first_doc"),
+                F.col("keep.p").alias("first_pos"))
+        .write.mode("error").parquet(compacted_path))
 
 
 def repeated_spans_incremental(corpus: DataFrame, new_docs: DataFrame,

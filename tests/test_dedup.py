@@ -796,6 +796,39 @@ def test_scrub_incremental_two_day_append_cycle(spark, docs, tmp_path):
     assert day2 == inline2 and day2
 
 
+def test_gram_index_compact_read_equivalent(spark, docs, tmp_path):
+    """r9 semantic compaction: after two appended days the compacted
+    index has ONE row per gram, totals and witnesses fold correctly,
+    and both the screen and the scrub read it identically."""
+    corpus = docs.filter("source not in ('src0', 'src1')")
+    b1 = docs.filter("source = 'src0'")
+    b2 = docs.filter("source = 'src1'")
+    path = str(tmp_path / "gidx")
+    D.gram_count_index(corpus).write.parquet(path)
+    D.gram_index_append(b1, path)
+    idx = spark.read.parquet(path)
+    assert idx.count() > idx.select("g").distinct().count()  # day-rows
+    cpath = str(tmp_path / "gidx_c")
+    D.gram_index_compact(spark, path, cpath)
+    cidx = spark.read.parquet(cpath)
+    assert cidx.count() == idx.select("g").distinct().count()
+    assert sorted(cidx.columns) == sorted(idx.columns)
+    spans_raw = {(r.doc_id, r.span_start, r.span_tokens)
+                 for r in D.repeated_spans_incremental(
+                     corpus, b2, index=idx).collect()}
+    spans_c = {(r.doc_id, r.span_start, r.span_tokens)
+               for r in D.repeated_spans_incremental(
+                   corpus, b2, index=cidx).collect()}
+    assert spans_raw == spans_c and spans_raw
+    scrub_raw = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+                 for r in D.scrub_repeated_spans_incremental(
+                     corpus, b2, index=idx).collect()}
+    scrub_c = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+               for r in D.scrub_repeated_spans_incremental(
+                   corpus, b2, index=cidx).collect()}
+    assert scrub_raw == scrub_c
+
+
 def test_source_overlap_minhash_contract(spark):
     """Identical sources estimate 10^6, disjoint estimate 0, and the
     profile is invariant under duplication (min is idempotent — the
