@@ -603,6 +603,7 @@ _QKEY_ORDER = [
     "evolve_roundtrip", "bucketed_join", "merge_survivorship",
     # dedup / corpus assembly
     "dedup_exact", "dedup_exact_normalized", "dedup_incremental",
+    "dedup_incremental_normalized",
     "source_overlap", "source_overlap_minhash",
     "repeated_spans", "repeated_span_stats",
     "repeated_span_scrub", "repeated_spans_incremental",
@@ -1101,6 +1102,15 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": lambda s, d: __import__(
             "parallel_svms_spark.operators.dedup", fromlist=["x"]
         ).dedup_against(
+            load_table(s, d, "documents").filter("doc_id < 400"),
+            load_table(s, d, "documents").filter("doc_id >= 300")),
+        # r9: normalize-THEN-dedup incremental ingest — the CCNet
+        # ordering applied to the daily batch (identity key is the
+        # scrubbed text; re-crawls differing only in masked tokens
+        # never re-enter)
+        "dedup_incremental_normalized": lambda s, d: __import__(
+            "parallel_svms_spark.operators.dedup", fromlist=["x"]
+        ).dedup_against_normalized(
             load_table(s, d, "documents").filter("doc_id < 400"),
             load_table(s, d, "documents").filter("doc_id >= 300")),
         "jsonl_roundtrip": _jsonl_roundtrip,
@@ -2709,6 +2719,24 @@ SELECT n.* FROM new_docs n
 WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
   AND n.doc_id = (SELECT MIN(n2.doc_id) FROM new_docs n2
                   WHERE n2.text = n.text)
+""",
+        # the dedup_incremental shape keyed on the scrubbed text
+        # (the dedup_exact_normalized scrub expression verbatim)
+        "dedup_incremental_normalized": r"""
+WITH scrubbed AS (
+  SELECT *,
+         regexp_replace(regexp_replace(regexp_replace(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]+', '<email>', 'g'),
+           '[0-9]+', '<num>', 'g'),
+           ' +', ' ', 'g') AS ct
+  FROM documents),
+corpus AS (SELECT * FROM scrubbed WHERE doc_id < 400),
+new_docs AS (SELECT * FROM scrubbed WHERE doc_id >= 300)
+SELECT n.doc_id, n.text, n.lang, n.source, n.n_chars
+FROM new_docs n
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.ct = n.ct)
+  AND n.doc_id = (SELECT MIN(n2.doc_id) FROM new_docs n2
+                  WHERE n2.ct = n.ct)
 """,
         # pipeline_curate: the four curation stages chained in SQL —
         # quality rank cut → text-equality dedup → md5 hash-threshold
@@ -4361,6 +4389,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                     _rowhash("doc_id")]),
         ("dedup_incremental", ["sum(doc_id)", "sum(n_chars)",
                                "sum(length(text))"]),
+        ("dedup_incremental_normalized",
+         ["sum(doc_id)", "sum(n_chars)", "sum(length(text))"]),
         ("dedup_cluster_stats", ["sum(cluster_size*n_clusters)",
                                  "sum(n_clusters)", "sum(cluster_size)"]),
         ("dedup_minhash_incremental",

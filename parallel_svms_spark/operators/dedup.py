@@ -780,6 +780,39 @@ def exact_dedup_keys_normalized(documents: DataFrame) -> DataFrame:
             .select("doc_id"))
 
 
+def dedup_against_normalized(corpus: DataFrame,
+                             new_docs: DataFrame) -> DataFrame:
+    """Normalize-THEN-dedup, incremental form (r9 — the CCNet
+    ordering applied to the daily-ingest shape of ``dedup_against``):
+    drop any new doc whose SCRUBBED text (``text.scrub_text`` —
+    lowercase, emails/digit-runs masked, whitespace collapsed)
+    already exists in the corpus, and collapse batch-internal
+    normalized duplicates to the min-doc_id representative — so a
+    re-crawled page differing only in a tracking number never
+    re-enters the corpus. Returns surviving ``new_docs`` rows intact
+    (original text, not the scrubbed form — normalization is the
+    IDENTITY KEY, not a rewrite).
+
+    Same 100 TB shape as ``dedup_against``: the scrub is a narrow
+    codegen'd map fused into each side's scan; only (digest, id)
+    rows — 40 B/doc — cross the anti-join and the in-batch collapse,
+    and the surviving ids semi-join back so text is scanned, never
+    exchanged."""
+    from parallel_svms_spark.operators.text import scrub_text
+    new_digests = (scrub_text(new_docs)
+                   .select("doc_id",
+                           F.sha2(F.col("clean_text"), 256)
+                           .alias("digest")))
+    corpus_digests = (scrub_text(corpus)
+                      .select(F.sha2(F.col("clean_text"), 256)
+                              .alias("digest")))
+    keep = (new_digests
+            .join(corpus_digests, "digest", "left_anti")
+            .groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    return new_docs.join(keep, "doc_id", "left_semi")
+
+
 def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
                             verify_chars: int = 64,
                             id_col: str = "doc_id",

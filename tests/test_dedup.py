@@ -796,6 +796,29 @@ def test_scrub_incremental_two_day_append_cycle(spark, docs, tmp_path):
     assert day2 == inline2 and day2
 
 
+def test_dedup_against_normalized_masks_trivial_variants(spark):
+    """r9 normalized incremental ingest: a re-crawl differing only in
+    a masked token (digits, email) is dropped; genuinely-new text
+    survives with ORIGINAL text intact; batch-internal normalized
+    dups collapse to the min id. Raw dedup_against keeps the trivial
+    variant — the pinned semantic difference."""
+    corpus = spark.createDataFrame(
+        [(1, "Call 555-1234 now please")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "Call 555-9876 now please"),    # masked-variant -> drop
+         (11, "entirely new content here"),
+         (12, "Reach a@b.com maybe later"),
+         (13, "Reach c@d.org maybe later")],  # normalized dup of 12
+        "doc_id long, text string")
+    got = {r.doc_id: r.text for r in
+           D.dedup_against_normalized(corpus, batch).collect()}
+    assert set(got) == {11, 12}
+    assert got[12] == "Reach a@b.com maybe later"   # original text
+    raw = {r.doc_id for r in D.dedup_against(corpus, batch).collect()}
+    assert 10 in raw                                # raw keeps it
+
+
 def test_gram_index_compact_read_equivalent(spark, docs, tmp_path):
     """r9 semantic compaction: after two appended days the compacted
     index has ONE row per gram, totals and witnesses fold correctly,
