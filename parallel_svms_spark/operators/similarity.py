@@ -254,7 +254,8 @@ def ivf_assign_with(embeddings: DataFrame, C: np.ndarray,
 def cluster_balanced_sample(embeddings: DataFrame, per_list: int = 20,
                             n_lists: int = 16, seed: int = 42,
                             features_col: str = "embedding",
-                            id_col: str = "vec_id") -> DataFrame:
+                            id_col: str = "vec_id",
+                            label_col: str = "label") -> DataFrame:
     """Diversity sampling (r9): exactly ``min(per_list, |list|)``
     vectors per IVF semantic cluster — the cluster-balanced quota
     selection a pretraining mixture uses so a dominant embedding
@@ -283,9 +284,14 @@ def cluster_balanced_sample(embeddings: DataFrame, per_list: int = 20,
     """
     assigned, _ = ivf_assign(embeddings, n_lists=n_lists, seed=seed,
                              features_col=features_col, id_col=id_col)
+    # label_col is carried through when present (NULL when the schema
+    # lacks it — the dataset_manifest lang_col convention)
+    label = (F.col(label_col) if label_col in embeddings.columns
+             else F.lit(None).cast("int"))
     h = F.md5(F.col(id_col).cast("string"))
     cand = (assigned
-            .select(F.col(id_col), "label", "ivf_list", h.alias("_h"),
+            .select(F.col(id_col), label.alias("label"), "ivf_list",
+                    h.alias("_h"),
                     F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
                     .alias("_salt")))
     w1 = W.partitionBy("ivf_list", "_salt").orderBy("_h", id_col)

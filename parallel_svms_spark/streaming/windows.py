@@ -1070,9 +1070,12 @@ def streaming_repeated_span_stats(stream_docs: DataFrame,
 
     Shape, stage by stage:
     - gram emission + IN-DOC occurrence counts are one stateless array
-      expression per row (a doc's self-repetition needs no state —
-      ``size(filter(gs, same hash))`` inside the projection, doc-
-      bounded O(n²) on doc-sized n);
+      expression per row (a doc's self-repetition needs no state).
+      r9: at the default ``min_count=2`` the in-doc signal is the
+      linear neighbor-mark over ONE (gram, pos) array sort —
+      O(L log L) per doc, long arrivals no longer pay the per-element
+      scan; for ``min_count > 2`` the exact per-gram count falls back
+      to the documented per-element filter (doc-bounded O(L²));
     - archive counts come from a STREAM-STATIC left join on the
       8-byte gram hash against the pre-summed index (read it from
       ``gram_index_append``'s path; day-rows collapse in one
@@ -1111,21 +1114,54 @@ def streaming_repeated_span_stats(stream_docs: DataFrame,
     # r9: the shared linear gram expression (zip_with chain) — the
     # old inline-slice-in-lambda form re-split the text per gram,
     # O(L²) per arriving doc (see dedup.shingles_col)
+    gs = gram_structs_col("text", k)
+    if int(min_count) == 2:
+        # default path, O(L log L) per doc: an occurrence is in-doc
+        # repeated iff EITHER neighbor in (gram, pos) sort order
+        # shares its gram — one array sort + neighbor marks + re-sort
+        # by pos, no per-element scan (the cuts twin's trick with
+        # both neighbors, since stats cover EVERY occurrence of a
+        # repeated gram, not just non-first ones)
+        srt = F.array_sort(F.transform(
+            gs, lambda e: F.struct(e["g"].alias("g"),
+                                   e["pos"].alias("pos"))))
+        nn = F.size(srt)
+        shift_back = F.concat(
+            F.array(F.struct(F.lit(None).cast("bigint").alias("g"),
+                             F.lit(-1).alias("pos"))),
+            F.slice(srt, 1, F.greatest(nn - 1, F.lit(0))))
+        shift_fwd = F.concat(
+            F.slice(srt, 2, F.greatest(nn - 1, F.lit(0))),
+            F.array(F.struct(F.lit(None).cast("bigint").alias("g"),
+                             F.lit(-1).alias("pos"))))
+        both = F.zip_with(srt, shift_back,
+                          lambda a, b: F.struct(
+                              a["g"].alias("g"), a["pos"].alias("pos"),
+                              (b["g"].isNotNull()
+                               & (a["g"] == b["g"])).alias("p")))
+        marked = F.when(nn > 0, F.array_sort(F.zip_with(
+            both, shift_fwd,
+            lambda a, b: F.struct(
+                a["pos"].alias("pos"), a["g"].alias("g"),
+                F.when(a["p"] | (b["g"].isNotNull()
+                                 & (a["g"] == b["g"])),
+                       F.lit(2)).otherwise(F.lit(1))
+                .alias("in_doc"))))).otherwise(F.array())
+    else:
+        # general min_count: exact per-gram in-doc counts — the
+        # documented per-element scan, O(L²) on doc-sized L (rarely
+        # taken; min_count=2 is the family default)
+        marked = F.transform(
+            gs, lambda e: F.struct(
+                e["pos"].alias("pos"), e["g"].alias("g"),
+                F.size(F.filter(
+                    gs, lambda x: x["g"] == e["g"])).alias("in_doc")))
     grams = (stream_docs
              .filter(F.col("text").isNotNull())
              .select("doc_id", "ts",
                      F.size(tokens_col("text")).cast("long")
                      .alias("n_tokens"),
-                     gram_structs_col("text", k).alias("gs"))
-             .select("doc_id", "ts", "n_tokens", F.explode(
-                 F.transform(
-                     F.col("gs"),
-                     lambda e: F.struct(
-                         e["pos"].alias("pos"), e["g"].alias("g"),
-                         F.size(F.filter(
-                             F.col("gs"),
-                             lambda x: x["g"] == e["g"])).alias("in_doc"))
-                 )).alias("s"))
+                     F.explode(marked).alias("s"))
              .select("doc_id", "ts", "n_tokens",
                      F.col("s.pos").alias("pos"),
                      F.col("s.g").alias("g"),

@@ -1362,6 +1362,56 @@ def test_streaming_repeated_span_stats_matches_batch(spark):
     assert got == batch
 
 
+def test_streaming_repeated_span_stats_min_count_three(spark):
+    """The min_count>2 branch (exact per-element in-doc counts — the
+    r9 linear neighbor-mark only serves the default threshold 2):
+    in_doc + archive must reach 3. One arrival holds boiler once
+    (1+1=2, not flagged); another holds it twice (2+1=3, flagged);
+    an intra-doc triple with no archive support (3+0=3) is flagged."""
+    from parallel_svms_spark.operators import dedup as D
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    boiler = "b1 b2 b3 b4 b5"
+    corpus = spark.createDataFrame(
+        [(100, boiler + " archive tail")], "doc_id long, text string")
+    idx = D.gram_count_index(corpus)
+    arrivals = [
+        (1, t0, "x " + boiler + " y"),                    # 1+1=2: no
+        (2, t0 + timedelta(minutes=1),
+         boiler + " mid " + boiler),                      # 2+1=3: yes
+        (3, t0 + timedelta(minutes=2),
+         "t1 t2 t3 t4 t5 a " + "t1 t2 t3 t4 t5 b " +
+         "t1 t2 t3 t4 t5"),                               # 3+0=3: yes
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(arrivals, SW.DOCS_SCHEMA).coalesce(1) \
+            .write.parquet(f"{tmp}/d")
+        stream = (spark.readStream.schema(SW.DOCS_SCHEMA)
+                  .parquet(f"{tmp}/d"))
+        stats = SW.streaming_repeated_span_stats(stream, idx,
+                                                 min_count=3)
+        name = "stream_span_stats_mc3"
+        q = (stats.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans)
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # ground truth per ARRIVAL vs archive (the screen's semantics —
+    # a full-run over corpus ∪ all arrivals would also count the
+    # cross-arrival copies the blind spot deliberately skips)
+    batch = {}
+    for i, _, t in arrivals:
+        one = spark.createDataFrame([(i, t)],
+                                    "doc_id long, text string")
+        for r in D.repeated_span_stats(corpus.unionByName(one),
+                                       min_count=3).collect():
+            if r.doc_id == i and r.dup_tokens > 0:
+                batch[i] = (r.n_tokens, r.dup_tokens, r.n_spans)
+    assert set(got) == {2, 3}
+    assert got == batch
+
+
 def test_streaming_repeated_span_cross_arrival_blind_spot(spark):
     """ADVICE r8: the stream-static screen counts in-doc + ARCHIVE
     occurrences only, so two docs arriving before the index is
