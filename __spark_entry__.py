@@ -591,6 +591,7 @@ _QKEY_ORDER = [
     "resize_images",
     # text analysis
     "text_token_stats", "vocab_topk", "ngram_topk", "scrub_text",
+    "winnow_fingerprints",
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
     "lang_confusion", "dataset_manifest",
     "doc_fingerprint", "token_count", "length_profile",
@@ -931,6 +932,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": lambda s, d: TX.ngram_topk(
             load_table(s, d, "documents"), n=2, top_n=100),
         "scrub_text": lambda s, d: TX.scrub_text(load_table(s, d, "documents")),
+        # r9: Schleimer et al. 2003 winnowing — local fingerprints
+        # (w-window minima over the k-shingle md5 stream)
+        "winnow_fingerprints": lambda s, d: TX.winnow_fingerprints(
+            load_table(s, d, "documents")),
         "repetition_stats": lambda s, d: TX.repetition_stats(
             load_table(s, d, "documents")),
         "tfidf_topk": lambda s, d: TX.tfidf_topk(
@@ -2494,6 +2499,27 @@ SELECT doc_id, token, tf, tfidf, CAST(rank AS INT) AS rank FROM (
                                ORDER BY tfidf DESC, token) AS rank
   FROM s
 ) WHERE rank <= 5
+""",
+        # winnowing: same shingle/md5 stream in list comprehensions;
+        # window = h[i:i+w-1] (DuckDB slices are 1-based inclusive),
+        # short docs fall back to the single global min
+        "winnow_fingerprints": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE text IS NOT NULL),
+sh AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3
+    THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+    ELSE [array_to_string(t, ' ')] END AS ss
+  FROM toks),
+hs AS (SELECT doc_id, [md5(s) FOR s IN ss] AS h FROM sh),
+mins AS (
+  SELECT doc_id, CASE WHEN len(h) >= 4
+    THEN [list_min(h[i:i+3]) FOR i IN range(1, len(h) - 2)]
+    ELSE [list_min(h)] END AS m
+  FROM hs)
+SELECT DISTINCT doc_id, fp
+FROM (SELECT doc_id, UNNEST(m) AS fp FROM mins)
 """,
         "scrub_text": r"""
 SELECT doc_id, clean_text, CAST(length(clean_text) AS INT) AS clean_chars
@@ -4289,6 +4315,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                           "as bigint))"]),
         ("doc_fingerprint", ["sum(doc_id)", "count(distinct fingerprint)",
                              "sum(length(fingerprint))"]),
+        ("winnow_fingerprints",
+         ["count(distinct doc_id)", "count(distinct fp)",
+          _rowhash("doc_id*1000000 + ascii(substr(fp,1,1))*10000 + "
+                   "ascii(substr(fp,2,1))*100 + ascii(substr(fp,3,1))")]),
     ],
     "quality_suite": [
         ("boilerplate_score", ["sum(doc_id*n_common)", "sum(n_ngrams)",

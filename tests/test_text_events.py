@@ -401,3 +401,52 @@ def test_lang_confusion_partitions_corpus(spark, docs):
               for r in TX.lang_id(docs).groupBy("lang", "pred_lang")
               .agg(F.count("*").alias("n_docs")).collect()}
     assert {(r.lang, r.pred_lang): r.n_docs for r in conf} == direct
+
+
+def test_winnow_fingerprints_matches_python_and_guarantee(spark, docs):
+    """r9 winnowing: (a) engine output == a direct Python model of
+    Schleimer et al.'s scheme on the fixture; (b) the paper's
+    guarantee — two docs sharing a run of >= w+k-1 tokens share at
+    least one fingerprint; (c) short docs fall back to one global
+    min."""
+    import hashlib
+
+    k, w = 3, 4
+
+    def py_winnow(text):
+        t = text.split(" ")
+        if len(t) >= k:
+            ss = [" ".join(t[i:i + k]) for i in range(len(t) - k + 1)]
+        else:
+            ss = [" ".join(t)]
+        h = [hashlib.md5(s.encode()).hexdigest() for s in ss]
+        if len(h) >= w:
+            m = [min(h[i:i + w]) for i in range(len(h) - w + 1)]
+        else:
+            m = [min(h)]
+        return set(m)
+
+    got = {}
+    for r in TX.winnow_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    rows = docs.select("doc_id", "text").collect()
+    want = {r.doc_id: py_winnow(r.text) for r in rows
+            if r.text is not None}
+    assert got == want
+
+    # guarantee: a shared >= w+k-1 = 6-token run yields a shared fp
+    run = "g1 g2 g3 g4 g5 g6"
+    pair = spark.createDataFrame(
+        [(1, "alpha beta " + run + " gamma"),
+         (2, run + " delta epsilon zeta"),
+         (3, "entirely different words appear in this one here")],
+        "doc_id long, text string")
+    fps = {}
+    for r in TX.winnow_fingerprints(pair, k=k, w=w).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+    # short doc: exactly one fingerprint (the global min fallback)
+    short = spark.createDataFrame([(9, "just two")],
+                                  "doc_id long, text string")
+    assert TX.winnow_fingerprints(short, k=k, w=w).count() == 1
