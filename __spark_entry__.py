@@ -620,6 +620,7 @@ _QKEY_ORDER = [
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
+    "contamination_report",
     "decontaminate_surgical",
     "split_decontaminate", "mixture_sample",
     "mixture_sample_hash", "mixture_sample_tokens",
@@ -875,6 +876,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 docs.filter("source <> 'src0'"),
                 docs.filter("source = 'src0'"), k=4)
             .select("doc_id", "lang", "source"))(
+                load_table(s, d, "documents")),
+        # r9 audit twin of decontaminate: per-EVAL-ITEM leakage
+        # fractions (which benchmark items are compromised, how badly)
+        "contamination_report": lambda s, d: (lambda docs: __import__(
+            "parallel_svms_spark.operators.contamination",
+            fromlist=["x"]).contamination_report(
+                docs.filter("source <> 'src0'"),
+                docs.filter("source = 'src0'")))(
                 load_table(s, d, "documents")),
         # eval-leakage firewall: split the corpus, then scrub the
         # train split of held-out shingle overlap — one composed DAG
@@ -2213,6 +2222,36 @@ csh AS (
 bad AS (SELECT DISTINCT csh.doc_id FROM csh JOIN bsh USING (shingle))
 SELECT doc_id, lang, source FROM corp
 WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+        # per-eval-item leakage fractions (k=3): benchmark distinct
+        # shingles left-joined to per-shingle corpus-doc counts
+        "contamination_report": """
+WITH bench AS (SELECT * FROM documents
+               WHERE source = 'src0' AND text IS NOT NULL),
+corp AS (SELECT * FROM documents
+         WHERE source <> 'src0' AND text IS NOT NULL),
+bsh AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3 THEN list_distinct(
+      [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM bench)),
+csh AS (
+  SELECT shingle, COUNT(DISTINCT cdoc) AS n_cdocs FROM (
+    SELECT doc_id AS cdoc, UNNEST(CASE WHEN len(t) >= 3
+      THEN list_distinct(
+        [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)])
+      ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corp))
+  GROUP BY shingle)
+SELECT b.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN c.n_cdocs IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_leaked,
+  CAST(SUM(CASE WHEN c.n_cdocs IS NOT NULL THEN 1 ELSE 0 END)
+    * 1000000 // COUNT(*) AS BIGINT) AS leak_ppm,
+  CAST(SUM(COALESCE(c.n_cdocs, 0)) AS BIGINT) AS corpus_doc_hits
+FROM bsh b LEFT JOIN csh c USING (shingle)
+GROUP BY b.doc_id
 """,
         "decontaminate_hashed": """
 WITH bench AS (SELECT * FROM documents WHERE source = 'src0'),
@@ -4433,6 +4472,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                _rowhash("doc_a*1000000 + doc_b")]),
     ],
     "decontaminate_suite": [
+        ("contamination_report",
+         ["sum(n_shingles + n_leaked)", "sum(leak_ppm)",
+          _rowhash("doc_id*10000000 + leak_ppm*10 + corpus_doc_hits")]),
         ("decontaminate", ["sum(doc_id)", "count(distinct source)",
                            "sum(length(lang))"]),
         ("decontaminate_hashed", ["sum(doc_id)", "count(distinct source)",

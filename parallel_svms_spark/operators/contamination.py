@@ -224,3 +224,63 @@ def decontaminate_surgical(corpus: DataFrame, benchmark: DataFrame,
                  .join(bench, "g", "left_semi")
                  .select("doc_id", "pos"))
     return _rewrite_without(corpus, witnesses, k, id_col, text_col)
+
+
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         k: int = 3, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Per-BENCHMARK-item leakage audit (r9) — the reverse direction
+    of ``decontaminate``: instead of asking "which corpus docs are
+    tainted" it asks "which EVAL ITEMS are compromised, and how
+    badly" — the number an evaluation-integrity report publishes
+    before anyone trusts a benchmark score on a model trained on this
+    corpus. For each benchmark doc: how many of its distinct
+    k-shingles appear anywhere in the corpus, in exact LONG ppm
+    (the ``ratio_ppm`` convention), plus the total (shingle ×
+    corpus-doc) incidence count — a volume signal: one viral quote
+    reads high incidence at low leak_ppm, verbatim leakage reads
+    high leak_ppm. (Distinct-corpus-doc counting would need a
+    per-(bench-doc, corpus-doc) pair expansion — deliberately NOT
+    done; incidences come free from the per-shingle rollup.)
+
+    Output: (doc_id, n_shingles, n_leaked, leak_ppm, corpus_doc_hits)
+    — one row per non-NULL-text benchmark doc, zeros when clean, so
+    the column is directly filterable (e.g. drop eval items with
+    leak_ppm > threshold instead of scrubbing the corpus).
+
+    Scale shape: the benchmark side is small by definition — its
+    distinct (doc, shingle) pairs build one side of a hash join; the
+    corpus side is the same zero-exchange distinct-shingle projection
+    every decontaminate variant uses, reduced FIRST to one row per
+    (shingle, corpus-doc) and then to per-shingle corpus-doc counts
+    (map-side-combinable), so the join carries |corpus shingle
+    vocabulary| rows at most once, never documents. No broadcast of
+    the corpus side is ever attempted.
+    """
+    k = int(k)
+    bsh = (benchmark
+           .filter(F.col(text_col).isNotNull())
+           .select(F.col(id_col).alias("doc_id"),
+                   F.explode(F.array_distinct(
+                       shingles_col(text_col, k))).alias("shingle")))
+    csh = (corpus
+           .filter(F.col(text_col).isNotNull())
+           .select(F.col(id_col).alias("cdoc"),
+                   F.explode(F.array_distinct(
+                       shingles_col(text_col, k))).alias("shingle"))
+           .groupBy("shingle")
+           .agg(F.countDistinct("cdoc").alias("n_cdocs")))
+    joined = (bsh.join(csh, "shingle", "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_shingles"),
+                   F.sum(F.when(F.col("n_cdocs").isNotNull(), 1)
+                         .otherwise(0)).alias("n_leaked"),
+                   F.sum(F.coalesce("n_cdocs", F.lit(0)))
+                   .alias("hits")))
+    return joined.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_leaked").cast("long").alias("n_leaked"),
+        F.expr("n_leaked * 1000000 DIV n_shingles").cast("long")
+        .alias("leak_ppm"),
+        F.col("hits").cast("long").alias("corpus_doc_hits"))

@@ -58,3 +58,31 @@ def test_decontaminate_surgical_vs_whole_doc(spark, docs):
                        .otherwise(F.size(F.split("clean_text", " "))))
                  .alias("s")).first().s)
     assert kept > 0
+
+
+def test_contamination_report_hand_computed(spark):
+    """r9 audit twin: fully-leaked item reads 10^6 ppm, clean item 0,
+    partial in between; incidence counts corpus copies, a row per
+    benchmark doc either way."""
+    from parallel_svms_spark.operators import contamination as CN
+
+    leaked = "a1 a2 a3 a4 a5"      # 3 shingles at k=3
+    corpus = spark.createDataFrame(
+        [(1, leaked + " corpus tail"),
+         (2, leaked + " another copy"),
+         (3, "completely unrelated corpus words here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(10, leaked),                            # fully leaked
+         (11, "b1 b2 b3 " + "a1 a2 a3"),          # partial: 1 of 4
+         (12, "c1 c2 c3 c4 c5")],                 # clean
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_shingles, r.n_leaked, r.leak_ppm,
+                      r.corpus_doc_hits)
+           for r in CN.contamination_report(corpus, bench).collect()}
+    # doc 10: 3 shingles all leaked; each appears in corpus docs 1+2
+    assert got[10] == (3, 3, 1_000_000, 6)
+    # doc 11: shingles {b1 b2 b3, b2 b3 a1, b3 a1 a2, a1 a2 a3} —
+    # only "a1 a2 a3" leaks (2 corpus copies)
+    assert got[11] == (4, 1, 250_000, 2)
+    assert got[12] == (3, 0, 0, 0)
