@@ -1218,10 +1218,20 @@ def _daily_ingest_oracle() -> str:
     scrub CTE block is _SCRUB_SQL retargeted from `documents` to the
     archive-union-fresh `dset` CTE and wrapped as a `scrubbed` CTE so
     the manifest rollup can consume it."""
-    body = _SCRUB_SQL.replace(
-        "FROM documents WHERE text IS NOT NULL", "FROM dset")
+    # the retarget is string surgery on _SCRUB_SQL; assert both
+    # markers actually matched (ADVICE r9) so a drifted _SCRUB_SQL
+    # fails loudly HERE instead of as a confusing gate mismatch later
+    from_marker = "FROM documents WHERE text IS NOT NULL"
+    assert _SCRUB_SQL.count(from_marker) == 1, (
+        "_SCRUB_SQL drifted: expected exactly one scrub-source FROM "
+        f"clause, found {_SCRUB_SQL.count(from_marker)}")
+    assert _SCRUB_SQL.count("SELECT t.doc_id") == 1, (
+        "_SCRUB_SQL drifted: expected exactly one final SELECT")
+    body = _SCRUB_SQL.replace(from_marker, "FROM dset")
     ctes, final = body.rsplit("SELECT t.doc_id", 1)
     ctes = ctes.strip()[len("WITH"):].strip()
+    assert ctes.startswith("toks AS ("), (
+        "_SCRUB_SQL drifted: CTE block no longer starts with toks")
     final = "SELECT t.doc_id" + final.rstrip()
     return f"""
 WITH arch AS (SELECT * FROM documents

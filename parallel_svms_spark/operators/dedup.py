@@ -124,10 +124,17 @@ def dedup_against(corpus: DataFrame, new_docs: DataFrame) -> DataFrame:
     corpus side is a digest projection of the full archive: at 100 TB
     keep it as a bucketed-by-digest table (write_bucketed) so repeated
     ingests skip its exchange entirely.
+
+    NULL-text rows are dropped, not deduped (ADVICE r9, same filter
+    as ``dedup_against_normalized``): without it the anti-join
+    retains every NULL digest and the groupBy collapses all NULL-text
+    batch docs into one survivor — diverging from the SQL oracle's
+    NULL-dropping comparisons.
     """
-    new_digests = new_docs.select(
+    new_digests = new_docs.filter(F.col("text").isNotNull()).select(
         F.col("doc_id"), F.sha2(F.col("text"), 256).alias("digest"))
-    corpus_digests = corpus.select(F.sha2(F.col("text"), 256).alias("digest"))
+    corpus_digests = (corpus.filter(F.col("text").isNotNull())
+                      .select(F.sha2(F.col("text"), 256).alias("digest")))
     keep = (new_digests
             .join(corpus_digests, "digest", "left_anti")
             .groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
@@ -799,11 +806,17 @@ def dedup_against_normalized(corpus: DataFrame,
     and the surviving ids semi-join back so text is scanned, never
     exchanged."""
     from parallel_svms_spark.operators.text import scrub_text
-    new_digests = (scrub_text(new_docs)
+    # NULL-text rows are dropped, not deduped (ADVICE r9): a NULL
+    # text scrubs to a NULL digest, and without the filter the
+    # anti-join would RETAIN every NULL key (NULL = NULL is false in
+    # the join) and then collapse all NULL-text batch docs into one
+    # min-id survivor — while the SQL oracle's NULL comparisons drop
+    # them all. Filtering both sides pins the oracle's semantics.
+    new_digests = (scrub_text(new_docs.filter(F.col("text").isNotNull()))
                    .select("doc_id",
                            F.sha2(F.col("clean_text"), 256)
                            .alias("digest")))
-    corpus_digests = (scrub_text(corpus)
+    corpus_digests = (scrub_text(corpus.filter(F.col("text").isNotNull()))
                       .select(F.sha2(F.col("clean_text"), 256)
                               .alias("digest")))
     keep = (new_digests
@@ -1529,6 +1542,44 @@ def apply_span_cuts(documents: DataFrame, spans: DataFrame,
                     .alias("n_removed_tokens")))
 
 
+def _require_witness_index(index: DataFrame) -> DataFrame:
+    """Fail fast on a pre-r9 gram index (ADVICE r9): the witness
+    consumers (``scrub_repeated_spans_incremental``,
+    ``gram_index_compact``, ``streaming_repeated_span_cuts``) need
+    the (first_doc, first_pos) columns ``gram_count_index`` writes
+    since r9. An index directory mixing pre-r9 and r9 appends is
+    worse than a missing column: depending on which footer Spark
+    samples, the legacy rows either drop the columns (caught here at
+    plan time) or read as NULL witnesses — which would silently
+    treat archived grams as having no keeper, wrongly keeping batch
+    copies of archive boilerplate. So NULL witnesses on live rows
+    raise AT SCAN TIME via a guarded projection (``raise_error``
+    folded into the column itself, so pruning can't elide it);
+    well-formed r9 indexes never carry NULL witnesses
+    (``min(struct)`` over non-NULL ids). Count-only consumers
+    (``repeated_spans_incremental``) accept legacy indexes unguarded
+    — counts never went through the schema change."""
+    missing = {"first_doc", "first_pos"} - set(index.columns)
+    if missing:
+        raise ValueError(
+            "gram index lacks the r9 witness columns "
+            f"{sorted(missing)} — written by a pre-r9 "
+            "gram_index_append? Rebuild with gram_count_index or "
+            "re-derive via gram_index_compact from the source docs")
+    types = dict(index.dtypes)
+    msg = ("gram index row with n_occ > 0 but NULL witness — the "
+           "directory mixes pre-r9 and r9 appends; rebuild or "
+           "compact the index before witness-consuming reads")
+
+    def guarded(col: str) -> F.Column:
+        return (F.when(F.col(col).isNull(),
+                       F.raise_error(F.lit(msg)).cast(types[col]))
+                .otherwise(F.col(col)).alias(col))
+
+    return index.select("g", "n_occ",
+                        guarded("first_doc"), guarded("first_pos"))
+
+
 def gram_count_index(documents: DataFrame, k: int = 5,
                      id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
@@ -1602,7 +1653,7 @@ def gram_index_compact(spark, index_path: str,
     ``gram_index_append``. One combinable aggregation on the 8-byte
     hash; output is bounded by |distinct grams| regardless of how
     many days were appended."""
-    idx = spark.read.parquet(index_path)
+    idx = _require_witness_index(spark.read.parquet(index_path))
     (idx.groupBy("g")
         .agg(F.sum("n_occ").alias("n_occ"),
              F.min(F.struct(F.col("first_doc").alias("d"),
@@ -1693,6 +1744,8 @@ def scrub_repeated_spans_incremental(corpus: DataFrame,
         _gram_positions(new_docs, k, id_col, text_col))
     if index is None:
         index = gram_count_index(corpus, k, id_col, text_col)
+    else:
+        index = _require_witness_index(index)
     arch = index.groupBy("g").agg(
         F.sum("n_occ").alias("old_n"),
         F.min(F.struct(F.col("first_doc").alias("doc_id"),

@@ -1226,10 +1226,15 @@ def streaming_repeated_span_cuts(stream_docs: DataFrame,
     STARTS where the previous cut is > k away and ENDS at p+k−1
     where the next cut is > k away — no fold, no array append).
     """
-    from parallel_svms_spark.operators.dedup import gram_structs_col
+    from parallel_svms_spark.operators.dedup import (
+        _require_witness_index, gram_structs_col)
     k = int(k)
     assert k >= 2
-    idx = index.groupBy("g").agg(
+    # fail fast on a pre-r9 witness-less index (ADVICE r9): a legacy
+    # or mixed-schema index would silently read NULL witnesses and
+    # treat archived grams as keeper-less, wrongly keeping batch
+    # copies of archive boilerplate
+    idx = _require_witness_index(index).groupBy("g").agg(
         F.min(F.struct(F.col("first_doc").alias("d"),
                        F.col("first_pos").alias("p"))).alias("old_keep"))
     gs = gram_structs_col("text", k)

@@ -885,3 +885,47 @@ def test_source_overlap_minhash_tracks_exact_jaccard(spark, docs):
     # std ~ sqrt(J(1-J)/64) <= 0.0625; allow 4 sigma per pair
     assert max(errs) < 0.25
     assert sum(errs) / len(errs) < 0.08
+
+
+def test_witness_guard_rejects_legacy_index(spark, docs, tmp_path):
+    """ADVICE r9: a pre-r9 gram index (no first_doc/first_pos) must
+    fail fast in every witness consumer — plan-time ValueError when
+    the columns are missing entirely, scan-time raise_error when a
+    mixed-schema directory reads legacy rows as NULL witnesses."""
+    corpus = docs.filter("source <> 'src0'")
+    batch = docs.filter("source = 'src0'")
+    legacy_path = str(tmp_path / "legacy_idx")
+    # a pre-r9 index: counts only
+    (D.gram_count_index(corpus).select("g", "n_occ")
+     .write.parquet(legacy_path))
+    legacy = spark.read.parquet(legacy_path)
+    with pytest.raises(ValueError, match="witness columns"):
+        D.scrub_repeated_spans_incremental(corpus, batch, index=legacy)
+    cpath = str(tmp_path / "legacy_compacted")
+    with pytest.raises(ValueError, match="witness columns"):
+        D.gram_index_compact(spark, legacy_path, cpath)
+    # mixed directory: legacy rows + one r9 append — Spark's sampled
+    # footer may surface the witness columns with NULLs for legacy
+    # rows; the guarded projection must raise at scan time
+    D.gram_index_append(batch, legacy_path)
+    mixed = spark.read.option("mergeSchema", "true").parquet(legacy_path)
+    assert {"first_doc", "first_pos"} <= set(mixed.columns)
+    with pytest.raises(Exception, match="NULL witness"):
+        D.scrub_repeated_spans_incremental(
+            corpus, batch, index=mixed).collect()
+    # the count-only consumer accepts legacy indexes by contract
+    D.repeated_spans_incremental(corpus, batch, index=legacy).collect()
+
+
+def test_dedup_against_null_text_dropped(spark):
+    """ADVICE r9: NULL-text batch rows are DROPPED (matching the SQL
+    oracle's NULL-comparison semantics), not collapsed into one
+    NULL-digest survivor — both the exact and normalized variants."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, "fresh new text")],
+        "doc_id long, text string")
+    for fn in (D.dedup_against, D.dedup_against_normalized):
+        got = {r.doc_id for r in fn(corpus, batch).collect()}
+        assert got == {12}, fn.__name__
