@@ -929,3 +929,70 @@ def test_dedup_against_null_text_dropped(spark):
     for fn in (D.dedup_against, D.dedup_against_normalized):
         got = {r.doc_id for r in fn(corpus, batch).collect()}
         assert got == {12}, fn.__name__
+
+
+def test_winnow_local_match_guarantee(spark):
+    """Schleimer et al. §2: one shared run of ≥ w + k − 1 tokens
+    (6 at k=3, w=4) inside otherwise-disjoint documents yields at
+    least one shared fingerprint — a candidate pair the whole-doc
+    fingerprint (and probabilistically, sparse MinHash bands) would
+    miss. The pair must surface as a CANDIDATE; the verify tail then
+    reports its (low) exact Jaccard when threshold allows."""
+    shared = "aa bb cc dd ee ff"
+    rows = [(1, shared + " " + " ".join(f"x{i}" for i in range(40))),
+            (2, " ".join(f"y{i}" for i in range(40)) + " " + shared)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = D._winnow_bucket_pairs(D.winnow_index(df), 1000).collect()
+    assert [(c.doc_a, c.doc_b) for c in cands] == [(1, 2)]
+    # at threshold 0 the verified pair carries its true small jaccard
+    got = D.winnow_near_dups(df, threshold=0.0).collect()
+    assert len(got) == 1 and 0 < got[0].jaccard < 0.1
+
+
+def test_winnow_incremental_equivalence(spark, docs):
+    """Incremental(corpus, batch) == full run over corpus ∪ batch
+    restricted to batch-touching pairs (the family's standard pin),
+    including the union-frequency hot-bucket cap."""
+    corpus = docs.filter("doc_id % 7 != 0")
+    batch = docs.filter("doc_id % 7 = 0")
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    for cap in (1000, 3):
+        full = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in D.winnow_near_dups(
+                    docs, threshold=0.5, max_fp_freq=cap).collect()
+                if r.doc_a in batch_ids or r.doc_b in batch_ids}
+        inc = {(r.doc_a, r.doc_b, r.jaccard)
+               for r in D.winnow_near_dups_incremental(
+                   corpus, batch, threshold=0.5,
+                   max_fp_freq=cap).collect()}
+        assert inc == full, cap
+    assert inc  # non-vacuous at the small cap too
+
+
+def test_winnow_index_two_day_append_cycle(spark, docs, tmp_path):
+    """Persist day-0 index, screen batch-1, APPEND batch-1's
+    fingerprints, screen batch-2 against the updated index: identical
+    pairs to the inline incremental over (corpus ∪ batch1, batch2) —
+    day 2 never re-fingerprints history."""
+    corpus = docs.filter("source not in ('src0', 'src1')")
+    b1 = docs.filter("source = 'src0'")
+    b2 = docs.filter("source = 'src1'")
+    path = str(tmp_path / "winnow_index")
+    D.winnow_index(corpus).write.parquet(path)
+    idx = spark.read.parquet(path)
+    day1 = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in D.winnow_near_dups_incremental(
+                corpus, b1, index=idx).collect()}
+    inline1 = {(r.doc_a, r.doc_b, r.jaccard)
+               for r in D.winnow_near_dups_incremental(
+                   corpus, b1).collect()}
+    assert day1 == inline1
+    D.winnow_index_append(b1, path)
+    idx2 = spark.read.parquet(path)
+    day2 = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in D.winnow_near_dups_incremental(
+                corpus.unionByName(b1), b2, index=idx2).collect()}
+    inline2 = {(r.doc_a, r.doc_b, r.jaccard)
+               for r in D.winnow_near_dups_incremental(
+                   corpus.unionByName(b1), b2).collect()}
+    assert day2 == inline2 and day2

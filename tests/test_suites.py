@@ -29,7 +29,7 @@ SF = "/root/testdata/sf0.001"
 SAMPLE_SUITES = [
     "relational_agg_suite", "partition_suite", "setops_suite",
     "dss_suite_c", "window_suite", "event_suite", "text_stats_suite",
-    "roundtrip_suite", "sampling_suite", "ann_suite",
+    "roundtrip_suite", "sampling_suite", "ann_suite", "span_suite",
 ]
 
 
