@@ -1071,11 +1071,11 @@ def streaming_repeated_span_stats(stream_docs: DataFrame,
     Shape, stage by stage:
     - gram emission + IN-DOC occurrence counts are one stateless array
       expression per row (a doc's self-repetition needs no state).
-      r9: at the default ``min_count=2`` the in-doc signal is the
-      linear neighbor-mark over ONE (gram, pos) array sort —
-      O(L log L) per doc, long arrivals no longer pay the per-element
-      scan; for ``min_count > 2`` the exact per-gram count falls back
-      to the documented per-element filter (doc-bounded O(L²));
+      r9/r10: both branches are O(L log L) per doc over ONE
+      (gram, pos) array sort — at the default ``min_count=2`` a
+      linear neighbor-mark, for ``min_count > 2`` exact per-gram
+      counts from sorted-run lengths (r10 — the per-element filter
+      scan this replaced was O(L²) on doc-sized L);
     - archive counts come from a STREAM-STATIC left join on the
       8-byte gram hash against the pre-summed index (read it from
       ``gram_index_append``'s path; day-rows collapse in one
@@ -1148,14 +1148,42 @@ def streaming_repeated_span_stats(stream_docs: DataFrame,
                        F.lit(2)).otherwise(F.lit(1))
                 .alias("in_doc"))))).otherwise(F.array())
     else:
-        # general min_count: exact per-gram in-doc counts — the
-        # documented per-element scan, O(L²) on doc-sized L (rarely
-        # taken; min_count=2 is the family default)
-        marked = F.transform(
-            gs, lambda e: F.struct(
-                e["pos"].alias("pos"), e["g"].alias("g"),
-                F.size(F.filter(
-                    gs, lambda x: x["g"] == e["g"])).alias("in_doc")))
+        # general min_count (r10 — VERDICT r9 #2): exact per-gram
+        # in-doc counts from RUN LENGTHS over the same (gram, pos)
+        # sort the default path uses — O(L log L) per doc, replacing
+        # the per-element F.filter scan (O(L²) on doc-sized L, the
+        # straggler class the r9 batch fixes removed). Equal grams
+        # are adjacent after the sort, so: run-start indices = the
+        # positions whose predecessor differs (0-based F.get is
+        # NULL-safe at i−1 = −1, no ANSI index error), run length =
+        # distance to the next start, and each element's exact count
+        # is its run's length — expanded back by one slice per run,
+        # Σ run lengths = L total. Everything references only bound
+        # lambda variables (the let_col discipline: an unbound srt
+        # would re-sort per element).
+        from parallel_svms_spark.io.sources import let_col
+        srt0 = F.array_sort(F.transform(
+            gs, lambda e: F.struct(e["g"].alias("g"),
+                                   e["pos"].alias("pos"))))
+
+        def runs_marked(s: F.Column) -> F.Column:
+            idxs = F.sequence(F.lit(0), F.size(s) - 1)
+            bpos = F.filter(
+                idxs, lambda i: F.get(s, i - 1).isNull()
+                | (F.get(s, i - 1)["g"] != F.get(s, i)["g"]))
+            return let_col(bpos, lambda b: F.flatten(F.zip_with(
+                b,
+                F.concat(F.slice(b, 2, F.greatest(F.size(b) - 1,
+                                                  F.lit(0))),
+                         F.array(F.size(s))),
+                lambda st, en: F.transform(
+                    F.slice(s, st + 1, en - st),
+                    lambda e: F.struct(
+                        e["pos"].alias("pos"), e["g"].alias("g"),
+                        (en - st).alias("in_doc"))))))
+
+        marked = F.when(F.size(srt0) > 0,
+                        let_col(srt0, runs_marked)).otherwise(F.array())
     grams = (stream_docs
              .filter(F.col("text").isNotNull())
              .select("doc_id", "ts",

@@ -1363,9 +1363,10 @@ def test_streaming_repeated_span_stats_matches_batch(spark):
 
 
 def test_streaming_repeated_span_stats_min_count_three(spark):
-    """The min_count>2 branch (exact per-element in-doc counts — the
-    r9 linear neighbor-mark only serves the default threshold 2):
-    in_doc + archive must reach 3. One arrival holds boiler once
+    """The min_count>2 branch (exact in-doc counts from sorted-run
+    lengths since r10 — the r9 linear neighbor-mark only serves the
+    default threshold 2): in_doc + archive must reach 3. One arrival
+    holds boiler once
     (1+1=2, not flagged); another holds it twice (2+1=3, flagged);
     an intra-doc triple with no archive support (3+0=3) is flagged."""
     from parallel_svms_spark.operators import dedup as D

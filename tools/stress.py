@@ -299,6 +299,79 @@ def main() -> None:
     timed("longdoc_scrub_100k", 2, lambda: _longdoc_leg(100_000))
     timed("longdoc_scrub_200k", 2, lambda: _longdoc_leg(200_000))
 
+    # r10: the streaming stats twin's general-min_count branch on a
+    # LONG document — the r9 branch was a per-element filter scan
+    # (O(L²)/doc, the straggler class the batch fixes removed); the
+    # r10 sorted-run counts must track the linear default branch.
+    # Body = one third-length phrase repeated 3x, so min_count=3
+    # actually fires (every gram occurs 3x in-doc). Batch-mode call:
+    # the twin's watermark/window are no-ops on a batch frame, the
+    # per-row gram expression (the thing being measured) is shared.
+    def _longdoc_stream_stats_leg(L, mc):
+        from datetime import datetime
+
+        from parallel_svms_spark.streaming import windows as SW
+        third = " ".join(f"w{i}" for i in range(L // 3))
+        body = " ".join([third] * 3)
+        t0 = datetime(2026, 1, 1)
+        ld = spark.createDataFrame([(1, t0, body), (2, t0, body)],
+                                   SW.DOCS_SCHEMA)
+        idx = dedup.gram_count_index(spark.createDataFrame(
+            [(100, "zz1 zz2 zz3 zz4 zz5 zz6")],
+            "doc_id long, text string"))
+        return int(SW.streaming_repeated_span_stats(ld, idx, min_count=mc)
+                   .agg(F.sum(F.col("dup_tokens") + F.col("n_spans")))
+                   .first()[0])
+
+    timed("longdoc_stream_stats_mc3_50k", 2,
+          lambda: _longdoc_stream_stats_leg(50_001, 3))
+    timed("longdoc_stream_stats_mc3_100k", 2,
+          lambda: _longdoc_stream_stats_leg(100_002, 3))
+
+    # r10: the planted-mega-list case for cluster_balanced_sample's
+    # two-phase quota (VERDICT r9 #6) — 95% of rows in ONE list.
+    # Wall-clock of both forms (value-identity asserted) plus the
+    # number that actually drives cluster wall-clock: the maximum
+    # rows any ONE task must sort in the rank stage (plain = the hot
+    # list itself; two-phase = hot/32 in phase 1, ≤ 32·per_list in
+    # phase 2). Locally a single big-heap JVM hides the serialization
+    # (the r9 negative: plain wins on wall here); the hot-task bound
+    # is the 1000-executor story, measured not argued.
+    def _quota_skew_leg(n_rows, per_list=1000):
+        from pyspark.sql.window import Window as W
+        base = spark.range(n_rows).select(
+            F.col("id").alias("vec_id"),
+            F.when(F.pmod("id", 100) < 95, F.lit(0))
+            .otherwise(F.pmod("id", 100)).cast("int").alias("ivf_list"),
+            F.md5(F.col("id").cast("string")).alias("_h"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(32)).alias("_salt"))
+        w1 = W.partitionBy("ivf_list", "_salt").orderBy("_h", "vec_id")
+        w2 = W.partitionBy("ivf_list").orderBy("_h", "vec_id")
+        t0 = time.monotonic()
+        two = (base.withColumn("_r1", F.row_number().over(w1))
+               .filter(F.col("_r1") <= per_list)
+               .withColumn("_r2", F.row_number().over(w2))
+               .filter(F.col("_r2") <= per_list))
+        two_sum = two.agg(F.sum("vec_id")).first()[0]
+        t_two = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        plain = (base.withColumn("_r", F.row_number().over(w2))
+                 .filter(F.col("_r") <= per_list))
+        plain_sum = plain.agg(F.sum("vec_id")).first()[0]
+        t_plain = round(time.monotonic() - t0, 2)
+        assert two_sum == plain_sum  # identical selection
+        hot = base.filter("ivf_list = 0").count()
+        return {"two_phase_sec": t_two, "plain_window_sec": t_plain,
+                "hot_list_rows": hot,
+                "max_task_rows_plain": hot,
+                "max_task_rows_two_phase": max(
+                    -(-hot // 32), 32 * per_list)}
+
+    timed("quota_megalist_20m", 20_000_000,
+          lambda: _quota_skew_leg(20_000_000))
+    timed("quota_megalist_80m", 80_000_000,
+          lambda: _quota_skew_leg(80_000_000))
+
     def _zorder_compact_leg():
         import shutil
         import tempfile
