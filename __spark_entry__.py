@@ -621,7 +621,7 @@ _QKEY_ORDER = [
     "winnow_near_dups", "winnow_near_dups_incremental",
     "dedup_simhash",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
-    "contamination_report",
+    "contamination_report", "contamination_sources",
     "decontaminate_surgical",
     "split_decontaminate", "mixture_sample",
     "mixture_sample_hash", "mixture_sample_tokens",
@@ -896,6 +896,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": lambda s, d: (lambda docs: __import__(
             "parallel_svms_spark.operators.contamination",
             fromlist=["x"]).contamination_report(
+                docs.filter("source <> 'src0'"),
+                docs.filter("source = 'src0'")))(
+                load_table(s, d, "documents")),
+        # r10: source-attributed leakage — per (eval item, corpus
+        # source), the mixture-vs-eval-surgery number
+        "contamination_sources": lambda s, d: (lambda docs: __import__(
+            "parallel_svms_spark.operators.contamination",
+            fromlist=["x"]).contamination_sources(
                 docs.filter("source <> 'src0'"),
                 docs.filter("source = 'src0'")))(
                 load_table(s, d, "documents")),
@@ -2278,6 +2286,39 @@ SELECT b.doc_id,
   CAST(SUM(COALESCE(c.n_cdocs, 0)) AS BIGINT) AS corpus_doc_hits
 FROM bsh b LEFT JOIN csh c USING (shingle)
 GROUP BY b.doc_id
+""",
+        # r10: per-(eval item, corpus source) attribution — the
+        # per-shingle rollup gains a source grouping column; only
+        # leaking combinations emit rows (inner join)
+        "contamination_sources": """
+WITH bench AS (SELECT * FROM documents
+               WHERE source = 'src0' AND text IS NOT NULL),
+corp AS (SELECT * FROM documents
+         WHERE source <> 'src0' AND text IS NOT NULL),
+bsh AS (
+  SELECT doc_id, UNNEST(CASE WHEN len(t) >= 3 THEN list_distinct(
+      [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)])
+    ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM bench)),
+csh AS (
+  SELECT shingle, source, COUNT(DISTINCT cdoc) AS n_cdocs FROM (
+    SELECT source, doc_id AS cdoc, UNNEST(CASE WHEN len(t) >= 3
+      THEN list_distinct(
+        [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)])
+      ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM (SELECT source, doc_id, string_split(text, ' ') AS t
+          FROM corp))
+  GROUP BY shingle, source),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles
+          FROM bsh GROUP BY doc_id)
+SELECT b.doc_id, c.source,
+  CAST(s.n_shingles AS BIGINT) AS n_shingles,
+  CAST(COUNT(*) AS BIGINT) AS n_leaked,
+  CAST(COUNT(*) * 1000000 // s.n_shingles AS BIGINT) AS leak_ppm,
+  CAST(SUM(c.n_cdocs) AS BIGINT) AS corpus_doc_hits
+FROM bsh b JOIN csh c USING (shingle)
+           JOIN sizes s ON s.doc_id = b.doc_id
+GROUP BY b.doc_id, c.source, s.n_shingles
 """,
         "decontaminate_hashed": """
 WITH bench AS (SELECT * FROM documents WHERE source = 'src0'),
@@ -4577,6 +4618,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("contamination_report",
          ["sum(n_shingles + n_leaked)", "sum(leak_ppm)",
           _rowhash("doc_id*10000000 + leak_ppm*10 + corpus_doc_hits")]),
+        ("contamination_sources",
+         ["sum(n_shingles + n_leaked)", "sum(leak_ppm)",
+          _rowhash("doc_id*100000000 + length(source)*10000000 + "
+                   "leak_ppm*10 + corpus_doc_hits")]),
         ("decontaminate", ["sum(doc_id)", "count(distinct source)",
                            "sum(length(lang))"]),
         ("decontaminate_hashed", ["sum(doc_id)", "count(distinct source)",

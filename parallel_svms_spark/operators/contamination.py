@@ -226,6 +226,67 @@ def decontaminate_surgical(corpus: DataFrame, benchmark: DataFrame,
     return _rewrite_without(corpus, witnesses, k, id_col, text_col)
 
 
+def contamination_sources(corpus: DataFrame, benchmark: DataFrame,
+                          k: int = 3, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          source_col: str = "source") -> DataFrame:
+    """Source-attributed leakage audit (r10 — VERDICT r9 #3): for
+    each (benchmark doc, corpus SOURCE) pair, how much of the eval
+    item leaks from THAT source — the number that decides mixture
+    surgery ("drop the source") vs eval surgery ("drop the item"),
+    which ``contamination_report``'s corpus-wide rollup cannot: one
+    eval item at leak_ppm 900k from a single crawl dump is a
+    drop-the-source case; the same ppm spread evenly over every
+    source is a drop-the-item case.
+
+    Output: (doc_id, source, n_shingles, n_leaked, leak_ppm,
+    corpus_doc_hits) — one row per (benchmark doc, source) with at
+    least one leaked shingle (clean combinations are absent: emitting
+    |bench| × |sources| explicit zeros buys nothing the absent-row
+    convention doesn't); ``n_shingles`` is the benchmark doc's
+    distinct-shingle count (per-doc constant, repeated per source so
+    every row is self-contained), ``leak_ppm`` the exact LONG ppm of
+    them appearing in that source, ``corpus_doc_hits`` the
+    (shingle × source-doc) incidence volume.
+
+    Scale shape: the corpus side is pre-collapsed to one row per
+    (shingle, source) carrying a distinct-doc count — a map-side-
+    combinable aggregation bounded by |shingle vocabulary| ×
+    |sources| — before anything joins; the benchmark side is small
+    by definition. The join therefore carries the per-source shingle
+    vocabulary, never documents — ``contamination_report``'s shape
+    with one extra grouping column (and the same no-corpus-broadcast
+    rule)."""
+    k = int(k)
+    bsh = (benchmark
+           .filter(F.col(text_col).isNotNull())
+           .select(F.col(id_col).alias("doc_id"),
+                   F.explode(F.array_distinct(
+                       shingles_col(text_col, k))).alias("shingle")))
+    csh = (corpus
+           .filter(F.col(text_col).isNotNull())
+           .select(F.col(source_col).alias("source"),
+                   F.col(id_col).alias("cdoc"),
+                   F.explode(F.array_distinct(
+                       shingles_col(text_col, k))).alias("shingle"))
+           .groupBy("shingle", "source")
+           .agg(F.countDistinct("cdoc").alias("n_cdocs")))
+    sizes = bsh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"))
+    hits = (bsh.join(csh, "shingle")
+            .groupBy("doc_id", "source")
+            .agg(F.count("*").alias("n_leaked"),
+                 F.sum("n_cdocs").alias("hits")))
+    return (hits.join(sizes, "doc_id")
+            .select("doc_id", "source",
+                    F.col("n_shingles").cast("long").alias("n_shingles"),
+                    F.col("n_leaked").cast("long").alias("n_leaked"),
+                    F.expr("n_leaked * 1000000 DIV n_shingles")
+                    .cast("long").alias("leak_ppm"),
+                    F.col("hits").cast("long")
+                    .alias("corpus_doc_hits")))
+
+
 def contamination_report(corpus: DataFrame, benchmark: DataFrame,
                          k: int = 3, id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:

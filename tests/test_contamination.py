@@ -86,3 +86,43 @@ def test_contamination_report_hand_computed(spark):
     # only "a1 a2 a3" leaks (2 corpus copies)
     assert got[11] == (4, 1, 250_000, 2)
     assert got[12] == (3, 0, 0, 0)
+
+
+def test_contamination_sources_hand_computed(spark):
+    """r10 source attribution: the per-source split of the report —
+    a leak concentrated in one source (mixture surgery) reads
+    differently from the same ppm spread across sources (eval
+    surgery). Hand-computed on a planted corpus."""
+    from parallel_svms_spark.operators import contamination as CN
+
+    leaked = "a1 a2 a3 a4 a5"      # 3 shingles at k=3
+    corpus = spark.createDataFrame(
+        [(1, "crawlA", leaked + " corpus tail"),
+         (2, "crawlA", leaked + " another copy"),
+         (3, "crawlB", "completely unrelated corpus words here"),
+         (4, "crawlB", "b1 b2 b3 x9")],
+        "doc_id long, source string, text string")
+    bench = spark.createDataFrame(
+        [(10, leaked),                            # all from crawlA
+         (11, "b1 b2 b3 " + "a1 a2 a3"),          # split sources
+         (12, "c1 c2 c3 c4 c5")],                 # clean
+        "doc_id long, text string")
+    got = {(r.doc_id, r.source): (r.n_shingles, r.n_leaked,
+                                  r.leak_ppm, r.corpus_doc_hits)
+           for r in CN.contamination_sources(corpus, bench).collect()}
+    # doc 10: 3 shingles, all in crawlA only (2 docs each)
+    # doc 11: shingles {b1 b2 b3, b2 b3 a1, b3 a1 a2, a1 a2 a3} —
+    #   "a1 a2 a3" in crawlA (2 docs), "b1 b2 b3" in crawlB (1 doc)
+    assert got == {(10, "crawlA"): (3, 3, 1_000_000, 6),
+                   (11, "crawlA"): (4, 1, 250_000, 2),
+                   (11, "crawlB"): (4, 1, 250_000, 1)}
+    # consistency with the corpus-wide report: per-doc leaked counts
+    # are NOT additive across sources (a shingle may leak from many)
+    # but hits are
+    rep = {r.doc_id: r.corpus_doc_hits
+           for r in CN.contamination_report(corpus, bench).collect()}
+    import collections
+    hits = collections.Counter()
+    for (d, _s), (_, _, _, h) in got.items():
+        hits[d] += h
+    assert all(rep[d] == hits.get(d, 0) for d in rep)
