@@ -1800,17 +1800,44 @@ def gram_index_compact(spark, index_path: str,
     immutable throughout, preserving the no-torn-reads contract of
     ``gram_index_append``. One combinable aggregation on the 8-byte
     hash; output is bounded by |distinct grams| regardless of how
-    many days were appended."""
+    many days were appended. For a swap that is atomic IN CODE (no
+    caller-side rename), keep the index in an ``io.index_store``
+    root and use ``gram_index_compact_swap``."""
     idx = _require_witness_index(spark.read.parquet(index_path))
-    (idx.groupBy("g")
-        .agg(F.sum("n_occ").alias("n_occ"),
-             F.min(F.struct(F.col("first_doc").alias("d"),
-                            F.col("first_pos").alias("p")))
-             .alias("keep"))
-        .select("g", "n_occ",
-                F.col("keep.d").alias("first_doc"),
-                F.col("keep.p").alias("first_pos"))
-        .write.mode("error").parquet(compacted_path))
+    gram_index_fold(idx).write.mode("error").parquet(compacted_path)
+
+
+def gram_index_fold(index: DataFrame) -> DataFrame:
+    """The gram index's semantic collapse — sum(n_occ) +
+    min(first_doc, first_pos) witness per gram, exactly what every
+    reader computes over appended day-rows. Shared by
+    ``gram_index_compact`` (explicit paths) and the versioned-store
+    swap (``gram_index_compact_swap``)."""
+    return (index.groupBy("g")
+            .agg(F.sum("n_occ").alias("n_occ"),
+                 F.min(F.struct(F.col("first_doc").alias("d"),
+                                F.col("first_pos").alias("p")))
+                 .alias("keep"))
+            .select("g", "n_occ",
+                    F.col("keep.d").alias("first_doc"),
+                    F.col("keep.p").alias("first_pos")))
+
+
+def gram_index_compact_swap(spark, root: str) -> str:
+    """Compaction with an ATOMIC swap (r10 — VERDICT r9 #4): fold the
+    LIVE version of an ``io.index_store`` root into a new version
+    directory and flip the ``_CURRENT`` pointer in one
+    ``os.replace``. Callers never juggle paths: days append into
+    ``index_store.current_path(root)``, screens read
+    ``index_store.read_current(spark, root)``, and this swap is
+    invisible to both — a reader holding the old version keeps its
+    snapshot (files untouched), the next ``read_current`` gets the
+    folded index (read-equivalence + swap-under-reader pinned in
+    tests/test_index_store.py). Returns the new version path."""
+    from parallel_svms_spark.io import index_store
+    return index_store.compact(
+        spark, root,
+        lambda df: gram_index_fold(_require_witness_index(df)))
 
 
 def repeated_spans_incremental(corpus: DataFrame, new_docs: DataFrame,
