@@ -43,7 +43,7 @@ UNK = "<unk>"  # reserved id 0: encode-time chars outside the alphabet
 
 
 def bpe_train(documents: DataFrame, n_merges: int = 200,
-              sample_rows: int = 2048, text_col: str = "text",
+              sample_rows: int | None = 2048, text_col: str = "text",
               id_col: str = "doc_id") -> dict:
     """Learn the committed vocabulary ARTIFACT from a deterministic
     corpus sample: ``{'merges': [(a, b), ...], 'alphabet': [chars]}``.
@@ -63,15 +63,42 @@ def bpe_train(documents: DataFrame, n_merges: int = 200,
     exactly reproducible for a fixed corpus, like the IVF centroid
     sample. One driver action by design: this is the offline
     vocabulary-commit step, not the hot path.
+
+    ``sample_rows=None`` (r10 — VERDICT r9 #5) trains CORPUS-EXACT:
+    the word count becomes one distributed map-side-combinable
+    aggregation whose collect is VOCABULARY-bounded (one (word,
+    count) row per distinct word — Zipf keeps web vocabularies in
+    the low millions however many documents contribute), removing
+    the sample bias from the committed artifact. The driver loop is
+    unchanged and post-r9 cheap at any realistic merge count (the
+    incremental pair-stats + lazy heap); merge selection depends
+    only on the counts, not word order, but the collect is sorted
+    anyway so the in-memory walk is bit-reproducible across
+    sessions. Parity with the sample path when the sample IS the
+    corpus is pytest-pinned.
     """
-    sample = (documents
-              .select(F.col(text_col).alias("t"),
-                      F.md5(F.col(id_col).cast("string")).alias("o"))
-              .orderBy("o").limit(int(sample_rows)).collect())
     wc: Counter = Counter()
-    for r in sample:
-        for w in (r.t or "").split():
-            wc[w] += 1
+    if sample_rows is None:
+        # python str.split() semantics JVM-side: split on whitespace
+        # runs, drop empties (a plain split(' ') would keep them)
+        rows = (documents
+                .filter(F.col(text_col).isNotNull())
+                .select(F.explode(F.split(F.col(text_col), r"\s+"))
+                        .alias("w"))
+                .filter(F.length("w") > 0)
+                .groupBy("w").agg(F.count("*").alias("c"))
+                .orderBy("w")
+                .collect())
+        for r in rows:
+            wc[r.w] = r.c
+    else:
+        sample = (documents
+                  .select(F.col(text_col).alias("t"),
+                          F.md5(F.col(id_col).cast("string")).alias("o"))
+                  .orderBy("o").limit(int(sample_rows)).collect())
+        for r in sample:
+            for w in (r.t or "").split():
+                wc[w] += 1
     alphabet = sorted({c for w in wc for c in w})
     return {"merges": _train_merges(wc, int(n_merges)),
             "alphabet": alphabet}
@@ -174,7 +201,8 @@ def _train_merges(wc: Counter, n_merges: int) -> list[tuple[str, str]]:
 
 
 def bpe_train_merges(documents: DataFrame, n_merges: int = 200,
-                     sample_rows: int = 2048, text_col: str = "text",
+                     sample_rows: int | None = 2048,
+                     text_col: str = "text",
                      id_col: str = "doc_id") -> list[tuple[str, str]]:
     """Merge-table-only view of ``bpe_train`` (the original r7
     surface, kept for the count-budget consumers — ``pack_shards``,

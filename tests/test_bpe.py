@@ -425,3 +425,31 @@ def test_streaming_bpe_encode_ids_matches_batch(spark, docs, tmp_path):
     got = {r.doc_id: list(r.ids)
            for r in spark.sql("SELECT * FROM stream_bpe_ids").collect()}
     assert got == batch
+
+
+def test_bpe_train_corpus_exact_parity(spark, docs):
+    """sample_rows=None (r10 corpus-exact vocab): when the md5 sample
+    would cover the whole corpus anyway (fixture: 500 docs < 2048),
+    the distributed word-count path must commit the IDENTICAL
+    artifact — same merge sequence, same alphabet."""
+    from parallel_svms_spark.operators import bpe as B
+    sampled = B.bpe_train(docs, n_merges=200)
+    exact = B.bpe_train(docs, n_merges=200, sample_rows=None)
+    assert exact["merges"] == sampled["merges"]
+    assert exact["alphabet"] == sampled["alphabet"]
+
+
+def test_bpe_train_corpus_exact_sees_past_sample(spark):
+    """The point of the exact path: words BEYOND the sample horizon
+    shape the vocabulary. A corpus whose dominant pair lives only in
+    the tail rows must merge it under sample_rows=None and miss it
+    under a 2-row sample."""
+    from parallel_svms_spark.operators import bpe as B
+    rows = [(1, "ab"), (2, "cd")]
+    # tail rows (md5-late ids chosen by construction: sample takes
+    # the 2 md5-smallest) dominated by 'qq'
+    rows += [(i, "qqq qqq qqq qqq") for i in range(3, 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = B.bpe_train(df, n_merges=1, sample_rows=None)
+    assert exact["merges"] == [("q", "q")]
+    assert "q" in exact["alphabet"]

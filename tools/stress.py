@@ -372,6 +372,37 @@ def main() -> None:
     timed("quota_megalist_80m", 80_000_000,
           lambda: _quota_skew_leg(80_000_000))
 
+    # r10: corpus-exact BPE vocab commit, end-to-end at the r9
+    # curve's scale — a synthetic Zipf corpus (~59k distinct words /
+    # 8.7M occurrences; log-uniform inverse-CDF ranks, i.e. Zipf s=1,
+    # deterministic from xxhash64) built AS DOCUMENTS so the leg pays
+    # the real distributed word-count aggregation plus the r9 lazy-
+    # heap driver loop. The fixture text can't exercise this (31-word
+    # vocabulary saturates at ~107 merges).
+    def _bpe_corpus_exact_leg(n_merges):
+        import math
+
+        from parallel_svms_spark.operators import bpe as B
+        n_occ, n_ranks = 8_700_000, 59_000
+        u = F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) \
+            / 1_000_000.0
+        rank = F.floor(F.exp(u * math.log(float(n_ranks)))) \
+            .cast("long")
+        zdocs = (spark.range(n_occ)
+                 .select((F.col("id") / 1000).cast("long")
+                         .alias("doc_id"),
+                         F.concat(F.lit("w"), rank.cast("string"))
+                         .alias("w"))
+                 .groupBy("doc_id")
+                 .agg(F.array_join(F.collect_list("w"), " ")
+                      .alias("text")))
+        art = B.bpe_train(zdocs, n_merges=n_merges, sample_rows=None)
+        return {"n_merges": len(art["merges"]),
+                "alphabet": len(art["alphabet"])}
+
+    timed("bpe_train_corpus_exact_32k", 8_700_000,
+          lambda: _bpe_corpus_exact_leg(32_000))
+
     def _zorder_compact_leg():
         import shutil
         import tempfile
