@@ -196,7 +196,17 @@ def _train_merges(wc: Counter, n_merges: int) -> list[tuple[str, str]]:
         del where[best]
         changed.discard(best)
         for p in changed:
-            heapq.heappush(heap, (-stats[p], p))
+            if stats[p] <= 0:
+                # vanished without being merged (r10, VERDICT r9
+                # note): drop the entry instead of keeping a
+                # zero-count where-index forever — a later merge
+                # recreating the adjacency recreates both (Counter /
+                # defaultdict semantics), and stale heap entries
+                # already discard via the live-count check
+                del stats[p]
+                del where[p]
+            else:
+                heapq.heappush(heap, (-stats[p], p))
     return merges
 
 
