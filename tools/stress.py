@@ -176,6 +176,14 @@ def main() -> None:
               docs.filter("doc_id % 7 = 0"), threshold=0.5).count())
     timed("dedup_simhash", n_docs,
           lambda: dedup.simhash_near_dups(docs).count())
+    # r10: winnowing matcher + its incremental twin (same 1/7 split
+    # and same index-build-included caveat as the minhash twin)
+    timed("winnow_near_dups", n_docs,
+          lambda: dedup.winnow_near_dups(docs, threshold=0.5).count())
+    timed("winnow_near_dups_incremental", n_docs,
+          lambda: dedup.winnow_near_dups_incremental(
+              docs.filter("doc_id % 7 != 0"),
+              docs.filter("doc_id % 7 = 0"), threshold=0.5).count())
     timed("ngram_jaccard", n_docs,
           lambda: dedup.ngram_jaccard_pairs(
               docs, threshold=0.5, max_doc_freq=200).count())
@@ -210,6 +218,12 @@ def main() -> None:
           lambda: CN.decontaminate_hashed(
               docs.filter("source <> 'src0'"),
               docs.filter("source = 'src0'"), k=4).count())
+    # r10: source-attributed leakage (corpus side pre-collapsed to
+    # (shingle, source) — the join must stay vocabulary-bounded)
+    timed("contamination_sources", n_docs,
+          lambda: CN.contamination_sources(
+              docs.filter("source <> 'src0'"),
+              docs.filter("source = 'src0'")).count())
     timed("pack_sequences", n_docs,
           lambda: SHOP.pack_sequences(docs, budget_tokens=4096).count())
     timed("sample_weighted", n_docs,
