@@ -584,6 +584,7 @@ _QKEY_ORDER = [
     "attribution_lasttouch", "temporal_join",
     "event_bursts", "dedup_events_burst",
     "pseudonymize_events", "pipeline_events", "kanonymity_risk",
+    "redact_pii", "pii_audit",
     "rolling_features", "rolling_features_bucketed", "value_percentiles",
     "winsorize_events",
     # multimodal plumbing — cheap digest UDFs
@@ -625,6 +626,7 @@ _QKEY_ORDER = [
     "decontaminate_surgical",
     "split_decontaminate", "mixture_sample",
     "mixture_sample_hash", "mixture_sample_tokens",
+    "mixture_sample_temperature",
     "pipeline_scrub_mixture", "pipeline_daily_ingest",
     "pipeline_curate", "pipeline_pretrain",
     # similarity / ANN
@@ -925,6 +927,15 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-group prefix sum (pack_shards' two passes, grouped) r8
         "mixture_sample_tokens": lambda s, d: SH.mixture_sample_tokens(
             load_table(s, d, "documents"), budget_tokens=1500),
+        # r10: temperature-scaled mixture (p_i ∝ token-mass^α, the
+        # XLM-R/mC4 re-balancing scheme) — derives per-source hash
+        # thresholds from the corpus itself; α=0.3/frac=0.9 clamps the
+        # smallest sources at rate 1.0 on the fixture, exercising both
+        # the damped and the kept-outright branches
+        "mixture_sample_temperature": lambda s, d:
+            SH.mixture_sample_temperature(
+                load_table(s, d, "documents"), alpha=0.3,
+                target_frac=0.9),
         # r8 curation chain: substring scrub THEN token budgeting —
         # dedup before sampling, so budgets buy unique tokens; one
         # lazily-planned DAG (the pipeline_curate composition pattern)
@@ -1076,6 +1087,26 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 cols=["user_id"], salt="s5")
             .withColumnRenamed("user_id", "user_token"),
         "pipeline_events": _pipeline_events,
+        # r10: destructive free-text PII redaction (typed placeholders
+        # + per-row replacement count) on the customer name column's
+        # embedded numeric identifier — one codegen'd regex chain
+        "redact_pii": lambda s, d: __import__(
+            "parallel_svms_spark.operators.privacy",
+            fromlist=["x"]).redact_pii(
+                load_table(s, d, "customer")
+                .select("c_custkey", F.col("c_name").alias("name"),
+                        F.col("c_mktsegment").alias("segment")),
+                cols=["name", "segment"]),
+        # r10: pre-release PII exposure report — per (column, rule)
+        # match totals in ONE map-side-combinable pass, zero-hit rules
+        # reported too (the absence claim is the audit's point)
+        "pii_audit": lambda s, d: __import__(
+            "parallel_svms_spark.operators.privacy",
+            fromlist=["x"]).pii_audit(
+                load_table(s, d, "customer")
+                .select(F.col("c_name").alias("name"),
+                        F.col("c_mktsegment").alias("segment")),
+                cols=["name", "segment"]),
         "rolling_features": lambda s, d: TS.rolling_features(
             load_table(s, d, "events")),
         "rolling_features_bucketed": lambda s, d:
@@ -1233,6 +1264,70 @@ SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
 FROM toks t LEFT JOIN agg a USING (doc_id)
             LEFT JOIN ncut USING (doc_id)
 """
+
+
+def _pii_chain_ctes(cols: list[str]) -> tuple[str, int]:
+    """Shared CTE chain for the PII oracles: applies
+    privacy.PII_RULES sequentially to each column of ``customer``
+    (aliased c0..), carrying per-(column, rule) match counts computed
+    on the text AS EARLIER RULES LEFT IT — the exact sequential
+    semantics of privacy._redact_chain. Generated from PII_RULES
+    itself so the oracle can never drift from the engine's patterns.
+    Returns (cte_sql, n_rules); the final CTE is s{n_rules} with
+    text columns t{i}_{n_rules} and counts m{i}_{j} (i = column
+    index, j = 1-based rule index)."""
+    from parallel_svms_spark.operators.privacy import PII_RULES
+    src = ", ".join(f"{c} AS t{i}_0" for i, c in enumerate(cols))
+    ctes = [f"s0 AS (SELECT c_custkey, {src} FROM customer)"]
+    carry: list[str] = []
+    for j, (_name, pat, rep) in enumerate(PII_RULES, start=1):
+        sels = ["c_custkey", *carry]
+        for i in range(len(cols)):
+            sels.append(f"len(regexp_extract_all(t{i}_{j - 1}, "
+                        f"'{pat}')) AS m{i}_{j}")
+            sels.append(f"regexp_replace(t{i}_{j - 1}, '{pat}', "
+                        f"'{rep}', 'g') AS t{i}_{j}")
+            carry.append(f"m{i}_{j}")
+        ctes.append(f"s{j} AS (SELECT " + ", ".join(sels)
+                    + f" FROM s{j - 1})")
+    return "WITH " + ",\n".join(ctes), len(PII_RULES)
+
+
+def _redact_pii_oracle() -> str:
+    """redact_pii on customer (name, segment): redacted text columns
+    plus the per-row total replacement count, summed per column with
+    a per-column COALESCE (NULL text contributes 0, matching the
+    engine's null-transparent count)."""
+    cols = ["c_name", "c_mktsegment"]
+    ctes, nr = _pii_chain_ctes(cols)
+    per_col = [
+        "COALESCE(" + " + ".join(f"m{i}_{j}" for j in range(1, nr + 1))
+        + ", 0)" for i in range(len(cols))]
+    return (f"{ctes}\n"
+            f"SELECT c_custkey, t0_{nr} AS name, t1_{nr} AS segment,\n"
+            f"       CAST({' + '.join(per_col)} AS BIGINT) AS n_redacted\n"
+            f"FROM s{nr}")
+
+
+def _pii_audit_oracle() -> str:
+    """pii_audit on customer (name, segment): one aggregate over the
+    chain CTEs, unpivoted to |cols| × |rules| report rows (zero-hit
+    rules included)."""
+    from parallel_svms_spark.operators.privacy import PII_RULES
+    cols = [("c_name", "name"), ("c_mktsegment", "segment")]
+    ctes, nr = _pii_chain_ctes([c for c, _ in cols])
+    aggs, rows = [], []
+    for i, (_c, label) in enumerate(cols):
+        for j, (rule, _p, _r) in enumerate(PII_RULES, start=1):
+            aggs.append(f"CAST(SUM(COALESCE(m{i}_{j}, 0)) AS BIGINT)"
+                        f" AS mm{i}_{j}")
+            aggs.append(f"CAST(SUM(CASE WHEN m{i}_{j} > 0 THEN 1 "
+                        f"ELSE 0 END) AS BIGINT) AS rr{i}_{j}")
+            rows.append(f"SELECT '{label}' AS col_name, "
+                        f"'{rule}' AS rule, mm{i}_{j} AS n_matches, "
+                        f"rr{i}_{j} AS n_rows_affected FROM agg")
+    return (f"{ctes},\nagg AS (SELECT " + ", ".join(aggs)
+            + f" FROM s{nr})\n" + "\nUNION ALL\n".join(rows))
 
 
 def _daily_ingest_oracle() -> str:
@@ -2350,6 +2445,34 @@ SELECT doc_id, source, n_tokens FROM (
         FROM documents WHERE text IS NOT NULL))
 WHERE prefix < 1500
 """,
+        # temperature mixture: pow() is the one libm call on either
+        # side, rounded to 6 dp BEFORE any further arithmetic so the
+        # derived thresholds are bit-identical across engines
+        "mixture_sample_temperature": """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_t
+  FROM documents WHERE text IS NOT NULL
+), mass AS (
+  SELECT source, CAST(SUM(n_t) AS BIGINT) AS m,
+         ROUND(POW(CAST(SUM(n_t) AS DOUBLE), 0.3), 6) AS w
+  FROM toks GROUP BY source
+), tot AS (
+  SELECT SUM(w) AS z, CAST(SUM(m) AS DOUBLE) AS mm FROM mass
+), rates AS (
+  SELECT source AS rsrc,
+         ROUND(LEAST(1.0, 0.9 * mm * w / (CAST(m AS DOUBLE) * z)), 6)
+           AS rate
+  FROM mass, tot
+)
+SELECT d.doc_id, d.source, r.rate
+FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.rsrc
+WHERE d.text IS NOT NULL AND (r.rate >= 1.0 OR
+  substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+  printf('%08x', CAST(FLOOR(r.rate * 4294967296) AS BIGINT)))
+""",
+        "redact_pii": _redact_pii_oracle(),
+        "pii_audit": _pii_audit_oracle(),
         "mixture_sample": """
 SELECT doc_id, source FROM (
   SELECT doc_id, source,
@@ -4421,6 +4544,13 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                              "sum(total_duration_ms)"]),
         ("kanonymity_risk", ["sum(user_id*group_size)", "sum(group_size)",
                              "sum(length(event_type))"]),
+        ("redact_pii", ["sum(c_custkey)",
+                        "sum(length(name) + length(segment))",
+                        _rowhash("c_custkey*1000 + n_redacted*10 "
+                                 "+ length(name)")]),
+        ("pii_audit", ["sum(n_matches)", "sum(n_rows_affected)",
+                       _rowhash("length(col_name)*1000000 "
+                                "+ length(rule)*10000 + n_matches")]),
         ("outlier_events", ["sum(n_events)",
                             "sum(cast(floor(p_thr*1000) as bigint))",
                             "sum(n_outliers)"]),
@@ -4643,6 +4773,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("mixture_sample_tokens",
          ["sum(n_tokens)", "count(distinct source)",
           _rowhash("doc_id*1000 + n_tokens")]),
+        ("mixture_sample_temperature",
+         ["sum(doc_id)", "count(distinct source)",
+          _rowhash("doc_id*10000000 + "
+                   "cast(floor(rate*1000000) as bigint)")]),
         ("pipeline_scrub_mixture",
          ["sum(n_tokens)", "count(distinct source)",
           _rowhash("doc_id*1000 + n_tokens")]),

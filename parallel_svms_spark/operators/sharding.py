@@ -262,6 +262,76 @@ def mixture_sample_hash(df: DataFrame, rates: dict[str, float] | None = None,
     return (df.filter(h8 < thr).select(id_col, group_col))
 
 
+def mixture_sample_temperature(documents: DataFrame,
+                               alpha: float = 0.3,
+                               target_frac: float = 0.5,
+                               source_col: str = "source",
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual-LM
+    re-balancing scheme (publicly documented in XLM-R / mC4 /
+    unigram-LM sampling: draw from source ``i`` with probability
+    ``p_i ∝ m_i^α``) turned into a deterministic corpus filter.
+
+    ``m_i`` is the source's TOKEN mass (not its document count:
+    mixtures are specified in tokens, and equal doc counts with
+    unequal doc lengths would silently skew a count-based rate).
+    With temperature ``α < 1`` small sources are up-weighted and
+    dominant sources damped; ``α = 1`` reproduces natural
+    proportions; ``α = 0`` is uniform-over-sources. The per-source
+    keep rate that realizes ``target_frac`` of the corpus in
+    expectation is
+
+        rate_i = min(1, target_frac · M · p_i / m_i),
+        p_i = m_i^α / Σ_j m_j^α,   M = Σ_j m_j
+
+    and membership is the family's hash-threshold rule (keep iff the
+    first 8 hex chars of md5(id) fall under ``rate_i``), so the row
+    set is reproducible across engines/runs and extending one source
+    never changes another source's sample. Rows whose rate clamps at
+    1 are kept outright (no hash draw can express rate = 1 exactly).
+
+    Float parity with SQL oracles: ``pow`` is the one libm call, and
+    its result is rounded to 6 dp BEFORE any further arithmetic —
+    after that every operation runs on bit-identical doubles/ints in
+    any IEEE-754 engine, so the derived thresholds match exactly.
+
+    Scale shape: one map-side-combinable token-mass aggregation down
+    to |sources| rows, a 1-row total, a broadcast join of the
+    |sources|-row rate table back onto the corpus, and a codegen'd
+    hash-threshold filter — no window, no sort, no wide exchange of
+    corpus rows at any point. NULL-text docs are excluded (family
+    convention); a NULL source forms its own mass group and is
+    matched null-safely, staying eligible like every other group.
+    """
+    a = float(alpha)
+    tf = float(target_frac)
+    n_t = F.size(F.split(F.col(text_col), " ")).cast("long")
+    mass = (documents
+            .filter(F.col(text_col).isNotNull())
+            .groupBy(source_col)
+            .agg(F.sum(n_t).alias("m"))
+            .withColumn("w", F.round(F.pow(F.col("m").cast("double"),
+                                           F.lit(a)), 6)))
+    tot = mass.agg(F.sum("w").alias("z"),
+                   F.sum("m").cast("double").alias("mm"))
+    rates = (mass.crossJoin(F.broadcast(tot))
+             .select(F.col(source_col).alias("__src"),
+                     F.round(F.least(F.lit(1.0),
+                                     F.lit(tf) * F.col("mm") * F.col("w")
+                                     / (F.col("m").cast("double")
+                                        * F.col("z"))), 6).alias("rate")))
+    h8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thr = F.format_string(
+        "%08x", F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
+    return (documents
+            .filter(F.col(text_col).isNotNull())
+            .join(F.broadcast(rates),
+                  F.col(source_col).eqNullSafe(F.col("__src")))
+            .filter((F.col("rate") >= 1.0) | (h8 < thr))
+            .select(id_col, source_col, "rate"))
+
+
 def stratified_sample(df: DataFrame, n_per_label: int = 10,
                       id_col: str = "vec_id",
                       label_col: str = "label") -> DataFrame:

@@ -859,6 +859,21 @@ def streaming_compression_screen(stream_docs: DataFrame,
                               level=level)
 
 
+def streaming_redact_pii(stream_docs: DataFrame, cols: list[str],
+                         rules=None) -> DataFrame:
+    """Streaming twin of ``privacy.redact_pii``: destructive free-text
+    PII redaction on continuous ingest — identifiers must die BEFORE
+    the lake write, not in a later batch pass that leaves a raw copy
+    at rest. STATELESS and literally shared code (the
+    ``streaming_compression_screen`` pattern): the redaction chain is
+    one codegen'd regex projection whose output depends only on the
+    row's own text, so replays and micro-batch boundaries cannot
+    change what a row becomes, and the batch/stream paths cannot
+    drift."""
+    from parallel_svms_spark.operators.privacy import redact_pii
+    return redact_pii(stream_docs, cols, rules=rules)
+
+
 def streaming_bpe_count(stream_docs: DataFrame,
                         merges: list[tuple[str, str]],
                         text_col: str = "text",

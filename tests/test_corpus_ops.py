@@ -187,3 +187,67 @@ def test_length_profile_approx_variant_same_schema(spark, sf_dir):
     # t-digest medians stay close to exact on the fixture
     for lang in e:
         assert abs(e[lang] - a[lang]) <= max(5.0, 0.05 * e[lang]), lang
+
+
+# --- r10: temperature-scaled mixture sampling ---------------------------
+
+def test_mixture_temperature_alpha_one_is_natural(spark, sf_dir):
+    # α = 1 → p_i ∝ m_i → rate_i = target_frac for EVERY source (the
+    # natural distribution needs no re-balancing)
+    from parallel_svms_spark.io.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    out = SH.mixture_sample_temperature(docs, alpha=1.0, target_frac=0.5)
+    rates = {r.rate for r in out.select("rate").distinct().collect()}
+    assert rates == {0.5}
+
+
+def test_mixture_temperature_upweights_small_sources(spark):
+    # one dominant source, one tiny one: α < 1 must give the tiny
+    # source a HIGHER keep-rate than the dominant one
+    rows = [(i, "w " * 20, "big") for i in range(400)]
+    rows += [(1000 + i, "w " * 20, "small") for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string")
+    out = SH.mixture_sample_temperature(df, alpha=0.3, target_frac=0.5)
+    rates = {r.source: r.rate for r in
+             out.select("source", "rate").distinct().collect()}
+    assert rates["small"] > rates["big"]
+    # extreme temperature α=0 equalizes EXPECTED TOKENS per source:
+    # rate_small/rate_big = m_big/m_small = 20 (clamped at 1)
+    out0 = SH.mixture_sample_temperature(df, alpha=0.0, target_frac=0.2)
+    r0 = {r.source: r.rate for r in
+          out0.select("source", "rate").distinct().collect()}
+    assert r0["small"] == 1.0  # 0.2·420·20/(2·20) = 42 tokens/20 → clamp
+    assert r0["big"] < 0.25
+
+
+def test_mixture_temperature_deterministic_and_null_safe(spark, sf_dir):
+    from parallel_svms_spark.io.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, SH.mixture_sample_temperature(
+        docs, alpha=0.3, target_frac=0.9).collect()))
+    b = sorted(map(tuple, SH.mixture_sample_temperature(
+        docs, alpha=0.3, target_frac=0.9).collect()))
+    assert a == b and len(a) > 0
+    # NULL text rows are excluded; NULL source forms its own group
+    df = spark.createDataFrame(
+        [(1, None, "s"), (2, "a b c", None), (3, "a b", "s")],
+        "doc_id long, text string, source string")
+    got = {r.doc_id for r in SH.mixture_sample_temperature(
+        df, alpha=0.5, target_frac=1.0).collect()}
+    assert 1 not in got and got == {2, 3}  # frac=1 keeps all non-null
+
+
+def test_mixture_temperature_no_window_no_wide_exchange(spark, sf_dir):
+    # the scale contract: corpus rows never ride a wide exchange —
+    # only the |sources|-row mass agg shuffles; the rate join is
+    # broadcast and the membership filter is a codegen'd projection
+    from parallel_svms_spark.io.sources import load_table
+    docs = load_table(spark, sf_dir, "documents")
+    p = (SH.mixture_sample_temperature(docs, alpha=0.3, target_frac=0.9)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "Python" not in p and "Pandas" not in p

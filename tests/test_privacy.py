@@ -70,3 +70,80 @@ def test_pseudonymize_plan_is_pure_projection(spark, sf_dir):
          ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in p
     assert "Python" not in p and "Pandas" not in p
+
+
+# --- r10: free-text PII redaction + audit -------------------------------
+
+_PII_ROWS = [
+    (1, "mail bob.smith+x@corp.example.com or 10.0.0.1"),
+    (2, "call +44 123-4567-8901 ref 123456789"),
+    (3, None),
+    (4, "clean text no pii"),
+    (5, "ids 000042 and 99-12345 ip 256.1.2.3"),
+]
+
+
+def test_redact_pii_rule_coverage_and_sequencing(spark):
+    from parallel_svms_spark.operators.privacy import redact_pii
+    df = spark.createDataFrame(_PII_ROWS, "id int, body string")
+    got = {r.id: (r.body, r.n_redacted)
+           for r in redact_pii(df, ["body"]).collect()}
+    assert got[1] == ("mail <EMAIL> or <IP>", 2)
+    # sequential semantics: the phone's digits are consumed by the
+    # phone rule — idnum must NOT re-count them (n = 2, not 3+)
+    assert got[2] == ("call <PHONE> ref <ID>", 2)
+    assert got[3] == (None, 0)  # NULL in, NULL out, count 0 not NULL
+    assert got[4] == ("clean text no pii", 0)
+    # 256.1.2.3 still matches the (syntactic) ipv4 shape; 99-12345 is
+    # too short for phone and its digit runs are < 6 → untouched
+    assert got[5] == ("ids <ID> and 99-12345 ip <IP>", 2)
+
+
+def test_redact_pii_multicolumn_counts(spark):
+    from parallel_svms_spark.operators.privacy import redact_pii
+    df = spark.createDataFrame(
+        [(1, "a@b.co more", "1234567")], "id int, x string, y string")
+    r = redact_pii(df, ["x", "y"]).collect()[0]
+    assert (r.x, r.y, r.n_redacted) == ("<EMAIL> more", "<ID>", 2)
+
+
+def test_pii_audit_matches_redaction_totals(spark):
+    from parallel_svms_spark.operators.privacy import (PII_RULES,
+                                                       pii_audit,
+                                                       redact_pii)
+    df = spark.createDataFrame(_PII_ROWS, "id int, body string")
+    rep = {(r.col_name, r.rule): (r.n_matches, r.n_rows_affected)
+           for r in pii_audit(df, ["body"]).collect()}
+    # every rule reported, including zero-hit ones
+    assert set(rep) == {("body", n) for n, _, _ in PII_RULES}
+    assert rep[("body", "email")] == (1, 1)
+    assert rep[("body", "ipv4")] == (2, 2)
+    assert rep[("body", "phone")] == (1, 1)
+    assert rep[("body", "idnum")] == (2, 2)
+    # audit total == what redaction will actually replace
+    total = sum(m for m, _ in rep.values())
+    assert total == sum(r.n_redacted
+                        for r in redact_pii(df, ["body"]).collect())
+
+
+def test_redact_pii_plan_is_pure_projection(spark, sf_dir):
+    from parallel_svms_spark.operators.privacy import redact_pii
+    cust = load_table(spark, sf_dir, "customer")
+    p = (redact_pii(cust.select("c_custkey",
+                                F.col("c_name").alias("name")), ["name"])
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p
+    assert "Python" not in p and "Pandas" not in p
+
+
+def test_pii_audit_single_pass_plan(spark, sf_dir):
+    from parallel_svms_spark.operators.privacy import pii_audit
+    cust = load_table(spark, sf_dir, "customer")
+    plan = (pii_audit(cust.select(F.col("c_name").alias("name"),
+                                  F.col("c_mktsegment").alias("segment")),
+                      ["name", "segment"])
+            ._jdf.queryExecution().executedPlan().toString())
+    # one aggregation over the table feeding the unpivot — the scan
+    # appears once, not once per (column, rule) cell
+    assert plan.count("FileScan") <= 1
+    assert "Python" not in plan and "Pandas" not in plan

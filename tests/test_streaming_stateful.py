@@ -1661,3 +1661,44 @@ def test_streaming_repeated_span_stats_restart_exactly_once(
              if r.doc_id in (1, 2, 3, 4) and r.dup_tokens > 0}
     assert set(got) == {1, 3, 4}          # doc 2 clean; 1 pre-outage
     assert got == batch
+
+
+def test_streaming_redact_pii_matches_batch(spark):
+    """r10: the stateless PII-redaction twin must rewrite arriving
+    docs exactly as the batch operator does (shared Column chain) —
+    streamed file-by-file so micro-batch boundaries are exercised on
+    rows where every rule fires."""
+    import glob
+    import shutil
+
+    from parallel_svms_spark.operators.privacy import redact_pii
+
+    rows = [(1, "mail bob@corp.example.com now"),
+            (2, "call +44 123-4567-8901 ref 123456789"),
+            (3, "clean text"),
+            (4, "ip 10.0.0.1 and id 777777777")]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    batch = {(r.doc_id, r.body, r.n_redacted)
+             for r in redact_pii(df, ["body"]).collect()}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.filter("doc_id <= 2").coalesce(1).write.parquet(f"{tmp}/d/0")
+        df.filter("doc_id > 2").coalesce(1).write.parquet(f"{tmp}/d/1")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/d/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = (spark.readStream
+                  .schema("doc_id long, body string")
+                  .option("maxFilesPerTrigger", 1).parquet(dst))
+        red = SW.streaming_redact_pii(stream, ["body"])
+        name = "stream_redact_test"
+        q = (red.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.doc_id, r.body, r.n_redacted) for r in
+               spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == batch
+    assert sum(n for _, _, n in got) == 5  # every rule fired
