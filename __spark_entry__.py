@@ -620,7 +620,7 @@ _QKEY_ORDER = [
     "dedup_editdist", "editdist_passjoin",
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
     "winnow_near_dups", "winnow_near_dups_incremental",
-    "dedup_simhash",
+    "dedup_simhash", "dedup_ensemble",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
     "contamination_report", "contamination_sources",
     "decontaminate_surgical",
@@ -866,6 +866,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: D.simhash_near_dups(
             load_table(s, d, "documents"), max_hamming=3),
+        # r10: consensus voting across the three independent detector
+        # families (Jaccard / SimHash / edit-distance) — the precision
+        # lever before destructive dedup; >= 2-of-3 agreement
+        "dedup_ensemble": lambda s, d: D.ensemble_near_dups(
+            load_table(s, d, "documents"), threshold=0.5,
+            max_hamming=3, max_dist=3, min_votes=2),
         "dedup_keep_canonical": lambda s, d: D.keep_canonical(
             load_table(s, d, "documents"), k=3, threshold=0.5)
             .select("doc_id", "lang", "source"),
@@ -1263,6 +1269,27 @@ SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
        CAST(COALESCE(nr, 0) AS BIGINT) AS n_removed_tokens
 FROM toks t LEFT JOIN agg a USING (doc_id)
             LEFT JOIN ncut USING (doc_id)
+"""
+
+
+def _ensemble_oracle(minhash_sql: str, simhash_sql: str,
+                     editdist_sql: str) -> str:
+    """dedup_ensemble: >= 2-of-3 consensus over the family oracles,
+    each wrapped whole as a subquery (CTEs inside subqueries are legal
+    DuckDB) — n_votes + the sorted comma-joined family list."""
+    return f"""
+WITH votes AS (
+  SELECT doc_a, doc_b, 'jaccard' AS family FROM ({minhash_sql})
+  UNION ALL
+  SELECT doc_a, doc_b, 'simhash' AS family FROM ({simhash_sql})
+  UNION ALL
+  SELECT doc_a, doc_b, 'editdist' AS family FROM ({editdist_sql})
+)
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_votes,
+       array_to_string(list_sort(list_distinct(list(family))), ',')
+         AS families
+FROM votes GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= 2
 """
 
 
@@ -3549,6 +3576,12 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
     out.update(_sketch_golden_oracles())
     out.update(_compression_golden_oracles())
     out.update(_bpe_golden_oracles())
+    # r10 ensemble vote: composed verbatim from the three family
+    # oracles ABOVE (no string surgery — each body is wrapped whole as
+    # a subquery), so a family-oracle fix propagates automatically
+    out["dedup_ensemble"] = _ensemble_oracle(
+        out["dedup_minhash"], out["dedup_simhash"],
+        out["editdist_passjoin"])
     return out
 
 
@@ -4544,13 +4577,6 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                              "sum(total_duration_ms)"]),
         ("kanonymity_risk", ["sum(user_id*group_size)", "sum(group_size)",
                              "sum(length(event_type))"]),
-        ("redact_pii", ["sum(c_custkey)",
-                        "sum(length(name) + length(segment))",
-                        _rowhash("c_custkey*1000 + n_redacted*10 "
-                                 "+ length(name)")]),
-        ("pii_audit", ["sum(n_matches)", "sum(n_rows_affected)",
-                       _rowhash("length(col_name)*1000000 "
-                                "+ length(rule)*10000 + n_matches")]),
         ("outlier_events", ["sum(n_events)",
                             "sum(cast(floor(p_thr*1000) as bigint))",
                             "sum(n_outliers)"]),
@@ -4744,6 +4770,34 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
           "sum(cast(floor(jaccard*100000) as bigint))",
           _rowhash("doc_a*100000 + doc_b")]),
     ],
+    # r10: the near-dup JOIN families folded into one suite (they had
+    # 4 rounds of individual hash-green history each), freeing slots
+    # for the thinnest-history r10 qkeys (redact_pii / pii_audit /
+    # mixture_sample_temperature) per the slot policy above
+    "neardup_suite": [
+        ("simjoin_candidates",
+         ["sum(doc_a + doc_b)",
+          "sum(cast(floor(jaccard*100000) as bigint))",
+          _rowhash("doc_a*100000000 + doc_b*100000 "
+                   "+ cast(floor(jaccard*100000) as bigint)")]),
+        ("dedup_minhash",
+         ["sum(doc_a + doc_b)",
+          "sum(cast(floor(jaccard*100000) as bigint))",
+          _rowhash("doc_a*100000000 + doc_b*100000 "
+                   "+ cast(floor(jaccard*100000) as bigint)")]),
+        ("dedup_simhash",
+         ["sum(doc_a + doc_b)", "sum(hamming)",
+          _rowhash("doc_a*1000000 + doc_b*100 + hamming")]),
+        ("winnow_near_dups",
+         ["sum(doc_a + doc_b)",
+          "sum(cast(floor(jaccard*100000) as bigint))",
+          _rowhash("doc_a*100000000 + doc_b*100000 "
+                   "+ cast(floor(jaccard*100000) as bigint)")]),
+        ("dedup_ensemble",
+         ["sum(doc_a + doc_b)", "sum(n_votes)",
+          _rowhash("doc_a*10000000 + doc_b*100 + n_votes*10 "
+                   "+ length(families)")]),
+    ],
     "decontaminate_suite": [
         ("contamination_report",
          ["sum(n_shingles + n_leaked)", "sum(leak_ppm)",
@@ -4773,10 +4827,6 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("mixture_sample_tokens",
          ["sum(n_tokens)", "count(distinct source)",
           _rowhash("doc_id*1000 + n_tokens")]),
-        ("mixture_sample_temperature",
-         ["sum(doc_id)", "count(distinct source)",
-          _rowhash("doc_id*10000000 + "
-                   "cast(floor(rate*1000000) as bigint)")]),
         ("pipeline_scrub_mixture",
          ["sum(n_tokens)", "count(distinct source)",
           _rowhash("doc_id*1000 + n_tokens")]),
@@ -4896,8 +4946,8 @@ _CURATED_ORDER = [
     "repetition_stats", "tfidf_topk", "quality_suite",
     "lm_suite", "roundtrip_suite",
     "dedup_exact_suite", "span_suite", "dedup_clusters",
-    "simjoin_candidates",
-    "dedup_minhash", "winnow_near_dups", "dedup_simhash",
+    "neardup_suite",
+    "redact_pii", "pii_audit", "mixture_sample_temperature",
     "dedup_keep_canonical",
     "decontaminate_suite", "sampling_suite", "pipeline_curate",
     "ann_suite", "embedding_dedup_suite",

@@ -2038,3 +2038,54 @@ def source_overlap_minhash(documents: DataFrame, n_hashes: int = 64,
             .select("source_a", "source_b", "n_equal",
                     F.expr(f"n_equal * 1000000 DIV {int(n_hashes)}")
                     .cast("long").alias("jaccard_ppm_est")))
+
+
+def ensemble_near_dups(documents: DataFrame, threshold: float = 0.5,
+                       max_hamming: int = 3, max_dist: int = 3,
+                       min_votes: int = 2,
+                       pair_sets: list[tuple[str, DataFrame]] | None = None
+                       ) -> DataFrame:
+    """Consensus near-dup voting across the three INDEPENDENT detector
+    families — token-shingle Jaccard (MinHash-LSH, verified exact),
+    bit-sketch cosine proxy (SimHash hamming), and character edit
+    distance (PassJoin) — keeping pairs at least ``min_votes``
+    families agree on.
+
+    Why an ensemble: each family has a distinct blind spot (Jaccard
+    is order-blind, SimHash is a lossy 64-bit projection, edit
+    distance reads only the head window), and each admits distinct
+    false positives. Agreement between families with UNCORRELATED
+    error modes is the standard precision lever a curation pipeline
+    applies before destructive dedup — the same reasoning as the
+    multi-lens verification the decontamination family uses.
+
+    Output: (doc_a, doc_b, n_votes, families) with ``families`` the
+    comma-joined sorted family names — deterministic and engine-
+    portable (no aggregation-order dependence).
+
+    Scale shape: strictly the sum of the member families' plans (each
+    is blocked/banded, never all-pairs — see their docstrings) plus
+    ONE aggregation over the union of their PAIR sets, which is
+    near-dup-output-sized, not corpus-sized. Pass ``pair_sets`` to
+    vote over already-materialized family outputs (e.g. persisted
+    index screens) instead of recomputing the detectors.
+    """
+    if pair_sets is None:
+        pair_sets = [
+            ("jaccard", minhash_near_dups(documents,
+                                          threshold=float(threshold))),
+            ("simhash", simhash_near_dups(documents,
+                                          max_hamming=int(max_hamming))),
+            ("editdist", editdist_passjoin_pairs(documents,
+                                                 max_dist=int(max_dist))),
+        ]
+    arms = [df.select("doc_a", "doc_b", F.lit(name).alias("family"))
+            for name, df in pair_sets]
+    votes = arms[0]
+    for a in arms[1:]:
+        votes = votes.unionByName(a)
+    return (votes.groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_votes"),
+                 F.array_join(F.array_sort(F.collect_set("family")), ",")
+                 .alias("families"))
+            .filter(F.col("n_votes") >= int(min_votes)))

@@ -996,3 +996,58 @@ def test_winnow_index_two_day_append_cycle(spark, docs, tmp_path):
                for r in D.winnow_near_dups_incremental(
                    corpus.unionByName(b1), b2).collect()}
     assert day2 == inline2 and day2
+
+
+# --- r10: ensemble consensus voting -------------------------------------
+
+def test_ensemble_votes_hand_computed(spark):
+    from pyspark.sql import Row
+    # drive the vote logic through pair_sets with known family outputs
+    mk = lambda rows: spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in rows],
+        "doc_a long, doc_b long")
+    out = {(r.doc_a, r.doc_b): (r.n_votes, r.families)
+           for r in D.ensemble_near_dups(
+               None, min_votes=2,
+               pair_sets=[("jaccard", mk([(1, 2), (3, 4)])),
+                          ("simhash", mk([(1, 2), (5, 6)])),
+                          ("editdist", mk([(1, 2), (3, 4)]))]).collect()}
+    # (1,2): all three agree; (3,4): two; (5,6): one → dropped
+    assert out == {(1, 2): (3, "editdist,jaccard,simhash"),
+                   (3, 4): (2, "editdist,jaccard")}
+
+
+def test_ensemble_consensus_is_a_precision_lever(spark, docs_with_dups):
+    """On the planted fixture, consensus pairs are a subset of the
+    family union, and 2-of-3 voting must not be LESS precise against
+    the exact-Jaccard truth than the weakest single family."""
+    truth = {(r.doc_a, r.doc_b) for r in D.ngram_jaccard_pairs(
+        docs_with_dups, k=3, threshold=0.5).collect()}
+    fams = {
+        "jaccard": {(r.doc_a, r.doc_b) for r in D.minhash_near_dups(
+            docs_with_dups, threshold=0.5).collect()},
+        "simhash": {(r.doc_a, r.doc_b) for r in D.simhash_near_dups(
+            docs_with_dups, max_hamming=3).collect()},
+        "editdist": {(r.doc_a, r.doc_b)
+                     for r in D.editdist_passjoin_pairs(
+                         docs_with_dups, max_dist=3).collect()},
+    }
+    ens = {(r.doc_a, r.doc_b) for r in D.ensemble_near_dups(
+        docs_with_dups, threshold=0.5, max_hamming=3, max_dist=3,
+        min_votes=2).collect()}
+    assert ens  # planted dups must survive consensus
+    assert ens <= set.union(*fams.values())
+
+    def precision(s):
+        return len(s & truth) / len(s) if s else 1.0
+
+    # consensus precision must be >= the weakest family's precision
+    # (the whole point of voting with uncorrelated error modes)
+    assert precision(ens) >= min(precision(s) for s in fams.values())
+    # and the planted exact-duplicate pairs (jaccard 1.0, hamming 0,
+    # editdist 0) must get the full 3-family vote
+    exact_pairs = {(i, i + 10_000) for i in range(20)} & ens
+    votes = {(r.doc_a, r.doc_b): r.n_votes
+             for r in D.ensemble_near_dups(
+                 docs_with_dups, min_votes=3).collect()}
+    assert exact_pairs and all(votes.get(p) == 3 for p in exact_pairs)
