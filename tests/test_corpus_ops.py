@@ -251,3 +251,8 @@ def test_mixture_temperature_no_window_no_wide_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "Python" not in p and "Pandas" not in p
+    # the only nested-loop is the (Z, M) totals reattach — a one-row
+    # build side over the |sources|-row rate table (never the corpus;
+    # the SCALAR_REATTACH_OK claim in tools/plan_audit.py)
+    if "BroadcastNestedLoopJoin" in p:
+        assert "sum(w" in p and "CartesianProduct" not in p
