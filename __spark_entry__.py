@@ -617,7 +617,7 @@ _QKEY_ORDER = [
     "sample_stratified", "sample_uniform", "sample_weighted",
     "sample_cluster_balanced",
     "dataset_split", "chunk_documents", "cv_folds", "padding_stats", "pack_chunks",
-    "dedup_editdist", "editdist_passjoin",
+    "dedup_editdist", "editdist_passjoin", "editdist_passjoin_incremental",
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
     "winnow_near_dups", "winnow_near_dups_incremental",
     "dedup_simhash", "dedup_ensemble",
@@ -1217,6 +1217,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ground truth vs brute force pinned in tests/test_dedup.py
         "editdist_passjoin": lambda s, d: D.editdist_near_dups(
             load_table(s, d, "documents"), blocking="passjoin"),
+        # r10: the PassJoin day-N screen — batch probes vs the
+        # (persistable) archive segment index + full within-batch;
+        # %7 convention, restriction equivalence pytest-pinned
+        "editdist_passjoin_incremental": lambda s, d: (lambda docs:
+            D.editdist_passjoin_incremental(
+                docs.filter("doc_id % 7 != 0"),
+                docs.filter("doc_id % 7 = 0"), max_dist=3))(
+            load_table(s, d, "documents")),
         "compaction_roundtrip": _compaction_roundtrip,
         "pipeline_curate": _pipeline_curate,
         "pipeline_daily_ingest": _pipeline_daily_ingest,
@@ -3582,6 +3590,12 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
     out["dedup_ensemble"] = _ensemble_oracle(
         out["dedup_minhash"], out["dedup_simhash"],
         out["editdist_passjoin"])
+    # r10 PassJoin day-N screen: the full oracle restricted to pairs
+    # touching the batch (the dedup_minhash_incremental convention)
+    out["editdist_passjoin_incremental"] = (
+        f"WITH pr AS ({out['editdist_passjoin']})\n"
+        "SELECT doc_a, doc_b, edit_dist FROM pr\n"
+        "WHERE doc_a % 7 = 0 OR doc_b % 7 = 0")
     return out
 
 
@@ -4797,6 +4811,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
          ["sum(doc_a + doc_b)", "sum(n_votes)",
           _rowhash("doc_a*10000000 + doc_b*100 + n_votes*10 "
                    "+ length(families)")]),
+        ("editdist_passjoin_incremental",
+         ["sum(doc_a + doc_b)", "sum(edit_dist)",
+          _rowhash("doc_a*1000000 + doc_b*100 + edit_dist")]),
     ],
     "decontaminate_suite": [
         ("contamination_report",

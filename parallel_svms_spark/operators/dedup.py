@@ -1003,6 +1003,32 @@ def dedup_against_normalized(corpus: DataFrame,
     return new_docs.join(keep, "doc_id", "left_semi")
 
 
+def _passjoin_geom(q: int) -> tuple[F.Column, F.Column]:
+    """PassJoin segment geometry for a partner length ``plen`` and
+    segment index ``i`` (Li et al. VLDB 2011): the first q−(plen%q)
+    segments get ⌊plen/q⌋ chars, the rest one extra. Shared by the
+    full join, the persisted index builder, and the incremental
+    probe so the three can never disagree on a boundary."""
+    base = F.expr(f"plen DIV {q}")
+    rem = F.col("plen") % q
+    seg_len = base + F.when(F.col("i") >= q - rem, 1).otherwise(0)
+    seg_start = F.col("i") * base + F.greatest(
+        F.col("i") - (q - rem), F.lit(0))
+    return seg_len, seg_start
+
+
+def _passjoin_norm(documents: DataFrame, verify_chars: int,
+                   id_col: str, text_col: str) -> DataFrame:
+    """(id, head, slen) — the lowercased head window every PassJoin
+    stage runs on; NULL text never pairs and is dropped here."""
+    norm = F.lower(F.col(text_col))
+    return (documents.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, int(verify_chars)).alias("head"))
+        .filter(F.col("head").isNotNull())
+        .withColumn("slen", F.length("head")))
+
+
 def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
                             verify_chars: int = 64,
                             id_col: str = "doc_id",
@@ -1113,11 +1139,7 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
     docs = (groups.select(F.col("rid").alias("id"), "head")
             .withColumn("slen", F.length("head")))
 
-    base = F.expr(f"plen DIV {q}")
-    rem = F.col("plen") % q
-    seg_len = base + F.when(F.col("i") >= q - rem, 1).otherwise(0)
-    seg_start = F.col("i") * base + F.greatest(
-        F.col("i") - (q - rem), F.lit(0))
+    seg_len, seg_start = _passjoin_geom(q)
 
     # index side: each doc\'s own q segments under ITS length geometry
     idx = (docs.filter(F.col("slen") >= q + tau)
@@ -1248,6 +1270,178 @@ def editdist_passjoin_pairs(documents: DataFrame, max_dist: int = 3,
     if star is not None:
         out = out.unionByName(star)
     return out
+
+
+def editdist_index(documents: DataFrame, max_dist: int = 3,
+                   verify_chars: int = 64, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   max_segment_group: int | None = 1024) -> DataFrame:
+    """The persistable PassJoin archive index — the editdist family's
+    analogue of ``minhash_band_index``/``winnow_index``, closing the
+    last open day-N cell in the near-dup family matrix. Two
+    populations in one frame (``kind`` column):
+
+    - ``'seg'``: every archive doc's q = max_dist+1 pigeonhole
+      segments under its own length geometry, keyed (plen, i, seg) —
+      the equi-join key incremental probes hit; hot segment keys
+      beyond ``max_segment_group`` are dropped at BUILD time (the
+      full join's cap, applied once and persisted).
+    - ``'short'``: heads too short to segment q ways (slen < q+2τ),
+      carried whole for the exhaustive short-bucket fallback.
+
+    Rows carry the head string (≤ verify_chars chars) so the verify
+    tail needs no join back to the corpus text. Uncollapsed (one row
+    set per doc, not per distinct head): simpler append semantics —
+    day-N batches append their own rows as immutable parquet, the
+    ``minhash_index_append`` lifecycle; at extreme duplicate skew,
+    collapse before writing and expand after (the full join's
+    rep-group machinery) — documented, not default.
+
+    Scale shape: one zero-exchange projection + explode per doc
+    (q seg rows + ≤1 short row), ~(q·(64+16)) B/doc; the cap's
+    group-by is map-side-combinable with a broadcast anti-join.
+    """
+    tau = int(max_dist)
+    q = tau + 1
+    docs = _passjoin_norm(documents, verify_chars, id_col, text_col)
+    seg_len, seg_start = _passjoin_geom(q)
+    idx = (docs.filter(F.col("slen") >= q + tau)
+           .withColumn("plen", F.col("slen"))
+           .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(q - 1))))
+           .select("id", "head", "slen", "plen", "i",
+                   F.substring(F.col("head"), seg_start + 1, seg_len)
+                   .alias("seg")))
+    if max_segment_group is not None:
+        hot = (idx.groupBy("plen", "i", "seg")
+               .agg(F.count("*").alias("__n"))
+               .filter(F.col("__n") > int(max_segment_group))
+               .select("plen", "i", "seg"))
+        idx = idx.join(F.broadcast(hot), ["plen", "i", "seg"],
+                       "left_anti")
+    seg_part = idx.select(F.lit("seg").alias("kind"), "id", "head",
+                          "slen", "plen", "i", "seg")
+    short_part = (docs.filter(F.col("slen") < q + 2 * tau)
+                  .select(F.lit("short").alias("kind"), "id", "head",
+                          "slen",
+                          F.lit(None).cast("int").alias("plen"),
+                          F.lit(None).cast("int").alias("i"),
+                          F.lit(None).cast("string").alias("seg")))
+    return seg_part.unionByName(short_part)
+
+
+def editdist_index_append(new_docs: DataFrame, index_path: str,
+                          max_dist: int = 3, verify_chars: int = 64,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> None:
+    """Index-maintenance half of the incremental PassJoin lifecycle:
+    segment ONLY the batch and append its index rows as immutable
+    parquet (the ``minhash_index_append``/``winnow_index_append``
+    contract verbatim — no read-modify-write, a concurrent reader
+    sees day N or day N+1, never a torn index). (max_dist,
+    verify_chars) must match the index's build parameters — a
+    mismatched geometry silently misses cross pairs. The batch append
+    skips the hot-segment cap (cap state is global; re-cap at the
+    periodic compaction/swap, io/index_store.py)."""
+    (editdist_index(new_docs, max_dist=max_dist,
+                    verify_chars=verify_chars, id_col=id_col,
+                    text_col=text_col, max_segment_group=None)
+     .write.mode("append").parquet(index_path))
+
+
+def editdist_passjoin_incremental(corpus: DataFrame,
+                                  new_docs: DataFrame,
+                                  max_dist: int = 3,
+                                  verify_chars: int = 64,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  index: DataFrame | None = None
+                                  ) -> DataFrame:
+    """Day-N edit-distance screen: all PassJoin pairs touching the
+    batch — batch×archive via batch-side probes against the persisted
+    ``editdist_index`` (pass ``index`` to skip re-indexing the
+    archive; the daily-crawl shape every other family closes the same
+    way) plus the full within-batch join. Pigeonhole from ONE side
+    suffices for the cross half: ed(new, old) ≤ τ ⇒ at least one of
+    old's q segments survives verbatim in new at old's geometry, and
+    the probe enumerates exactly those geometries — so the archive is
+    never re-segmented, never re-scanned beyond the index read.
+
+    Restriction equivalence (= full run over corpus ∪ batch filtered
+    to pairs touching the batch) is pytest-pinned; the same caps
+    apply (segment cap at index build, within-batch caps via the full
+    join). Output: (doc_a, doc_b, edit_dist), the family contract.
+
+    Scale shape: probe rows ~84/batch-doc at τ=3 (linear in the
+    BATCH), one hash equi-join on (plen, i, seg) against the index,
+    one length-bucket equi-join for the short fallback; verify is a
+    codegen'd levenshtein over head pairs already riding the join.
+    """
+    tau = int(max_dist)
+    q = tau + 1
+    if index is None:
+        index = editdist_index(corpus, max_dist=max_dist,
+                               verify_chars=verify_chars,
+                               id_col=id_col, text_col=text_col)
+    batch = _passjoin_norm(new_docs, verify_chars, id_col, text_col)
+    seg_len, seg_start = _passjoin_geom(q)
+    probe = (batch.filter(F.col("slen") >= q + tau)
+             .withColumn("plen", F.explode(F.sequence(
+                 F.col("slen") - tau, F.col("slen") + tau)))
+             .filter(F.col("plen") >= q + tau)
+             .withColumn("i", F.explode(F.sequence(F.lit(0),
+                                                   F.lit(q - 1))))
+             .withColumn("s", F.explode(F.sequence(
+                 seg_start - tau, seg_start + tau)))
+             .filter((F.col("s") >= 0)
+                     & (F.col("s") + seg_len <= F.col("slen"))
+                     & (F.abs(F.col("s") - seg_start)
+                        + F.abs((F.col("slen") - F.col("plen"))
+                                - (F.col("s") - seg_start))
+                        <= tau))
+             .select(F.col("id").alias("pid"),
+                     F.col("head").alias("phead"), "plen", "i",
+                     F.substring(F.col("head"), F.col("s") + 1, seg_len)
+                     .alias("seg")))
+    seg_idx = index.filter(F.col("kind") == "seg")
+    cross_seg = (probe.join(seg_idx.select("id", "head", "plen", "i",
+                                           "seg"),
+                            ["plen", "i", "seg"])
+                 .filter(F.col("pid") != F.col("id"))
+                 .select(F.col("pid").alias("bid"),
+                         F.col("phead").alias("bhead"),
+                         F.col("id").alias("aid"),
+                         F.col("head").alias("ahead")))
+    # short fallback, cross only: archive shorts explode their ±τ
+    # length window, batch shorts join on their exact length — one
+    # orientation covers every |len diff| ≤ τ cross pair
+    short_idx = (index.filter(F.col("kind") == "short")
+                 .withColumn("g", F.explode(F.sequence(
+                     F.greatest(F.col("slen") - tau, F.lit(0)),
+                     F.col("slen") + tau)))
+                 .select(F.col("id").alias("aid"),
+                         F.col("head").alias("ahead"),
+                         F.col("slen").alias("la"), "g"))
+    cross_short = (batch.filter(F.col("slen") < q + 2 * tau)
+                   .select(F.col("id").alias("bid"),
+                           F.col("head").alias("bhead"),
+                           F.col("slen").alias("g"),
+                           F.col("slen").alias("lb"))
+                   .join(short_idx, "g")
+                   .filter(((F.col("la") < q + tau)
+                            | (F.col("lb") < q + tau))
+                           & (F.col("bid") != F.col("aid")))
+                   .select("bid", "bhead", "aid", "ahead"))
+    cross = (cross_seg.unionByName(cross_short).distinct()
+             .withColumn("edit_dist",
+                         F.levenshtein("bhead", "ahead").cast("long"))
+             .filter(F.col("edit_dist") <= tau)
+             .select(F.least("bid", "aid").alias("doc_a"),
+                     F.greatest("bid", "aid").alias("doc_b"),
+                     "edit_dist"))
+    within = editdist_passjoin_pairs(new_docs, max_dist=max_dist,
+                                     verify_chars=verify_chars,
+                                     id_col=id_col, text_col=text_col)
+    return cross.unionByName(within).distinct()
 
 
 def editdist_near_dups(documents: DataFrame, max_dist: int = 3,

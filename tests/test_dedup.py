@@ -1051,3 +1051,103 @@ def test_ensemble_consensus_is_a_precision_lever(spark, docs_with_dups):
              for r in D.ensemble_near_dups(
                  docs_with_dups, min_votes=3).collect()}
     assert exact_pairs and all(votes.get(p) == 3 for p in exact_pairs)
+
+
+# --- r10: PassJoin incremental lifecycle ---------------------------------
+
+def test_editdist_incremental_restriction_equivalence(spark, docs):
+    """Incremental(corpus, batch) == full PassJoin over corpus ∪ batch
+    restricted to batch-touching pairs (the family's standard pin)."""
+    corpus = docs.filter("doc_id % 7 != 0")
+    batch = docs.filter("doc_id % 7 = 0")
+    full = {(r.doc_a, r.doc_b, r.edit_dist)
+            for r in D.editdist_passjoin_pairs(docs, max_dist=3)
+            .collect()}
+    want = {t for t in full if t[0] % 7 == 0 or t[1] % 7 == 0}
+    got = {(r.doc_a, r.doc_b, r.edit_dist)
+           for r in D.editdist_passjoin_incremental(
+               corpus, batch, max_dist=3).collect()}
+    assert got == want and got
+
+
+def test_editdist_incremental_cross_regimes(spark):
+    """Hand-built archive/batch exercising every cross regime: both
+    long (segment join), both short (short bucket), one short + one
+    boundary-length (the bridge case), and an exact cross duplicate
+    (edit_dist 0). max_dist=3, q+tau=7, q+2*tau=10 chars."""
+    arch = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"),      # long
+         (3, "abc"),                   # short
+         (5, "abcdefgh"),              # boundary (8 chars: seg + short)
+         (7, "zzzzzzzzzzzzzzzz")],     # long, far from everything
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(14, "abcdefghijklmnoX"),     # long, ed 1 to doc 1
+         (21, "abcd"),                 # short, ed 1 to doc 3
+         (28, "abcdefgh"),             # exact dup of doc 5
+         (35, "qqqqqqqqqqqqqqqq")],    # long, matches nothing
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.edit_dist
+           for r in D.editdist_passjoin_incremental(
+               arch, batch, max_dist=3).collect()}
+    union = arch.unionByName(batch)
+    full = {(r.doc_a, r.doc_b): r.edit_dist
+            for r in D.editdist_passjoin_pairs(union, max_dist=3)
+            .collect()
+            if r.doc_a % 7 == 0 or r.doc_b % 7 == 0}
+    assert got == full
+    assert got[(1, 14)] == 1      # long x long via segment probe
+    assert got[(3, 21)] == 1      # short x short bucket
+    assert got[(5, 28)] == 0      # exact cross duplicate
+    assert (21, 28) not in got  # "abcd" vs "abcdefgh": ed 4 > tau
+
+
+def test_editdist_index_two_day_append_cycle(spark, docs, tmp_path):
+    """Persist day-0 index, screen batch-1, APPEND batch-1's segment
+    rows, screen batch-2 against the updated index — identical pairs
+    to the inline incremental; day 2 never re-segments history."""
+    corpus = docs.filter("source not in ('src0', 'src1')")
+    b1 = docs.filter("source = 'src0'")
+    b2 = docs.filter("source = 'src1'")
+    path = str(tmp_path / "editdist_index")
+    D.editdist_index(corpus).write.parquet(path)
+    idx = spark.read.parquet(path)
+    day1 = {(r.doc_a, r.doc_b, r.edit_dist)
+            for r in D.editdist_passjoin_incremental(
+                corpus, b1, index=idx).collect()}
+    inline1 = {(r.doc_a, r.doc_b, r.edit_dist)
+               for r in D.editdist_passjoin_incremental(
+                   corpus, b1).collect()}
+    assert day1 == inline1
+    D.editdist_index_append(b1, path)
+    idx2 = spark.read.parquet(path)
+    day2 = {(r.doc_a, r.doc_b, r.edit_dist)
+            for r in D.editdist_passjoin_incremental(
+                corpus.unionByName(b1), b2, index=idx2).collect()}
+    inline2 = {(r.doc_a, r.doc_b, r.edit_dist)
+               for r in D.editdist_passjoin_incremental(
+                   corpus.unionByName(b1), b2).collect()}
+    assert day2 == inline2
+
+
+def test_editdist_incremental_segments_only_the_batch(spark, docs):
+    """The scale contract: with a supplied index the archive is never
+    re-segmented — only batch rows feed the probe/short builders."""
+    corpus = docs.filter("doc_id % 7 != 0")
+    batch = docs.filter("doc_id % 7 = 0")
+    idx = D.editdist_index(corpus)
+    calls = []
+    orig = D._passjoin_norm
+
+    def spy(df, *a, **kw):
+        calls.append(df)
+        return orig(df, *a, **kw)
+
+    D._passjoin_norm = spy
+    try:
+        D.editdist_passjoin_incremental(corpus, batch, index=idx)
+    finally:
+        D._passjoin_norm = orig
+    # normalization ran for the batch (incremental probe) and inside
+    # the within-batch full join's own machinery — never for corpus
+    assert corpus not in calls
