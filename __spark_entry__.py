@@ -620,7 +620,8 @@ _QKEY_ORDER = [
     "dedup_editdist", "editdist_passjoin", "editdist_passjoin_incremental",
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
     "winnow_near_dups", "winnow_near_dups_incremental",
-    "dedup_simhash", "dedup_ensemble",
+    "dedup_simhash", "dedup_simhash_incremental",
+    "dedup_ensemble", "dedup_ensemble_incremental",
     "dedup_keep_canonical", "decontaminate", "decontaminate_hashed",
     "contamination_report", "contamination_sources",
     "decontaminate_surgical",
@@ -872,6 +873,21 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ensemble": lambda s, d: D.ensemble_near_dups(
             load_table(s, d, "documents"), threshold=0.5,
             max_hamming=3, max_dist=3, min_votes=2),
+        # r10: SimHash day-N screen — batch signed (the family's one
+        # Python hop runs over the batch only), block-joined vs the
+        # persisted signature index; %7 convention
+        "dedup_simhash_incremental": lambda s, d: (lambda docs:
+            D.simhash_near_dups_incremental(
+                docs.filter("doc_id % 7 != 0"),
+                docs.filter("doc_id % 7 = 0"), max_hamming=3))(
+            load_table(s, d, "documents")),
+        # r10: day-N consensus — the vote over the three families'
+        # incremental screens; restriction-equivalent by composition
+        "dedup_ensemble_incremental": lambda s, d: (lambda docs:
+            D.ensemble_near_dups_incremental(
+                docs.filter("doc_id % 7 != 0"),
+                docs.filter("doc_id % 7 = 0"), min_votes=2))(
+            load_table(s, d, "documents")),
         "dedup_keep_canonical": lambda s, d: D.keep_canonical(
             load_table(s, d, "documents"), k=3, threshold=0.5)
             .select("doc_id", "lang", "source"),
@@ -3596,6 +3612,14 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
         f"WITH pr AS ({out['editdist_passjoin']})\n"
         "SELECT doc_a, doc_b, edit_dist FROM pr\n"
         "WHERE doc_a % 7 = 0 OR doc_b % 7 = 0")
+    out["dedup_simhash_incremental"] = (
+        f"WITH pr AS ({out['dedup_simhash']})\n"
+        "SELECT doc_a, doc_b, hamming FROM pr\n"
+        "WHERE doc_a % 7 = 0 OR doc_b % 7 = 0")
+    out["dedup_ensemble_incremental"] = (
+        f"WITH pr AS ({out['dedup_ensemble']})\n"
+        "SELECT doc_a, doc_b, n_votes, families FROM pr\n"
+        "WHERE doc_a % 7 = 0 OR doc_b % 7 = 0")
     return out
 
 
@@ -4814,6 +4838,13 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
         ("editdist_passjoin_incremental",
          ["sum(doc_a + doc_b)", "sum(edit_dist)",
           _rowhash("doc_a*1000000 + doc_b*100 + edit_dist")]),
+        ("dedup_simhash_incremental",
+         ["sum(doc_a + doc_b)", "sum(hamming)",
+          _rowhash("doc_a*1000000 + doc_b*100 + hamming")]),
+        ("dedup_ensemble_incremental",
+         ["sum(doc_a + doc_b)", "sum(n_votes)",
+          _rowhash("doc_a*10000000 + doc_b*100 + n_votes*10 "
+                   "+ length(families)")]),
     ],
     "decontaminate_suite": [
         ("contamination_report",

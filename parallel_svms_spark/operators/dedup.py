@@ -800,14 +800,10 @@ def simhash(documents: DataFrame, text_col: str = "text",
         .alias("simhash"))
 
 
-def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
-                      n_blocks: int = 4, hasher: str = "md5") -> DataFrame:
-    """Near-dups by SimHash hamming distance ≤ max_hamming, using the
-    block-permutation trick: split the 64-bit sig into n_blocks;
-    any pair within hamming d < n_blocks must agree on ≥1 block →
-    equi-join per block, then verify exact hamming. Shuffles
-    (block_val, doc_id) only."""
-    sigs = simhash(documents, hasher=hasher)
+def _simhash_blocks(sigs: DataFrame, n_blocks: int) -> DataFrame:
+    """(doc_id, simhash, blk, val): each signature exploded into its
+    n_blocks block keys — the equi-join side of the block-permutation
+    trick, shared by the full join and the incremental screen."""
     width = 64 // n_blocks
     block = F.explode(F.array(*[
         F.struct(
@@ -815,8 +811,16 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
             F.shiftright(F.col("simhash"), i * width)
              .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
         for i in range(n_blocks)]))
-    ex = sigs.select("doc_id", "simhash", block.alias("b")) \
-             .select("doc_id", "simhash", "b.blk", "b.val")
+    return (sigs.select("doc_id", "simhash", block.alias("b"))
+            .select("doc_id", "simhash", "b.blk", "b.val"))
+
+
+def _simhash_pairs(sigs: DataFrame, max_hamming: int,
+                   n_blocks: int) -> DataFrame:
+    """Block-agreement candidates + exact-hamming verify over a
+    signature table — the tail of ``simhash_near_dups``, factored so
+    the incremental screen's within-batch half shares it verbatim."""
+    ex = _simhash_blocks(sigs, n_blocks)
     # same one-exchange bucket expansion as LSH banding: each element
     # carries (doc_id, simhash) so verification needs no join back
     cands = (ex.groupBy("blk", "val")
@@ -831,8 +835,84 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
              .distinct())
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cands.withColumn("hamming", hamming)
-            .filter(F.col("hamming") <= max_hamming)
+            .filter(F.col("hamming") <= int(max_hamming))
             .select("doc_a", "doc_b", "hamming"))
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3,
+                      n_blocks: int = 4, hasher: str = "md5") -> DataFrame:
+    """Near-dups by SimHash hamming distance ≤ max_hamming, using the
+    block-permutation trick: split the 64-bit sig into n_blocks;
+    any pair within hamming d < n_blocks must agree on ≥1 block →
+    equi-join per block, then verify exact hamming. Shuffles
+    (block_val, doc_id) only."""
+    return _simhash_pairs(simhash(documents, hasher=hasher),
+                          max_hamming, n_blocks)
+
+
+def simhash_index(documents: DataFrame, hasher: str = "md5") -> DataFrame:
+    """The persistable SimHash archive index — 8 bytes of signature
+    per doc, the cheapest index in the family matrix (block keys are
+    bit arithmetic, derived at read time, so nothing but (doc_id,
+    simhash) ever hits disk)."""
+    return simhash(documents, hasher=hasher)
+
+
+def simhash_index_append(new_docs: DataFrame, index_path: str,
+                         hasher: str = "md5") -> None:
+    """Sign ONLY the batch and append its (doc_id, simhash) rows as
+    immutable parquet — the ``minhash_index_append`` contract
+    verbatim (no read-modify-write; a concurrent reader sees day N or
+    day N+1, never a torn index). ``hasher`` must match the index's
+    build parameter."""
+    (simhash_index(new_docs, hasher=hasher)
+     .write.mode("append").parquet(index_path))
+
+
+def simhash_near_dups_incremental(corpus: DataFrame,
+                                  new_docs: DataFrame,
+                                  max_hamming: int = 3,
+                                  n_blocks: int = 4,
+                                  hasher: str = "md5",
+                                  index: DataFrame | None = None
+                                  ) -> DataFrame:
+    """Day-N SimHash screen: all hamming-≤-max_hamming pairs touching
+    the batch — batch signatures block-joined against the persisted
+    archive index (pass ``index`` to skip re-signing the corpus; the
+    signature UDF, the one Python hop in this family, then runs over
+    the BATCH only) plus the full within-batch join (shared tail).
+    Block agreement is a pairwise condition, so screening from one
+    side loses nothing; restriction equivalence is pytest-pinned.
+
+    Scale shape: n_blocks 8-byte block rows per batch doc, one hash
+    equi-join on (blk, val) against the index's derived block rows,
+    codegen'd xor-popcount verify — no stage ever touches archive
+    text."""
+    sigs_old = (index if index is not None
+                else simhash_index(corpus, hasher=hasher))
+    sigs_new = simhash(new_docs, hasher=hasher)
+    bn = _simhash_blocks(sigs_new, n_blocks)
+    bo = _simhash_blocks(sigs_old, n_blocks)
+    cross = (bn.select(F.col("doc_id").alias("bid"),
+                       F.col("simhash").alias("bsig"), "blk", "val")
+             .join(bo.select(F.col("doc_id").alias("aid"),
+                             F.col("simhash").alias("asig"),
+                             "blk", "val"),
+                   ["blk", "val"])
+             .filter(F.col("bid") != F.col("aid"))
+             .select(F.least("bid", "aid").alias("doc_a"),
+                     F.when(F.col("bid") < F.col("aid"), F.col("bsig"))
+                     .otherwise(F.col("asig")).alias("sig_a"),
+                     F.greatest("bid", "aid").alias("doc_b"),
+                     F.when(F.col("bid") < F.col("aid"), F.col("asig"))
+                     .otherwise(F.col("bsig")).alias("sig_b"))
+             .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    cross_pairs = (cross.withColumn("hamming", hamming)
+                   .filter(F.col("hamming") <= int(max_hamming))
+                   .select("doc_a", "doc_b", "hamming"))
+    within = _simhash_pairs(sigs_new, max_hamming, n_blocks)
+    return cross_pairs.unionByName(within).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -2283,3 +2363,31 @@ def ensemble_near_dups(documents: DataFrame, threshold: float = 0.5,
                  F.array_join(F.array_sort(F.collect_set("family")), ",")
                  .alias("families"))
             .filter(F.col("n_votes") >= int(min_votes)))
+
+
+def ensemble_near_dups_incremental(corpus: DataFrame,
+                                   new_docs: DataFrame,
+                                   threshold: float = 0.5,
+                                   max_hamming: int = 3,
+                                   max_dist: int = 3,
+                                   min_votes: int = 2) -> DataFrame:
+    """Day-N consensus voting: ``ensemble_near_dups`` over the three
+    families' INCREMENTAL screens — now that every member closes the
+    day-N lifecycle (minhash r6, editdist + simhash r10), the vote
+    composes without re-running any detector over the archive. Each
+    member is restriction-equivalent to its full run filtered to
+    batch-touching pairs, and the vote is computed per pair, so the
+    composition is restriction-equivalent to the full ensemble —
+    pytest-pinned rather than argued. At scale, pass pre-read
+    persisted indexes through the member calls by voting over
+    ``pair_sets`` directly (the documented capacity lever)."""
+    return ensemble_near_dups(
+        None, min_votes=min_votes,
+        pair_sets=[
+            ("jaccard", minhash_near_dups_incremental(
+                corpus, new_docs, threshold=float(threshold))),
+            ("simhash", simhash_near_dups_incremental(
+                corpus, new_docs, max_hamming=int(max_hamming))),
+            ("editdist", editdist_passjoin_incremental(
+                corpus, new_docs, max_dist=int(max_dist))),
+        ])

@@ -1151,3 +1151,90 @@ def test_editdist_incremental_segments_only_the_batch(spark, docs):
     # normalization ran for the batch (incremental probe) and inside
     # the within-batch full join's own machinery — never for corpus
     assert corpus not in calls
+
+
+# --- r10: SimHash incremental lifecycle + incremental ensemble ----------
+
+def test_simhash_incremental_restriction_equivalence(spark,
+                                                     docs_with_dups):
+    """Incremental(corpus, batch) == full SimHash join over corpus ∪
+    batch restricted to batch-touching pairs; the injected dup ids
+    guarantee real cross pairs."""
+    full = {(r.doc_a, r.doc_b, r.hamming)
+            for r in D.simhash_near_dups(docs_with_dups,
+                                         max_hamming=3).collect()}
+    want = {t for t in full if t[0] % 7 == 0 or t[1] % 7 == 0}
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in D.simhash_near_dups_incremental(
+               docs_with_dups.filter("doc_id % 7 != 0"),
+               docs_with_dups.filter("doc_id % 7 = 0"),
+               max_hamming=3).collect()}
+    assert got == want and got
+
+
+def test_simhash_index_two_day_append_cycle(spark, docs, tmp_path):
+    """Persist day-0 signatures, screen batch-1, APPEND batch-1's
+    signatures, screen batch-2 against the updated index — identical
+    pairs to the inline incremental; day 2 never re-signs history."""
+    corpus = docs.filter("source not in ('src0', 'src1')")
+    b1 = docs.filter("source = 'src0'")
+    b2 = docs.filter("source = 'src1'")
+    path = str(tmp_path / "simhash_index")
+    D.simhash_index(corpus).write.parquet(path)
+    idx = spark.read.parquet(path)
+    day1 = {(r.doc_a, r.doc_b, r.hamming)
+            for r in D.simhash_near_dups_incremental(
+                corpus, b1, index=idx).collect()}
+    inline1 = {(r.doc_a, r.doc_b, r.hamming)
+               for r in D.simhash_near_dups_incremental(
+                   corpus, b1).collect()}
+    assert day1 == inline1
+    D.simhash_index_append(b1, path)
+    idx2 = spark.read.parquet(path)
+    day2 = {(r.doc_a, r.doc_b, r.hamming)
+            for r in D.simhash_near_dups_incremental(
+                corpus.unionByName(b1), b2, index=idx2).collect()}
+    inline2 = {(r.doc_a, r.doc_b, r.hamming)
+               for r in D.simhash_near_dups_incremental(
+                   corpus.unionByName(b1), b2).collect()}
+    assert day2 == inline2
+
+
+def test_simhash_incremental_signs_only_the_batch(spark, docs):
+    """With a supplied index the archive is never re-signed — the
+    signature UDF (this family's one Python hop) runs over batch rows
+    only."""
+    corpus = docs.filter("doc_id % 7 != 0")
+    batch = docs.filter("doc_id % 7 = 0")
+    idx = D.simhash_index(corpus)
+    calls = []
+    orig = D.simhash
+
+    def spy(df, *a, **kw):
+        calls.append(df)
+        return orig(df, *a, **kw)
+
+    D.simhash = spy
+    try:
+        D.simhash_near_dups_incremental(corpus, batch, index=idx)
+    finally:
+        D.simhash = orig
+    assert corpus not in calls and batch in calls
+
+
+def test_ensemble_incremental_restriction_equivalence(spark,
+                                                      docs_with_dups):
+    """The day-N vote == the full ensemble restricted to batch-
+    touching pairs — each member is restriction-equivalent and the
+    vote is per-pair, so the composition inherits it; this pins that
+    claim instead of arguing it."""
+    full = {(r.doc_a, r.doc_b, r.n_votes, r.families)
+            for r in D.ensemble_near_dups(docs_with_dups,
+                                          min_votes=2).collect()}
+    want = {t for t in full if t[0] % 7 == 0 or t[1] % 7 == 0}
+    got = {(r.doc_a, r.doc_b, r.n_votes, r.families)
+           for r in D.ensemble_near_dups_incremental(
+               docs_with_dups.filter("doc_id % 7 != 0"),
+               docs_with_dups.filter("doc_id % 7 = 0"),
+               min_votes=2).collect()}
+    assert got == want and got
