@@ -599,7 +599,7 @@ _QKEY_ORDER = [
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob", "compression_profile",
     "quality_quantile_norm", "term_postings", "tokenize_bpe",
-    "bpe_encode",
+    "bpe_encode", "bpe_decode",
     "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
     "compaction_roundtrip", "csv_roundtrip", "split_roundtrip",
     "evolve_roundtrip", "bucketed_join", "merge_survivorship",
@@ -1175,6 +1175,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pos_sum pins every id AND its position, docw_sum the per-doc
         # attribution (golden-literal oracle; VERDICT r7 #2)
         "bpe_encode": lambda s, d: BP.bpe_encode(
+            load_table(s, d, "documents")),
+        # decode leg closing the tokenizer lifecycle: corpus-exact
+        # train → encode → DECODE → prove losslessness against the
+        # whitespace-normalized original. REAL SQL oracle — the
+        # oracle states what lossless decoding must produce without
+        # tokenizing (r10)
+        "bpe_decode": lambda s, d: BP.bpe_roundtrip(
             load_table(s, d, "documents")),
         # zlib compressibility rollup (the one justified Python hop
         # in the text family; golden-literal oracle)
@@ -3467,6 +3474,23 @@ SELECT doc_id, source, quality,
          AS q_norm
 FROM q
 """,
+        # bpe_decode: the decode-leg losslessness claim stated
+        # WITHOUT tokenizing — decoded text must equal the
+        # whitespace-run-normalized original (corpus-exact alphabet
+        # ⇒ no UNK), so n_match == n_docs and the char/digest sums
+        # come straight off the source table; the md5 nibble digest
+        # is bpe.hex8_digest_sql shared verbatim with the Spark side
+        "bpe_decode": f"""
+WITH n AS (SELECT source,
+  trim(regexp_replace(coalesce(text,''), '\\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_match,
+       CAST(SUM(LENGTH(t)) AS BIGINT) AS char_sum,
+       CAST(SUM({BP.hex8_digest_sql('t')}) AS BIGINT) AS digest_sum
+FROM n GROUP BY source
+""",
         # term_postings: positions via the list-comprehension UNNEST
         # (this DuckDB lacks WITH ORDINALITY); same whitespace split
         "term_postings": """
@@ -4712,6 +4736,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                           _rowhash("length(source)*1000000 + sum_tokens")]),
         ("bpe_encode", ["sum(sum_tokens + id_sum)", "sum(pos_sum)",
                         _rowhash("docw_sum + n_docs")]),
+        ("bpe_decode", ["sum(n_match*1000000 + n_docs)",
+                        "sum(char_sum)", "sum(digest_sum)"]),
     ],
     "roundtrip_suite": [
         ("jsonl_roundtrip", ["sum(n_docs)",

@@ -380,6 +380,128 @@ def bpe_encode_ids(documents: DataFrame, artifact: dict,
         run, schema=f"{id_col} {id_type}{schema_carry}, ids array<int>")
 
 
+def bpe_decode_ids(encoded: DataFrame, artifact: dict,
+                   ids_col: str = "ids", id_col: str = "doc_id",
+                   carry: tuple[str, ...] = ()) -> DataFrame:
+    """Inverse of ``bpe_encode_ids`` under the same FROZEN artifact —
+    the decode leg that closes the tokenizer lifecycle (train / save /
+    load / encode / DECODE). Same plan shape as the encoder: one
+    broadcast (the id→symbol table, a few KB) + one Arrow-batched
+    map, zero exchange; ``carry`` columns ride the batch.
+
+    Decode walks the symbol stream accumulating a word buffer; a
+    symbol whose string ends with the ``EOW`` marker closes the word
+    (standalone ``EOW`` and merged ``…</w>`` symbols are the same
+    case — merges only ever concatenate adjacent in-word symbols, so
+    the word-final symbol is exactly the one carrying the marker
+    suffix). Words re-join on single spaces.
+
+    Round-trip contract (pinned in tests/test_bpe.py):
+    ``decode(encode(t)) == " ".join(t.split())`` — whitespace-run
+    normalized, because the encoder's word split discards run shape —
+    for every document whose characters are all in the committed
+    alphabet (corpus-exact training, ``sample_rows=None``, guarantees
+    this) and whose text does not contain the literal marker string
+    ``</w>``. The marker collision is the classic sentinel caveat
+    (production tokenizers sidestep it with byte-level alphabets);
+    out-of-alphabet ids decode as the visible ``<unk>`` sentinel
+    inside the current word, mirroring the encoder's UNK contract.
+    A truncated id sequence (no final ``EOW``) still yields its
+    partial last word rather than dropping it.
+    """
+    inv = {i: s for s, i in bpe_symbol_ids(artifact).items()}
+    bc = encoded.sparkSession.sparkContext.broadcast(inv)
+    eow_n = len(EOW)
+
+    def run(it):
+        table = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            texts = []
+            for ids in pdf[ids_col]:
+                words: list[str] = []
+                buf: list[str] = []
+                for i in ids:
+                    s = table.get(int(i), UNK)
+                    if s.endswith(EOW):
+                        buf.append(s[:-eow_n])
+                        words.append("".join(buf))
+                        buf = []
+                    else:
+                        buf.append(s)
+                if buf:
+                    words.append("".join(buf))
+                texts.append(" ".join(words))
+            out = pdf[[id_col, *carry]].copy()
+            out["text"] = texts
+            yield out
+
+    cols = [id_col, *carry, ids_col]
+    schema_carry = "".join(
+        f", {c} {t}" for c, t in encoded.select(*carry).dtypes)
+    id_type = dict(encoded.dtypes)[id_col]
+    return encoded.select(*cols).mapInPandas(
+        run, schema=f"{id_col} {id_type}{schema_carry}, text string")
+
+
+def hex8_digest_sql(strexpr: str) -> str:
+    """Engine-portable string digest: the first 8 hex nibbles of
+    md5(<string expr>) as one bigint (the ``_rowhash`` mix applied to
+    a STRING input — md5 / instr / substring behave identically in
+    Spark SQL and DuckDB, so both engines can state the same content
+    pin). Shared verbatim by the Spark side (``F.expr``) and the
+    DuckDB oracle so the digest arithmetic cannot drift."""
+    s = f"md5({strexpr})"
+    return "+".join(
+        f"cast(instr('0123456789abcdef', substring({s},{i + 1},1)) "
+        f"as bigint)*{16 ** (7 - i)}"
+        for i in range(8))
+
+
+def bpe_roundtrip(documents: DataFrame,
+                  n_merges: int = 200) -> DataFrame:
+    """The decode-leg driver qkey: train CORPUS-EXACT, encode every
+    document to ids, DECODE the ids back, and prove losslessness
+    against the original corpus — per source: (n_docs, n_match,
+    char_sum, digest_sum) where ``n_match`` counts documents whose
+    decoded text equals the whitespace-run-normalized original and
+    ``digest_sum`` sums an md5 content digest of the DECODED text.
+
+    Unlike the encode rollups (golden-literal by necessity — greedy
+    merging has no SQL twin), this qkey carries a REAL SQL oracle:
+    lossless decoding must reproduce ``trim(regexp_replace(text,
+    '\\s+', ' '))`` exactly, so the oracle computes n_docs == n_match
+    and the char/digest sums straight from the original table without
+    ever tokenizing. Corpus-exact training (``sample_rows=None``)
+    makes the alphabet total, so no UNK can break the guarantee; the
+    ``</w>`` sentinel caveat (see ``bpe_decode_ids``) is absent from
+    the fixture corpus by inspection and irrelevant to real web text
+    at the documented byte-level-alphabet upgrade path.
+
+    Plan shape: one vocabulary-bounded word-count agg (the offline
+    vocab commit), then two zero-exchange Arrow maps (encode, decode)
+    and one per-source hash agg — text never shuffles.
+    """
+    art = bpe_train(documents, n_merges, sample_rows=None)
+    src = documents.withColumn("orig", F.col("text"))
+    enc = bpe_encode_ids(src, art, carry=("source", "orig"))
+    dec = bpe_decode_ids(enc, art, carry=("source", "orig"))
+    norm = F.trim(F.regexp_replace(
+        F.coalesce(F.col("orig"), F.lit("")), r"\s+", " "))
+    digest = F.expr(hex8_digest_sql("text"))
+    return (dec.select(
+                "source",
+                (F.col("text") == norm).cast("long").alias("m"),
+                F.length("text").cast("long").alias("len"),
+                digest.alias("dg"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("m").alias("n_match"),
+                 F.sum("len").alias("char_sum"),
+                 F.sum("dg").alias("digest_sum")))
+
+
 def bpe_encode(documents: DataFrame, n_merges: int = 200,
                sample_rows: int = 2048) -> DataFrame:
     """The driver qkey for id emission: train on the corpus's own md5

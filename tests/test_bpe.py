@@ -453,3 +453,79 @@ def test_bpe_train_corpus_exact_sees_past_sample(spark):
     exact = B.bpe_train(df, n_merges=1, sample_rows=None)
     assert exact["merges"] == [("q", "q")]
     assert "q" in exact["alphabet"]
+
+
+def test_bpe_decode_ids_roundtrip_corpus_exact(docs):
+    """The decode leg (r10): under a corpus-exact artifact every
+    document decodes back to its whitespace-run-normalized original —
+    alphabet totality makes the round trip lossless, not just
+    likely."""
+    art = B.bpe_train(docs, n_merges=50, sample_rows=None)
+    enc = B.bpe_encode_ids(docs.withColumn("orig", F.col("text")),
+                           art, carry=("orig",))
+    dec = B.bpe_decode_ids(enc, art, carry=("orig",))
+    bad = dec.filter(
+        F.col("text") != F.trim(F.regexp_replace(
+            F.coalesce("orig", F.lit("")), r"\s+", " "))).count()
+    assert bad == 0
+    assert dec.count() == docs.count()
+
+
+def test_bpe_decode_ids_unk_and_truncation(spark):
+    """Out-of-alphabet ids decode as the visible <unk> sentinel
+    inside the word; a truncated sequence (no closing EOW) still
+    yields its partial last word."""
+    train = spark.createDataFrame([(1, "abc abc de")],
+                                  "doc_id long, text string")
+    art = B.bpe_train(train, n_merges=0, sample_rows=None)
+    sid = B.bpe_symbol_ids(art)
+    probe = spark.createDataFrame([(7, "aZc")],
+                                  "doc_id long, text string")
+    enc = B.bpe_encode_ids(probe, art)
+    [r] = B.bpe_decode_ids(enc, art).collect()
+    assert r.text == "a" + B.UNK + "c"  # Z is outside the alphabet
+    # truncation: drop the trailing EOW id — partial word survives
+    cut = enc.select("doc_id", F.slice("ids", 1, 2).alias("ids"))
+    [r2] = B.bpe_decode_ids(cut, art).collect()
+    assert r2.text == "a" + B.UNK
+
+
+def test_bpe_decode_sentinel_caveat(spark):
+    """The documented </w> sentinel collision: a merge chain that
+    assembles the literal marker string out of TEXT characters — and
+    leaves it mid-word — closes the word early on decode. Pinned with
+    a hand-built artifact (a trained table greedily re-merges the
+    marker onward, which happens to cancel the ambiguity) so the
+    caveat stays true-as-documented; the upgrade path is a byte-level
+    alphabet, not a silent fix."""
+    art = {"merges": [("<", "/"), ("</", "w"), ("</w", ">")],
+           "alphabet": sorted("ab</w>")}
+    probe = spark.createDataFrame([(1, "a</w>b")],
+                                  "doc_id long, text string")
+    enc = B.bpe_encode_ids(probe, art)
+    [r] = B.bpe_decode_ids(enc, art).collect()
+    assert r.text == "a b"  # early word close at the text-built marker
+
+
+def test_bpe_decode_plan_zero_exchange(docs):
+    art = B.bpe_train(docs, n_merges=20, sample_rows=256)
+    enc = B.bpe_encode_ids(docs, art)
+    p = (B.bpe_decode_ids(enc, art)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p  # two chained Arrow maps, no shuffle
+    assert "MapInPandas" in p
+
+
+def test_bpe_roundtrip_qkey_lossless(docs):
+    """The driver qkey's own claim: n_match == n_docs per source and
+    char_sum equals the normalized-length sum (the SQL-oracle
+    algebra, asserted engine-side too)."""
+    got = B.bpe_roundtrip(docs, n_merges=30).collect()
+    assert got
+    want_chars = (docs.groupBy("source").agg(F.sum(F.length(F.trim(
+        F.regexp_replace(F.coalesce("text", F.lit("")), r"\s+", " "))))
+        .alias("c")).collect())
+    wc = {r.source: r.c for r in want_chars}
+    for r in got:
+        assert r.n_match == r.n_docs, r.source
+        assert r.char_sum == wc[r.source], r.source
