@@ -616,7 +616,8 @@ _QKEY_ORDER = [
     "pack_sequences",
     "sample_stratified", "sample_uniform", "sample_weighted",
     "sample_cluster_balanced",
-    "dataset_split", "chunk_documents", "cv_folds", "padding_stats", "pack_chunks",
+    "dataset_split", "split_by_cluster",
+    "chunk_documents", "cv_folds", "padding_stats", "pack_chunks",
     "dedup_editdist", "editdist_passjoin", "editdist_passjoin_incremental",
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
     "winnow_near_dups", "winnow_near_dups_incremental",
@@ -841,6 +842,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": lambda s, d: SH.dataset_split(
             load_table(s, d, "documents").select("doc_id", "source"))
             .select("doc_id", "source", "split"),
+        # leakage-safe carve: the SAME md5 coin keyed on the near-dup
+        # cluster representative, so near-duplicates co-travel across
+        # splits (a per-doc coin deals them independently — the
+        # memorized-eval pathology; r10)
+        "split_by_cluster": lambda s, d: SH.split_by_cluster(
+            load_table(s, d, "documents")),
         "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "dedup_minhash": lambda s, d: D.minhash_near_dups(
@@ -3226,6 +3233,19 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM documents
 """,
+        # split_by_cluster: the dedup_clusters reachability oracle
+        # with the dataset_split CASE applied to cluster_rep — both
+        # member oracles composed verbatim (group-aware split: the
+        # coin input is the rep, so a cluster cannot straddle)
+        "split_by_cluster": f"""
+SELECT doc_id, cluster_rep,
+       CASE WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 8)
+                 < 'e6666666' THEN 'train'
+            WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 8)
+                 < 'f3333333' THEN 'valid'
+            ELSE 'test' END AS split
+FROM ({_DEDUP_CLUSTERS_ORACLE}) c
+""",
         # chunk_documents: identical inclusive-stop stride walk —
         # Spark sequence() and DuckDB generate_series agree on
         # inclusive bounds; start<len drops the empty-doc [0] row
@@ -4925,6 +4945,11 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                                     "when 'train' then 0 "
                                     "when 'valid' then 1 "
                                     "else 2 end)")]),
+        ("split_by_cluster",
+         ["sum(doc_id + cluster_rep)", "count(distinct cluster_rep)",
+          _rowhash("doc_id*10000 + cluster_rep*10 + (case split "
+                   "when 'train' then 0 when 'valid' then 1 "
+                   "else 2 end)")]),
         ("chunk_documents", ["sum(doc_id)", "sum(n_chunk_chars)",
                              _rowhash("doc_id*1000 + chunk_ix")]),
         ("cv_folds", ["sum(fold*n_rows)", "sum(n_rows)",

@@ -564,6 +564,54 @@ def dataset_split(df: DataFrame,
     return df.withColumn("split", expr)
 
 
+def split_by_cluster(documents: DataFrame,
+                     fractions: list[tuple[str, float]] | None = None,
+                     k: int = 3, threshold: float = 0.5,
+                     max_doc_freq: int | None = 1000,
+                     salt: str = "") -> DataFrame:
+    """Leakage-safe train/valid/test carve: hash the SPLIT COIN on
+    the near-dup cluster representative instead of the document id,
+    so every member of a near-duplicate cluster lands in the same
+    split — (doc_id, cluster_rep, split).
+
+    The failure this prevents is the one ``dataset_split`` alone
+    cannot: a test document's near-duplicate sitting in train. A
+    per-doc hash coin deals cluster members INDEPENDENTLY, so a
+    near-dup cluster of size m straddles splits with probability
+    1 − Σ fᵢ^m — near-certain for any real duplicate cluster — and
+    the eval split then scores memorization, not generalization
+    (the train/test overlap pathology documented in Lee et al., ACL
+    2022, "Deduplicating Training Data Makes Language Models
+    Better" §6: models are measurably better on seen-in-train
+    near-dups). Group-aware splitting closes it BY CONSTRUCTION:
+    members share the rep, the rep is the only hash input, so a
+    cluster cannot straddle (pytest-pinned, with the straddle
+    demonstrated for the plain per-doc coin on the same fixture).
+
+    Composition, not new machinery: ``dedup_clusters`` (min-label
+    propagation over jaccard-≥-threshold edges — its scale story and
+    convergence witness apply unchanged) feeds ``dataset_split``
+    keyed on ``cluster_rep`` (the same ordered-interval md5 coin, so
+    all of its contracts carry over: disjoint-exhaustive partition,
+    engine-reproducible, growth-stable — a NEW document that joins an
+    EXISTING cluster inherits that cluster's standing split rather
+    than re-dealing it, exactly the day-N property a frozen eval set
+    needs; a genuinely new singleton deals its own coin). Beyond the
+    propagation's own joins this adds zero exchange: the coin is a
+    narrow codegen'd projection on the (doc_id, cluster_rep) rows.
+
+    DuckDB oracle: the recursive-CTE reachability oracle of
+    ``dedup_clusters`` with the split CASE applied to its
+    ``cluster_rep`` — both stages' oracles composed verbatim.
+    """
+    from parallel_svms_spark.operators.dedup import dedup_clusters
+
+    reps = dedup_clusters(documents, k=k, threshold=threshold,
+                          max_doc_freq=max_doc_freq)
+    return dataset_split(reps, fractions, id_col="cluster_rep",
+                         salt=salt)
+
+
 def chunk_documents(documents: DataFrame, chunk_chars: int = 256,
                     overlap: int = 32, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -247,3 +247,82 @@ def test_mixture_sample_tokens_budget_envelope(spark, docs):
             assert total == full[src]      # exhausted source
         else:
             assert 1500 <= total < 1500 + mx
+
+
+def test_split_by_cluster_never_straddles(spark, docs):
+    """The group-aware guarantee BY CONSTRUCTION: no near-dup cluster
+    spans two splits, and every near-dup PAIR co-travels."""
+    got = SH.split_by_cluster(docs)
+    straddle = (got.groupBy("cluster_rep")
+                .agg(F.countDistinct("split").alias("n"))
+                .filter("n > 1").count())
+    assert straddle == 0
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    sa = got.select(F.col("doc_id").alias("doc_a"),
+                    F.col("split").alias("split_a"))
+    sb = got.select(F.col("doc_id").alias("doc_b"),
+                    F.col("split").alias("split_b"))
+    assert pairs.count() > 0  # the fixture plants near-dups
+    assert (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .filter("split_a <> split_b").count()) == 0
+
+
+def test_split_by_cluster_vs_plain_coin_leak(spark, docs):
+    """Why the operator exists: the plain per-doc coin on the SAME
+    fixture deals at least one near-dup pair across two splits (the
+    memorized-eval leak); the cluster coin cannot."""
+    plain = SH.dataset_split(docs.select("doc_id"))
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    sa = plain.select(F.col("doc_id").alias("doc_a"),
+                      F.col("split").alias("split_a"))
+    sb = plain.select(F.col("doc_id").alias("doc_b"),
+                      F.col("split").alias("split_b"))
+    leaked = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+              .filter("split_a <> split_b").count())
+    assert leaked > 0
+
+
+def test_split_by_cluster_partition_and_singletons(spark, docs):
+    """Disjoint-exhaustive over the corpus (one row, one split per
+    doc) and singletons inherit their own-coin dataset_split fate —
+    the carve only MOVES near-dup members, never reshuffles the
+    rest."""
+    got = SH.split_by_cluster(docs).cache()
+    n = docs.count()
+    assert got.count() == n
+    assert got.select("doc_id").distinct().count() == n
+    assert set(r.split for r in got.select("split").distinct()
+               .collect()) <= {"train", "valid", "test"}
+    # singletons (cluster_rep == doc_id AND no other member) must
+    # match dataset_split keyed on their own id
+    sizes = got.groupBy("cluster_rep").count()
+    single = (got.join(sizes.filter("count = 1"), "cluster_rep")
+              .select("doc_id", "split"))
+    plain = SH.dataset_split(docs.select("doc_id")) \
+              .select("doc_id", F.col("split").alias("plain_split"))
+    assert (single.join(plain, "doc_id")
+            .filter("split <> plain_split").count()) == 0
+    got.unpersist()
+
+
+def test_split_by_cluster_day_n_member_inherits(spark):
+    """Growth stability, the group-aware form: a NEW document joining
+    an EXISTING cluster inherits the cluster's standing split (the
+    rep is unchanged, so the coin is unchanged) — the frozen-eval-set
+    property."""
+    day1 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (20, "an entirely different document about spark plans"),
+         (30, "completely unrelated third text body here")],
+        "doc_id long, text string")
+    # day-2 adds a near-dup of doc 10 with a LARGER id
+    day2 = day1.union(spark.createDataFrame(
+        [(99, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string"))
+    s1 = {r.doc_id: r.split
+          for r in SH.split_by_cluster(day1).collect()}
+    s2 = {r.doc_id: r.split
+          for r in SH.split_by_cluster(day2).collect()}
+    for d in (10, 20, 30):
+        assert s2[d] == s1[d], d  # standing docs never re-dealt
+    assert s2[99] == s2[10]  # the newcomer inherits, not re-deals
