@@ -638,7 +638,7 @@ _QKEY_ORDER = [
     "dedup_embedding_ivf", "dedup_embedding_ivf_incremental",
     # ML training — most expensive (golden-literal oracles at sf0.01): last
     "svm_train", "svm_linear_ovr", "cascade_svm", "bagging_svm",
-    "iterative_svm",
+    "iterative_svm", "quality_classifier",
 ]
 
 
@@ -756,6 +756,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_svm": _cascade_svm,
         "bagging_svm": _bagging_svm,
         "iterative_svm": _iterative_svm,
+        # the SVM stack as a pipeline operator (r10): linear C-SVC on
+        # hashed bag-of-tokens vs weak heuristic labels, scored
+        # corpus-wide as ONE codegen'd expression (no Python, no
+        # exchange in the score path); golden-literal oracle
+        "quality_classifier": lambda s, d: __import__(
+            "parallel_svms_spark.ml.quality", fromlist=["x"]
+        ).quality_classifier(load_table(s, d, "documents")),
         # §2.8 extension ops — dedup / similarity / text / events
         "dedup_exact": lambda s, d: D.exact_dedup_keys(load_table(s, d, "documents")),
         # cross-source shingle-overlap matrix: the mixture diagnostic
@@ -4314,6 +4321,10 @@ _ML_GOLDEN_TYPES: dict[str, dict[str, str]] = {
     "iterative_svm": {"iteration": "INTEGER", "errorsum": "BIGINT",
                       "final_gsv_count": "INTEGER"},
     "svm_linear_ovr": {"n_scored": "BIGINT", "n_distinct_preds": "BIGINT"},
+    "quality_classifier": {"source": "VARCHAR", "n_docs": "BIGINT",
+                           "n_high": "BIGINT",
+                           "score_milli_sum": "BIGINT",
+                           "n_agree": "BIGINT"},
 }
 
 
@@ -5023,6 +5034,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                          "sum(cast(floor(vote_acc*10000) as bigint))"]),
         ("iterative_svm", ["sum(iteration*errorsum)",
                            "sum(final_gsv_count)"]),
+        ("quality_classifier",
+         ["sum(n_docs + n_high)", "sum(score_milli_sum)",
+          _rowhash("length(source)*10000000 + n_agree*1000 "
+                   "+ n_high")]),
     ],
 }
 

@@ -1,0 +1,192 @@
+"""FastText-style corpus quality classifier on the SVM stack (r10).
+
+The synthesis the north star asks for: the reference's actual
+capability — SMO-trained SVMs (``ml/smo.py``, clean-room rebuild of
+the missing LibSVM jar, cascade_svm/Midcascade.java:62-81 defaults) —
+put to work as an LLM-data-pipeline operator. A linear C-SVC is
+trained on hashed bag-of-tokens features against weak labels derived
+from the corpus's own quality heuristic (``text.quality_cols``), then
+applied corpus-wide as ONE Catalyst expression: for a linear model
+over hashed token counts, score(doc) = Σ_tokens w[h(t) mod d] + b, so
+scoring needs NO feature vector, NO Python, and NO exchange — the
+classifier literally compiles to a codegen'd column.
+
+Scale shape at 100 TB: training reads ``sample_rows`` documents once
+(driver-side SMO on a deterministic md5-ordered sample — the
+committed-artifact step, same pattern as the BPE vocab and IVF
+centroids; the distributed escalation path is ``trainer.fit_buckets``
+/ ``cascade.cascade_train`` over the same hashed features), plus one
+exact-percentile agg for the weak-label threshold
+(``approx_percentile`` is the documented billion-row swap). Scoring
+is a zero-shuffle narrow map: a 64-float broadcast-literal weight
+array indexed per token. Nothing but the caller's rollup exchanges.
+
+Weak-label story (fastText/CCNet-style bootstrap, Joulin et al. 2016;
+Wenzek et al. 2020 train their quality LM on known-good text): labels
+come from a cheap deterministic rule — here, above/below the corpus
+median of the shared quality heuristic — and the classifier's value
+is GENERALIZATION from token evidence: it recovers the rule's
+decision from word identity alone (agreement pinned in pytest), the
+same mechanism that lets a real pipeline swap in human/LM labels
+without touching the Spark plumbing.
+
+Oracle story: SMO training is iterative and non-SQL-expressible, but
+the rollup is a deterministic pure function of the corpus (md5-ordered
+sample, mergesort-stable solver, fixed left-to-right token sums) — the
+``svm_train`` precedent — so the qkey pins a golden-literal oracle
+recorded via ``tools/record_goldens.py`` (refuses to write unless
+independent fresh-session runs agree).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.ml import smo
+from parallel_svms_spark.operators.text import quality_cols
+
+__all__ = ["train_quality_classifier", "quality_score_expr",
+           "score_quality", "quality_classifier",
+           "save_classifier", "load_classifier"]
+
+
+def _py_bucket(token: str, dim: int) -> int:
+    """Python twin of the JVM bucket expression: signed int64 from
+    the LOW 16 hex chars of md5 (dedup._token_hash convention),
+    then a non-negative mod — python ``%`` with a positive divisor
+    matches Spark ``pmod`` exactly."""
+    h = int.from_bytes(hashlib.md5(token.encode()).digest()[8:16],
+                       "big", signed=True)
+    return h % dim
+
+
+def _tokens(text: str | None) -> list[str]:
+    """Python twin of the scoring expression's token stream: split on
+    single spaces, drop empties — identical to
+    ``filter(split(text, ' '), t -> length(t) > 0)``."""
+    return [t for t in (text or "").split(" ") if t]
+
+
+def train_quality_classifier(documents: DataFrame, dim: int = 64,
+                             sample_rows: int = 512, C: float = 1.0,
+                             text_col: str = "text") -> dict:
+    """Commit the classifier ARTIFACT: ``{'w': [dim floats], 'b':
+    float, 'dim': d, 'median': q*}``, with sign convention
+    score > 0 ⇒ predicted HIGH quality.
+
+    Steps: (1) one exact-percentile agg pins the weak-label threshold
+    q* = corpus median of the shared quality heuristic; (2) the first
+    ``sample_rows`` documents by md5(doc_id) (ties broken by doc_id)
+    are featurized driver-side into hashed token counts; (3)
+    ``smo.train_svc(kernel='linear')`` solves the C-SVC; (4) the
+    binary pair's dual solution collapses to the primal weight vector
+    w = Σ coefᵢ·svᵢ, b = −rho (linear kernel ⇒ the decision function
+    IS an inner product — no kernel expansion survives into scoring).
+    LibSVM's tie rule (decision ≤ 0 votes the second class) maps to
+    score ≥ 0 ⇒ high after the sign flip, pinned against
+    ``SVCModel.predict`` in pytest.
+
+    Every step is deterministic: exact percentile, md5 sample order,
+    mergesort-stable SMO, fixed feature hashing — two sessions commit
+    the identical artifact (the golden-oracle precondition).
+    """
+    *_, q = quality_cols(text_col)
+    med = float(documents.agg(
+        F.percentile(q, F.lit(0.5)).alias("m")).first()["m"])
+    rows = (documents
+            .select("doc_id", F.col(text_col).alias("t"),
+                    q.alias("q"),
+                    F.md5(F.col("doc_id").cast("string")).alias("o"))
+            .orderBy("o", "doc_id").limit(int(sample_rows)).collect())
+    X = np.zeros((len(rows), dim), dtype=np.float64)
+    y = np.zeros(len(rows), dtype=np.int64)
+    for i, r in enumerate(rows):
+        for t in _tokens(r.t):
+            X[i, _py_bucket(t, dim)] += 1.0
+        y[i] = 1 if r.q >= med else 0
+    if len(set(y.tolist())) < 2:
+        raise ValueError(
+            "quality weak labels are single-class on the sample — "
+            "median threshold degenerate for this corpus slice")
+    model = smo.train_svc(X, y, C=C, kernel="linear")
+    idx, coef = model.pair_coefs[(0, 1)]
+    w_pair = coef @ model.X_sv[idx]     # decision d(x) = x·w_pair − rho
+    rho = model.rhos[(0, 1)]
+    # d > 0 votes classes[0] = 0 (low); flip so positive means HIGH
+    return {"w": [float(v) for v in -w_pair], "b": float(rho),
+            "dim": int(dim), "median": med}
+
+
+def quality_score_expr(artifact: dict,
+                       text_col: str = "text") -> Column:
+    """The classifier as ONE JVM expression: Σ_tokens w[h(t) mod d]
+    + b. The weight array is a 64-literal CreateArray — all-foldable,
+    so Catalyst constant-folds it once; the per-token work is one md5
+    + pmod + element_at inside a higher-order ``transform`` (each
+    O(1) per token — the linear-chain shape, no loop-invariant
+    blowup)."""
+    dim = int(artifact["dim"])
+    warr = F.array(*[F.lit(float(v)) for v in artifact["w"]])
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: F.length(t) > 0)
+    bucket1 = lambda t: (F.pmod(  # noqa: E731 — 1-based element_at
+        F.conv(F.substring(F.md5(t), 17, 16), 16, -10).cast("long"),
+        F.lit(dim)) + 1).cast("int")
+    contrib = F.transform(toks, lambda t: F.element_at(warr, bucket1(t)))
+    return (F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+            + F.lit(float(artifact["b"])))
+
+
+def score_quality(documents: DataFrame, artifact: dict,
+                  text_col: str = "text") -> DataFrame:
+    """Corpus-wide scoring under a FROZEN artifact: every input
+    column passes through plus (clf_score DOUBLE, clf_high INT) —
+    a zero-exchange narrow projection (plan-tested), the day-N /
+    streaming-eligible form (stateless, so a streaming twin is this
+    expression verbatim)."""
+    s = quality_score_expr(artifact, text_col)
+    return documents.withColumn("clf_score", s).withColumn(
+        "clf_high", (F.col("clf_score") >= 0).cast("int"))
+
+
+def quality_classifier(documents: DataFrame, dim: int = 64,
+                       sample_rows: int = 512) -> DataFrame:
+    """The driver qkey: train on the corpus's own md5 sample, score
+    every document JVM-side, roll up per source — (source, n_docs,
+    n_high, score_milli_sum, n_agree) where ``score_milli_sum`` =
+    Σ floor(score·1000) pins the float path, and ``n_agree`` counts
+    documents where the classifier's prediction matches the weak
+    label it was trained toward (the generalization receipt: the
+    token-evidence model recovering the heuristic's decision on the
+    FULL corpus, not just the 512-doc sample). Golden-literal oracle
+    (the svm_train precedent — see module docstring)."""
+    art = train_quality_classifier(documents, dim, sample_rows)
+    *_, q = quality_cols("text")
+    s = quality_score_expr(art)
+    high = F.col("s") >= 0
+    weak = F.col("q") >= F.lit(art["median"])
+    return (documents.select("source", s.alias("s"), q.alias("q"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(high.cast("long")).alias("n_high"),
+                 F.sum(F.floor(F.col("s") * 1000).cast("long"))
+                 .alias("score_milli_sum"),
+                 F.sum((high == weak).cast("long")).alias("n_agree")))
+
+
+def save_classifier(artifact: dict, path: str) -> None:
+    """Persist the committed classifier (a few hundred bytes — a
+    driver-side file by design, like the BPE vocab)."""
+    with open(path, "w") as f:
+        json.dump(artifact, f)
+
+
+def load_classifier(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)

@@ -53,11 +53,12 @@ def test_ml_golden_oracles_values_and_types(monkeypatch):
     oracles = entrymod._ml_golden_oracles()
     assert sorted(oracles) == sorted(GOLDEN)
     con = duckdb.connect()
+    arrow_of = dict(_ARROW_OF, VARCHAR="string")
     for qkey, sql in oracles.items():
         tbl = con.execute(sql).arrow()
         types = entrymod._ML_GOLDEN_TYPES[qkey]
         for f in tbl.schema:
-            assert str(f.type) == _ARROW_OF[types[f.name]], (qkey, f)
+            assert str(f.type) == arrow_of[types[f.name]], (qkey, f)
         cols = GOLDEN[qkey]["columns"]
         got = sorted(tuple(r[c] for c in cols) for r in tbl.to_pylist())
         assert got == sorted(tuple(r) for r in GOLDEN[qkey]["rows"]), qkey

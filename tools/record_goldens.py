@@ -37,7 +37,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 ML_QKEYS = ["svm_train", "svm_linear_ovr", "cascade_svm", "bagging_svm",
-            "iterative_svm"]
+            "iterative_svm", "quality_classifier"]
 
 _CHILD = r"""
 import json, sys
