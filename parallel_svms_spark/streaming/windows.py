@@ -874,6 +874,23 @@ def streaming_redact_pii(stream_docs: DataFrame, cols: list[str],
     return redact_pii(stream_docs, cols, rules=rules)
 
 
+def streaming_score_quality(stream_docs: DataFrame, artifact: dict,
+                            text_col: str = "text") -> DataFrame:
+    """Streaming twin of ``ml.quality.score_quality``: score arriving
+    documents under a FROZEN committed classifier artifact — the
+    model-based quality gate applied at ingest, before the lake
+    write. STATELESS and literally shared code: the classifier
+    compiles to one codegen'd JVM expression (Σ w[h(token) mod d] +
+    b over a constant-folded weight array), so a row's score depends
+    only on (artifact, its own text) — replays and micro-batch
+    boundaries cannot change it, and the batch/stream paths cannot
+    drift. Training stays a batch/offline step by design (the
+    committed-artifact lifecycle, like the frozen BPE vocab the
+    ``streaming_bpe_count`` twin consumes)."""
+    from parallel_svms_spark.ml.quality import score_quality
+    return score_quality(stream_docs, artifact, text_col)
+
+
 def streaming_bpe_count(stream_docs: DataFrame,
                         merges: list[tuple[str, str]],
                         text_col: str = "text",

@@ -120,3 +120,38 @@ def test_frozen_artifact_scores_new_batch(spark, docs, artifact):
                       (1_000_002, "zzz qqq")]:
         want = _featurize([text], artifact["dim"])[0] @ w + artifact["b"]
         assert abs(got[did] - want) < 1e-9
+
+
+def test_streaming_score_quality_matches_batch(spark, docs, artifact):
+    """The stateless scoring twin: arriving docs score exactly as the
+    batch expression does, across micro-batch boundaries (streamed
+    file-by-file)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from parallel_svms_spark.streaming import windows as SW
+
+    sub = docs.select("doc_id", "text").filter("doc_id < 40")
+    batch = {(r.doc_id, r.clf_score, r.clf_high)
+             for r in Q.score_quality(sub, artifact).collect()}
+    with tempfile.TemporaryDirectory() as tmp:
+        sub.filter("doc_id < 20").coalesce(1).write.parquet(f"{tmp}/d/0")
+        sub.filter("doc_id >= 20").coalesce(1).write.parquet(f"{tmp}/d/1")
+        dst = f"{tmp}/flat"
+        os.makedirs(dst)
+        for i, p in enumerate(sorted(glob.glob(f"{tmp}/d/*/part-*"))):
+            shutil.copy(p, f"{dst}/{i:04d}.parquet")
+            os.utime(f"{dst}/{i:04d}.parquet", (1000 + i, 1000 + i))
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(dst))
+        scored = SW.streaming_score_quality(stream, artifact)
+        name = "stream_qclf_test"
+        q = (scored.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        q.processAllAvailable()
+        q.stop()
+        got = {(r.doc_id, r.clf_score, r.clf_high) for r in
+               spark.sql(f"SELECT * FROM {name}").collect()}
+    assert got == batch and len(got) > 0
