@@ -599,7 +599,7 @@ _QKEY_ORDER = [
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob", "compression_profile",
     "quality_quantile_norm", "term_postings", "tokenize_bpe",
-    "bpe_encode", "bpe_decode",
+    "bpe_encode", "bpe_decode", "bpe_decode_bytes",
     "jsonl_roundtrip", "orc_roundtrip", "zorder_roundtrip",
     "compaction_roundtrip", "csv_roundtrip", "split_roundtrip",
     "evolve_roundtrip", "bucketed_join", "merge_survivorship",
@@ -1197,6 +1197,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizing (r10)
         "bpe_decode": lambda s, d: BP.bpe_roundtrip(
             load_table(s, d, "documents")),
+        # byte-level twin: the same losslessness proof under a TINY
+        # 64-doc training sample — the 256-byte alphabet spells every
+        # character, so no alphabet condition and no sentinel caveat
+        # (GPT-2 byte-BPE convention; r10)
+        "bpe_decode_bytes": lambda s, d: BP.bpe_roundtrip(
+            load_table(s, d, "documents"), byte_level=True,
+            sample_rows=64),
         # zlib compressibility rollup (the one justified Python hop
         # in the text family; golden-literal oracle)
         "compression_profile": lambda s, d: TX.compression_profile(
@@ -3518,6 +3525,21 @@ SELECT source,
        CAST(SUM({BP.hex8_digest_sql('t')}) AS BIGINT) AS digest_sum
 FROM n GROUP BY source
 """,
+        # bpe_decode_bytes: identical losslessness algebra — byte
+        # mode changes HOW the engine meets the claim (256-byte
+        # alphabet under a 64-doc sample), not what lossless decoding
+        # must produce
+        "bpe_decode_bytes": f"""
+WITH n AS (SELECT source,
+  trim(regexp_replace(coalesce(text,''), '\\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_match,
+       CAST(SUM(LENGTH(t)) AS BIGINT) AS char_sum,
+       CAST(SUM({BP.hex8_digest_sql('t')}) AS BIGINT) AS digest_sum
+FROM n GROUP BY source
+""",
         # term_postings: positions via the list-comprehension UNNEST
         # (this DuckDB lacks WITH ORDINALITY); same whitespace split
         "term_postings": """
@@ -4769,6 +4791,8 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
                         _rowhash("docw_sum + n_docs")]),
         ("bpe_decode", ["sum(n_match*1000000 + n_docs)",
                         "sum(char_sum)", "sum(digest_sum)"]),
+        ("bpe_decode_bytes", ["sum(n_match*1000000 + n_docs)",
+                              "sum(char_sum)", "sum(digest_sum)"]),
     ],
     "roundtrip_suite": [
         ("jsonl_roundtrip", ["sum(n_docs)",

@@ -42,9 +42,53 @@ EOW = "</w>"  # end-of-word marker, its own symbol (train == encode)
 UNK = "<unk>"  # reserved id 0: encode-time chars outside the alphabet
 
 
+def _bytes_unicode() -> dict[int, str]:
+    """The GPT-2 byte↔unicode bijection (Radford et al. 2019,
+    public byte-level-BPE convention): printable latin bytes map to
+    themselves, every other byte to an unused codepoint ≥ 256 —
+    yielding a 256-char alphabet with no whitespace/control chars,
+    so byte-mapped words tokenize like ordinary strings."""
+    bs = (list(range(33, 127)) + list(range(161, 173))
+          + list(range(174, 256)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_B2C = _bytes_unicode()
+_C2B = {c: b for b, c in _B2C.items()}
+# the mapping occupies codepoints up to 323; the byte-mode EOW marker
+# sits just past it, OUTSIDE the byte alphabet — the text-built
+# sentinel collision of char mode is impossible by construction
+EOW_BYTE = chr(324)
+
+
+def _to_byte_repr(word: str) -> str:
+    return "".join(_B2C[b] for b in word.encode("utf-8"))
+
+
+def _from_byte_repr(sym_text: str) -> str:
+    # errors='replace' only fires on a TRUNCATED id sequence that
+    # split a multi-byte char; complete encodings round-trip exactly
+    return bytes(_C2B.get(c, 0) for c in sym_text).decode(
+        "utf-8", errors="replace")
+
+
+def _artifact_eow(artifact: dict) -> str:
+    return EOW_BYTE if artifact.get("byte_level") else EOW
+
+
+BYTE_ALPHABET = sorted(_B2C.values())  # the FIXED 256-char base set
+
+
 def bpe_train(documents: DataFrame, n_merges: int = 200,
               sample_rows: int | None = 2048, text_col: str = "text",
-              id_col: str = "doc_id") -> dict:
+              id_col: str = "doc_id", byte_level: bool = False) -> dict:
     """Learn the committed vocabulary ARTIFACT from a deterministic
     corpus sample: ``{'merges': [(a, b), ...], 'alphabet': [chars]}``.
 
@@ -76,6 +120,19 @@ def bpe_train(documents: DataFrame, n_merges: int = 200,
     anyway so the in-memory walk is bit-reproducible across
     sessions. Parity with the sample path when the sample IS the
     corpus is pytest-pinned.
+
+    ``byte_level=True`` (r10 — the documented upgrade path, GPT-2
+    convention): words train over their utf-8 BYTES rendered through
+    the ``_bytes_unicode`` bijection, the alphabet is the FIXED
+    256-char byte set (not what the sample saw), and the word marker
+    is ``EOW_BYTE`` — a codepoint outside the byte alphabet. Two
+    consequences, both pytest-pinned: encode can never emit ``UNK``
+    (every character of every future document is spelled in bytes,
+    even ones the sample never saw), and the ``</w>``
+    sentinel-collision caveat of char mode is impossible (no text
+    byte maps to the marker). The artifact carries
+    ``byte_level: True`` so every downstream consumer (ids, counts,
+    decode) picks the mode from the artifact, not a parameter.
     """
     wc: Counter = Counter()
     if sample_rows is None:
@@ -99,12 +156,17 @@ def bpe_train(documents: DataFrame, n_merges: int = 200,
         for r in sample:
             for w in (r.t or "").split():
                 wc[w] += 1
+    if byte_level:
+        wc = Counter({_to_byte_repr(w): c for w, c in wc.items()})
+        return {"merges": _train_merges(wc, int(n_merges), EOW_BYTE),
+                "alphabet": list(BYTE_ALPHABET), "byte_level": True}
     alphabet = sorted({c for w in wc for c in w})
     return {"merges": _train_merges(wc, int(n_merges)),
             "alphabet": alphabet}
 
 
-def _train_merges(wc: Counter, n_merges: int) -> list[tuple[str, str]]:
+def _train_merges(wc: Counter, n_merges: int,
+                  eow: str = EOW) -> list[tuple[str, str]]:
     """Greedy merge loop with INCREMENTAL pair statistics (r9 —
     VERDICT r8 'What's missing' #3): the r8 loop recounted every
     pair over the whole vocabulary per merge, O(n_merges · Σ|word|),
@@ -126,7 +188,7 @@ def _train_merges(wc: Counter, n_merges: int) -> list[tuple[str, str]]:
     words: list[tuple[str, ...]] = []
     counts: list[int] = []
     for w, c in wc.items():
-        words.append(tuple(list(w) + [EOW]))
+        words.append(tuple(list(w) + [eow]))
         counts.append(c)
     stats: Counter = Counter()
     where: defaultdict = defaultdict(lambda: defaultdict(int))
@@ -228,7 +290,7 @@ def bpe_symbol_ids(artifact: dict) -> dict[str, int]:
     sorted base alphabet, then one id per merge in rank order (the
     GPT-2 vocab convention). A string produced by two different merge
     paths keeps its first id (dedupe preserves order)."""
-    syms = [UNK, EOW] + list(artifact["alphabet"]) + [
+    syms = [UNK, _artifact_eow(artifact)] + list(artifact["alphabet"]) + [
         a + b for a, b in artifact["merges"]]
     ids: dict[str, int] = {}
     for s in syms:
@@ -247,7 +309,8 @@ def bpe_save_vocab(artifact: dict, path: str) -> None:
 
     with open(path, "w") as f:
         json.dump({"merges": [list(p) for p in artifact["merges"]],
-                   "alphabet": list(artifact["alphabet"])}, f)
+                   "alphabet": list(artifact["alphabet"]),
+                   "byte_level": bool(artifact.get("byte_level"))}, f)
 
 
 def bpe_load_vocab(path: str) -> dict:
@@ -257,17 +320,21 @@ def bpe_load_vocab(path: str) -> dict:
 
     with open(path) as f:
         raw = json.load(f)
-    return {"merges": [tuple(p) for p in raw["merges"]],
-            "alphabet": list(raw["alphabet"])}
+    art = {"merges": [tuple(p) for p in raw["merges"]],
+           "alphabet": list(raw["alphabet"])}
+    if raw.get("byte_level"):
+        art["byte_level"] = True
+    return art
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]
-                ) -> list[str]:
+def encode_word(word: str, ranks: dict[tuple[str, str], int],
+                eow: str = EOW) -> list[str]:
     """Apply the merge table to one word: repeatedly merge the
     lowest-rank pair present, left-to-right within a pass (overlaps
     resolve leftmost-first). The canonical greedy-apply loop — the
-    serial twin in tests reimplements it independently."""
-    sym = list(word) + [EOW]
+    serial twin in tests reimplements it independently. Byte-mode
+    callers pass the byte-repr word and ``eow=EOW_BYTE``."""
+    sym = list(word) + [eow]
     while len(sym) > 1:
         best_rank, best_pair = None, None
         for i in range(len(sym) - 1):
@@ -293,7 +360,8 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]
 def bpe_token_count(documents: DataFrame,
                     merges: list[tuple[str, str]],
                     text_col: str = "text", id_col: str = "doc_id",
-                    carry: tuple[str, ...] = ()) -> DataFrame:
+                    carry: tuple[str, ...] = (),
+                    byte_level: bool = False) -> DataFrame:
     """Per-document BPE token count under a FROZEN merge table: one
     broadcast (the ranks dict) + one Arrow-batched map — zero
     exchange, no driver action; ``carry`` columns ride the batch
@@ -301,11 +369,13 @@ def bpe_token_count(documents: DataFrame,
     needed. Memoizes word→length per task (Zipf: the memo converges
     after the head of the distribution)."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
-    bc = documents.sparkSession.sparkContext.broadcast(ranks)
+    eow = EOW_BYTE if byte_level else EOW
+    bc = documents.sparkSession.sparkContext.broadcast(
+        (ranks, eow, byte_level))
     cols = [id_col, text_col, *carry]
 
     def run(it):
-        r = bc.value
+        r, ew, bl = bc.value
         memo: dict[str, int] = {}
         for pdf in it:
             if len(pdf) == 0:
@@ -315,7 +385,8 @@ def bpe_token_count(documents: DataFrame,
                 n = 0
                 for w in (t or "").split():
                     if w not in memo:
-                        memo[w] = len(encode_word(w, r))
+                        memo[w] = len(encode_word(
+                            _to_byte_repr(w) if bl else w, r, ew))
                     n += memo[w]
                 counts.append(n)
             out = pdf[[id_col, *carry]].copy()
@@ -351,10 +422,13 @@ def bpe_encode_ids(documents: DataFrame, artifact: dict,
     ranks = {tuple(p): i for i, p in enumerate(artifact["merges"])}
     sym_ids = bpe_symbol_ids(artifact)
     unk = sym_ids[UNK]
-    bc = documents.sparkSession.sparkContext.broadcast((ranks, sym_ids))
+    eow = _artifact_eow(artifact)
+    bl = bool(artifact.get("byte_level"))
+    bc = documents.sparkSession.sparkContext.broadcast(
+        (ranks, sym_ids, eow, bl))
 
     def run(it):
-        r, sid = bc.value
+        r, sid, ew, byte = bc.value
         memo: dict[str, list[int]] = {}
         for pdf in it:
             if len(pdf) == 0:
@@ -365,7 +439,9 @@ def bpe_encode_ids(documents: DataFrame, artifact: dict,
                 for w in (t or "").split():
                     if w not in memo:
                         memo[w] = [sid.get(s, unk)
-                                   for s in encode_word(w, r)]
+                                   for s in encode_word(
+                                       _to_byte_repr(w) if byte else w,
+                                       r, ew)]
                     ids.extend(memo[w])
                 seqs.append(ids)
             out = pdf[[id_col, *carry]].copy()
@@ -410,11 +486,13 @@ def bpe_decode_ids(encoded: DataFrame, artifact: dict,
     partial last word rather than dropping it.
     """
     inv = {i: s for s, i in bpe_symbol_ids(artifact).items()}
-    bc = encoded.sparkSession.sparkContext.broadcast(inv)
-    eow_n = len(EOW)
+    eow = _artifact_eow(artifact)
+    bl = bool(artifact.get("byte_level"))
+    bc = encoded.sparkSession.sparkContext.broadcast((inv, eow, bl))
 
     def run(it):
-        table = bc.value
+        table, ew, byte = bc.value
+        ew_n = len(ew)
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -424,14 +502,16 @@ def bpe_decode_ids(encoded: DataFrame, artifact: dict,
                 buf: list[str] = []
                 for i in ids:
                     s = table.get(int(i), UNK)
-                    if s.endswith(EOW):
-                        buf.append(s[:-eow_n])
+                    if s.endswith(ew):
+                        buf.append(s[:-ew_n])
                         words.append("".join(buf))
                         buf = []
                     else:
                         buf.append(s)
                 if buf:
                     words.append("".join(buf))
+                if byte:
+                    words = [_from_byte_repr(w) for w in words]
                 texts.append(" ".join(words))
             out = pdf[[id_col, *carry]].copy()
             out["text"] = texts
@@ -459,8 +539,9 @@ def hex8_digest_sql(strexpr: str) -> str:
         for i in range(8))
 
 
-def bpe_roundtrip(documents: DataFrame,
-                  n_merges: int = 200) -> DataFrame:
+def bpe_roundtrip(documents: DataFrame, n_merges: int = 200,
+                  byte_level: bool = False,
+                  sample_rows: int | None = None) -> DataFrame:
     """The decode-leg driver qkey: train CORPUS-EXACT, encode every
     document to ids, DECODE the ids back, and prove losslessness
     against the original corpus — per source: (n_docs, n_match,
@@ -482,8 +563,15 @@ def bpe_roundtrip(documents: DataFrame,
     Plan shape: one vocabulary-bounded word-count agg (the offline
     vocab commit), then two zero-exchange Arrow maps (encode, decode)
     and one per-source hash agg — text never shuffles.
+
+    ``byte_level=True``: the same proof WITHOUT the alphabet
+    condition — the 256-byte alphabet spells every character, so
+    losslessness holds even under a tiny ``sample_rows`` training
+    sample (the qkey uses sample_rows=64 to demonstrate exactly
+    that), and the sentinel caveat is gone (see ``bpe_train``).
     """
-    art = bpe_train(documents, n_merges, sample_rows=None)
+    art = bpe_train(documents, n_merges, sample_rows=sample_rows,
+                    byte_level=byte_level)
     src = documents.withColumn("orig", F.col("text"))
     enc = bpe_encode_ids(src, art, carry=("source", "orig"))
     dec = bpe_decode_ids(enc, art, carry=("source", "orig"))

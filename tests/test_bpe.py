@@ -529,3 +529,62 @@ def test_bpe_roundtrip_qkey_lossless(docs):
     for r in got:
         assert r.n_match == r.n_docs, r.source
         assert r.char_sum == wc[r.source], r.source
+
+
+def test_byte_level_roundtrip_tiny_sample_exotic_text(spark):
+    """Byte mode's two closed caveats in one: a 2-doc training
+    sample, then decode of documents carrying (a) characters the
+    sample NEVER saw (unicode beyond the alphabet — char mode would
+    emit UNK) and (b) the literal </w> sentinel — both round-trip
+    exactly, because the 256-byte alphabet spells everything and the
+    byte-mode marker sits outside it."""
+    train = spark.createDataFrame(
+        [(1, "plain ascii text here"), (2, "more plain words")],
+        "doc_id long, text string")
+    art = B.bpe_train(train, n_merges=10, sample_rows=None,
+                      byte_level=True)
+    assert art["byte_level"] and len(art["alphabet"]) == 256
+    probe = spark.createDataFrame(
+        [(7, "naïve café über łódź 東京"),
+         (8, "a</w>b literal </w> marker"),
+         (9, "emoji \U0001F600 and ascii")],
+        "doc_id long, text string")
+    enc = B.bpe_encode_ids(probe, art)
+    got = {r.doc_id: r.text
+           for r in B.bpe_decode_ids(enc, art).collect()}
+    assert got[7] == "naïve café über łódź 東京"
+    assert got[8] == "a</w>b literal </w> marker"
+    assert got[9] == "emoji \U0001F600 and ascii"
+    # and no UNK id (0) anywhere — bytes spell every character
+    assert enc.filter(F.array_contains("ids", 0)).count() == 0
+
+
+def test_byte_level_counts_and_vocab_roundtrip(docs, tmp_path):
+    """Byte-mode artifact lifecycle: save/load preserves the mode
+    flag, token counts agree between the count and ids paths, and
+    the serial python twin reproduces the per-word encoding."""
+    art = B.bpe_train(docs, n_merges=30, byte_level=True)
+    path = str(tmp_path / "bytes.json")
+    B.bpe_save_vocab(art, path)
+    art2 = B.bpe_load_vocab(path)
+    assert art2["byte_level"] and art2["merges"] == art["merges"]
+    cnt = {r.doc_id: r.n_tokens for r in B.bpe_token_count(
+        docs, art["merges"], byte_level=True).collect()}
+    ids = {r.doc_id: len(r.ids)
+           for r in B.bpe_encode_ids(docs, art2).collect()}
+    assert cnt == ids
+    ranks = {tuple(p): i for i, p in enumerate(art["merges"])}
+    [r] = docs.select("doc_id", "text").limit(1).collect()
+    want = sum(len(B.encode_word(B._to_byte_repr(w), ranks,
+                                 B.EOW_BYTE))
+               for w in (r.text or "").split())
+    assert cnt[r.doc_id] == want
+
+
+def test_byte_mapping_is_a_bijection():
+    assert len(B._B2C) == 256
+    assert len(set(B._B2C.values())) == 256
+    assert all(B._C2B[c] == b for b, c in B._B2C.items())
+    # the byte-mode marker sits outside the mapped codepoint range
+    assert B.EOW_BYTE not in B._C2B
+    assert max(ord(c) for c in B._B2C.values()) < ord(B.EOW_BYTE)
