@@ -594,7 +594,7 @@ _QKEY_ORDER = [
     "text_token_stats", "vocab_topk", "ngram_topk", "scrub_text",
     "winnow_fingerprints",
     "repetition_stats", "tfidf_topk", "text_quality", "lang_id",
-    "lang_confusion", "dataset_manifest",
+    "lang_confusion", "dataset_manifest", "score_drift",
     "doc_fingerprint", "token_count", "length_profile",
     "boilerplate_score", "quality_filter", "quality_deciles",
     "unigram_logprob", "bigram_logprob", "compression_profile",
@@ -632,7 +632,7 @@ _QKEY_ORDER = [
     "pipeline_scrub_mixture", "pipeline_daily_ingest",
     "pipeline_curate", "pipeline_pretrain",
     # similarity / ANN
-    "label_centroids",
+    "label_centroids", "pool_embeddings",
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivfpq_topk", "dedup_embedding",
     "dedup_embedding_ivf", "dedup_embedding_ivf_incremental",
@@ -1057,6 +1057,22 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "lineitem"), load_table(s, d, "part")),
         "label_centroids": lambda s, d: SIM.label_centroids(
             load_table(s, d, "embeddings")),
+        # chunk→doc embedding pooling (RAG corpus build): one wide
+        # map-side-combinable agg, dim scalar avgs reassembled into
+        # the array AFTER the agg — no explode, no Python (r10)
+        "pool_embeddings": lambda s, d: SIM.pool_embeddings(
+            load_table(s, d, "embeddings"),
+            F.pmod(F.col("vec_id"), F.lit(50)).cast("long")),
+        # PSI drift monitor: archive-quantile buckets, add-one
+        # smoothing, per-bucket floor-micro terms (r10). Archive =
+        # doc_id % 7 != 0, batch = the % 7 == 0 ingest slice — the
+        # family's incremental-screen convention
+        "score_drift": lambda s, d: (lambda docs: AU.score_drift(
+            docs.filter("doc_id % 7 != 0"),
+            docs.filter("doc_id % 7 = 0"),
+            __import__("parallel_svms_spark.operators.text",
+                       fromlist=["x"]).quality_cols("text")[3]))(
+            load_table(s, d, "documents")),
         "sales_cube": lambda s, d: AN.sales_cube(
             load_table(s, d, "lineitem")),
         "profile_table": lambda s, d: AN.profile_table(
@@ -2098,6 +2114,31 @@ SELECT status, count(*) AS n_keys FROM j GROUP BY 1
 """,
         # exact integer-scaled component sums (see
         # similarity.label_centroids determinism contract)
+        # pool_embeddings: per-index UNNEST + AVG, LIST(ORDER BY i)
+        # reassembly — value-identical at the 6 dp rounding (≤ group-
+        # size double sums; association-order error ~1e-15)
+        "pool_embeddings": """
+WITH e AS (
+  SELECT vec_id % 50 AS group_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings
+), x AS (
+  SELECT group_id,
+         UNNEST([struct_pack(i := i, val := v[i])
+                 FOR i IN range(1, len(v) + 1)]) AS s
+  FROM e
+), p AS (
+  SELECT group_id, s.i AS i, ROUND(AVG(s.val), 6) AS m
+  FROM x GROUP BY group_id, s.i
+), n AS (
+  SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM e GROUP BY group_id
+)
+SELECT p.group_id, n.n_members, LIST(m ORDER BY i) AS pooled,
+       CAST(SUM(CAST(FLOOR(m * 100000) AS BIGINT)) AS BIGINT)
+         AS comp_floor_sum
+FROM p JOIN n USING (group_id)
+GROUP BY p.group_id, n.n_members
+""",
         "label_centroids": """
 WITH ex AS (
   SELECT label, unnest(embedding) AS v,
@@ -2686,6 +2727,50 @@ FROM q
         # the release datasheet: same conditional aggregates under
         # DuckDB's ROLLUP; distinct-text count is the ground truth the
         # engine's digest count must equal
+        # score_drift: the text_quality score CTE verbatim, archive
+        # quantile_cont edges (bit-matches Spark percentile — the
+        # length_profile precedent), identical s<=edge buckets,
+        # add-one-smoothed PSI terms floored at micro precision
+        "score_drift": f"""
+WITH y AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         CAST(length(text) - len(string_split(text, ' ')) + 1
+              AS DOUBLE) / len(string_split(text, ' ')) AS mtl
+  FROM documents
+), q AS (
+  SELECT doc_id,
+    ROUND(0.4 * (CASE WHEN len(t) BETWEEN 10 AND 100000
+                      THEN 1.0 ELSE 0.0 END)
+        + 0.3 * ROUND(CAST(len(list_intersect(list_distinct(t),
+              ['the', 'and', 'of', 'to', 'a', 'in', 'is', 'that']))
+              AS DOUBLE) / 8, 6)
+        + 0.3 * (CASE WHEN mtl >= 2.0 AND mtl <= 12.0
+                      THEN 1.0 ELSE 0.0 END), 6) AS s
+  FROM y
+), a AS (SELECT s FROM q WHERE doc_id % 7 <> 0),
+b AS (SELECT s FROM q WHERE doc_id % 7 = 0),
+e AS (SELECT quantile_cont(s,
+        [{', '.join(str((i + 1) / 10) for i in range(9))}]) AS arr
+      FROM a),
+ab AS (SELECT {' '.join(['CASE'] + [f'WHEN s <= arr[{i + 1}] THEN {i}' for i in range(9)] + ['ELSE 9 END AS bucket'])} FROM a, e),
+bb AS (SELECT {' '.join(['CASE'] + [f'WHEN s <= arr[{i + 1}] THEN {i}' for i in range(9)] + ['ELSE 9 END AS bucket'])} FROM b, e),
+spine AS (SELECT UNNEST(range(10)) AS bucket),
+ca AS (SELECT bucket, COUNT(*) AS na FROM ab GROUP BY bucket),
+cb AS (SELECT bucket, COUNT(*) AS nb FROM bb GROUP BY bucket),
+j AS (SELECT spine.bucket, COALESCE(na, 0) AS na,
+             COALESCE(nb, 0) AS nb
+      FROM spine LEFT JOIN ca USING (bucket)
+      LEFT JOIN cb USING (bucket)),
+t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM j)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(na AS BIGINT) AS n_archive,
+       CAST(nb AS BIGINT) AS n_batch,
+       CAST(FLOOR(((na + 1.0) / (ta + 10.0) - (nb + 1.0) / (tb + 10.0))
+            * LN(((na + 1.0) / (ta + 10.0))
+                 / ((nb + 1.0) / (tb + 10.0))) * 1000000)
+            AS BIGINT) AS psi_micro
+FROM j, t
+""",
         "dataset_manifest": """
 SELECT CASE WHEN GROUPING(source) = 1 THEN '__all__'
             ELSE COALESCE(source, '__null__') END AS source,
@@ -4775,6 +4860,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
          ["sum(doc_id)", "sum(cast(floor(quality*100000) as bigint))",
           _rowhash("doc_id*1000000 + "
                    "cast(floor(q_norm*100000) as bigint)")]),
+        ("score_drift",
+         ["sum(n_archive*1000 + n_batch)", "sum(psi_micro)",
+          _rowhash("bucket*100000000 + n_archive*10000 + n_batch")]),
     ],
     "lm_suite": [
         ("unigram_logprob", ["sum(doc_id*n_tokens)",
@@ -5033,6 +5121,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
           _rowhash("vec_a*100000 + vec_b")]),
         ("label_centroids", ["sum(label*dim)", "sum(sum_scaled)",
                              "sum(n)"]),
+        ("pool_embeddings",
+         ["sum(group_id*n_members)", "sum(comp_floor_sum)",
+          _rowhash("group_id*1000000 + n_members*1000 "
+                   "+ comp_floor_sum")]),
     ],
     # HLL/t-digest sketches are engine-specific approximations, so no
     # recomputing SQL oracle can exist — but the estimates ARE

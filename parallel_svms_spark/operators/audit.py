@@ -199,3 +199,65 @@ def dataset_manifest(documents: DataFrame,
                     F.expr("(n_docs - n_null_text - n_distinct_texts)"
                            " * 1000000 DIV n_docs").cast("long")
                     .alias("dup_ppm")))
+
+
+def score_drift(archive: DataFrame, batch: DataFrame, score,
+                k: int = 10) -> DataFrame:
+    """Population Stability Index between the ARCHIVE and an ingest
+    BATCH distribution of any per-row score — the drift monitor run
+    before trusting a frozen filter/classifier threshold on day-N
+    data: (bucket, n_archive, n_batch, psi_micro), where bucket
+    edges are the archive's own k-quantiles and psi_micro =
+    ⌊(pᵢ−qᵢ)·ln(pᵢ/qᵢ)·10⁶⌋ per bucket (sum the column for the
+    headline PSI; the banking-scorecard convention reads < 0.1 as
+    stable, > 0.25 as act).
+
+    ``score`` is a Column expression evaluated identically on both
+    frames (the shared-expression discipline: pass
+    ``text.quality_cols()[3]`` or ``clf_score`` — drift monitoring
+    composes with any scorer). Buckets are the archive's exact
+    interior quantiles (one driver-collected k−1-float row, the
+    ivf_centroids pattern; ``approx_percentile`` is the documented
+    billion-row swap) with ``s ≤ edge`` tie semantics; add-one
+    smoothing keeps every bucket's probability finite so PSI is
+    defined even where a bucket empties — and the smoothed ratios
+    are exact rationals, so both engines divide the same integers.
+
+    Plan shape: two map-side-combinable bucket-count aggs (k-row
+    outputs), a k-row spine join so empty buckets surface as zeros,
+    and a 1-row totals reattach (the adjudicated 1-row-build
+    BroadcastNestedLoop class) — nothing beyond the two scans ever
+    exceeds k rows.
+    """
+    k = int(k)
+    edges = archive.agg(F.percentile(
+        score, F.lit([i / k for i in range(1, k)])).alias("e")
+    ).first()["e"]
+
+    def bucket(s):
+        b = F.lit(k - 1)
+        for i in reversed(range(k - 1)):
+            b = F.when(s <= F.lit(float(edges[i])), F.lit(i)) \
+                 .otherwise(b)
+        return b.cast("int")
+
+    spine = (archive.sparkSession.range(k)
+             .select(F.col("id").cast("int").alias("bucket")))
+    ca = (archive.select(bucket(score).alias("bucket"))
+          .groupBy("bucket").agg(F.count("*").alias("n_archive")))
+    cb = (batch.select(bucket(score).alias("bucket"))
+          .groupBy("bucket").agg(F.count("*").alias("n_batch")))
+    j = (spine.join(ca, "bucket", "left").join(cb, "bucket", "left")
+         .select("bucket",
+                 F.coalesce("n_archive", F.lit(0)).alias("n_archive"),
+                 F.coalesce("n_batch", F.lit(0)).alias("n_batch")))
+    tot = j.agg(F.sum("n_archive").alias("ta"),
+                F.sum("n_batch").alias("tb"))
+    p = (F.col("n_archive") + 1.0) / (F.col("ta") + F.lit(float(k)))
+    q = (F.col("n_batch") + 1.0) / (F.col("tb") + F.lit(float(k)))
+    return (j.crossJoin(tot)
+            .select("bucket",
+                    F.col("n_archive").cast("long").alias("n_archive"),
+                    F.col("n_batch").cast("long").alias("n_batch"),
+                    F.floor((p - q) * F.log(p / q) * 1e6)
+                    .cast("long").alias("psi_micro")))

@@ -848,3 +848,55 @@ def label_centroids(embeddings: DataFrame,
             .agg(F.sum(F.floor(F.col("v").cast("double") * 1000000)
                        .cast("long")).alias("sum_scaled"),
                  F.count("*").alias("n")))
+
+
+def pool_embeddings(vectors: DataFrame, group_col,
+                    vec_col: str = "embedding", dim: int = 64,
+                    mode: str = "mean") -> DataFrame:
+    """Pool member vectors to one vector per group — the
+    chunk-embeddings→document-embedding (or token→sentence) step of
+    every RAG / retrieval corpus build: (group_id, n_members,
+    pooled ARRAY<DOUBLE>), components rounded to 6 dp.
+
+    ``mode='mean'`` (default) or ``'max'`` (element-wise).
+
+    Plan shape — the part that matters at 100 TB: ONE map-side-
+    combinable hash aggregation with ``dim`` scalar agg expressions
+    (`avg(v[0])..avg(v[d-1])`) reassembled into the array AFTER the
+    agg. The naive formulation (posexplode to (group, dim_ix, val)
+    rows, or collect_list of whole vectors then a driver/UDF fold)
+    ships dim× rows — 64× the exchange — or unbounded per-group
+    state; this one exchanges exactly one (sum, count) pair per
+    dimension per group partial, the same partial-agg shape as any
+    wide rollup, no explode, no window, no Python. ``dim`` is a
+    static argument because the agg expressions must be fixed at
+    plan time (embedding width is schema, not data — pass the real
+    width; a mismatch fails loudly on the out-of-range getItem).
+
+    DuckDB oracle: UNNEST the components with their index, per-index
+    AVG/MAX, LIST(... ORDER BY i) reassembly — value-identical at
+    the 6 dp rounding (sums of ≤ group-size doubles; association
+    order differences sit ~1e-15, far under the rounding).
+    """
+    if mode == "mean":
+        agg1 = lambda c: F.avg(c)  # noqa: E731
+    elif mode == "max":
+        agg1 = lambda c: F.max(c)  # noqa: E731
+    else:
+        raise ValueError(f"unknown pooling mode: {mode!r}")
+    v = F.col(vec_col)
+    aggs = [F.round(agg1(v.getItem(i).cast("double")), 6)
+            .alias(f"_p{i}") for i in range(int(dim))]
+    g = (vectors.select(group_col.alias("group_id"), vec_col)
+         .groupBy("group_id")
+         .agg(F.count("*").alias("n_members"), *aggs))
+    pooled = F.array(*[F.col(f"_p{i}") for i in range(int(dim))])
+    # scalar companion of the array (Σ⌊cᵢ·10⁵⌋): suite digests are
+    # SQL evaluated by BOTH engines, whose array indexing differs
+    # (0- vs 1-based) — a scalar column sidesteps the divergence
+    # while pinning every component through the hash
+    comp = F.aggregate(
+        pooled, F.lit(0).cast("long"),
+        lambda a, x: a + F.floor(x * 100000).cast("long"))
+    return g.select("group_id", "n_members", pooled.alias("pooled"),
+                    comp.alias("comp_floor_sum"))

@@ -10,6 +10,9 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
+from parallel_svms_spark.io.sources import load_table
 from parallel_svms_spark.operators.audit import validate_constraints
 
 
@@ -154,3 +157,52 @@ def test_dataset_manifest_null_source_and_lang_col(spark, sf_dir):
     cus = {r.source: r for r in AU.dataset_manifest(
         ren, lang_col="language").collect()}
     assert cus["__all__"].n_langs == rows["__all__"].n_langs
+
+
+def test_score_drift_identical_distributions_zero(spark, sf_dir):
+    """batch == archive ⇒ every smoothed p equals q ⇒ every PSI term
+    is exactly 0 (not merely small)."""
+    from parallel_svms_spark.operators.audit import score_drift
+    from parallel_svms_spark.operators.text import quality_cols
+    docs = load_table(spark, sf_dir, "documents")
+    score = quality_cols("text")[3]
+    rows = score_drift(docs, docs, score, k=10).collect()
+    assert len(rows) == 10
+    assert all(r.psi_micro == 0 for r in rows)
+    assert sum(r.n_archive for r in rows) == docs.count()
+
+
+def test_score_drift_detects_shift(spark):
+    """A shifted batch distribution must light up: archive uniform on
+    [0, 100), batch concentrated high — headline PSI far above the
+    0.25 'act' convention; buckets partition both sides."""
+    from parallel_svms_spark.operators.audit import score_drift
+    a = spark.range(1000).select(
+        (F.col("id") % 100).cast("double").alias("v"))
+    b = spark.range(200).select(
+        (90 + F.col("id") % 10).cast("double").alias("v"))
+    rows = score_drift(a, b, F.col("v"), k=10).collect()
+    assert sum(r.n_archive for r in rows) == 1000
+    assert sum(r.n_batch for r in rows) == 200
+    assert sum(r.psi_micro for r in rows) > 250_000  # PSI > 0.25
+    # the high-score bucket carries the batch mass
+    top = max(rows, key=lambda r: r.bucket)
+    assert top.n_batch == 200
+
+
+def test_score_drift_clf_score_composes(spark, sf_dir):
+    """Drift monitoring composes with the classifier scorer: the
+    frozen artifact's clf_score column drifts like any score — the
+    MLOps loop (train day-0, monitor day-N) closes."""
+    from parallel_svms_spark.ml.quality import (score_quality,
+                                                train_quality_classifier)
+    from parallel_svms_spark.operators.audit import score_drift
+    docs = load_table(spark, sf_dir, "documents")
+    art = train_quality_classifier(docs, dim=32, sample_rows=128)
+    scored = score_quality(docs, art)
+    rows = score_drift(scored.filter("doc_id % 2 = 0"),
+                       scored.filter("doc_id % 2 = 1"),
+                       F.col("clf_score"), k=5).collect()
+    assert len(rows) == 5
+    # even/odd halves of the same corpus: no real drift
+    assert abs(sum(r.psi_micro for r in rows)) < 100_000

@@ -455,3 +455,60 @@ def test_cluster_balanced_sample_quota_and_equivalence(emb):
     again = {(r.vec_id, r.ivf_list) for r in
              S.cluster_balanced_sample(emb, per_list=per_list).collect()}
     assert again == ref
+
+
+def test_pool_embeddings_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from parallel_svms_spark.operators import similarity as SIM
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.group_id: (r.n_members, r.pooled, r.comp_floor_sum)
+           for r in SIM.pool_embeddings(
+               emb, F.pmod(F.col("vec_id"), F.lit(7)).cast("long"),
+               dim=64).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.vec_id % 7, []).append(
+            np.asarray(r.embedding, dtype=np.float64))
+    assert set(got) == set(groups)
+    for g, vecs in groups.items():
+        n, pooled, cfs = got[g]
+        assert n == len(vecs)
+        want = np.round(np.mean(np.stack(vecs), axis=0), 6)
+        assert np.allclose(np.asarray(pooled), want, atol=1e-9)
+        assert cfs == int(sum(int(np.floor(p * 100000)) for p in pooled))
+
+
+def test_pool_embeddings_max_mode_and_bad_mode(spark, sf_dir):
+    import numpy as np
+
+    from parallel_svms_spark.operators import similarity as SIM
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.group_id: r.pooled for r in SIM.pool_embeddings(
+        emb, F.pmod(F.col("vec_id"), F.lit(5)).cast("long"),
+        dim=64, mode="max").collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r.vec_id % 5, []).append(
+            np.asarray(r.embedding, dtype=np.float64))
+    for g, vecs in groups.items():
+        want = np.round(np.max(np.stack(vecs), axis=0), 6)
+        assert np.allclose(np.asarray(got[g]), want, atol=1e-9)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        SIM.pool_embeddings(emb, F.col("vec_id"), mode="median")
+
+
+def test_pool_embeddings_plan_one_agg_no_explode(spark, sf_dir):
+    """The scale claim: dim scalar aggs in ONE hash aggregation — no
+    Generate (explode), no Python, exactly one exchange."""
+    from parallel_svms_spark.operators import similarity as SIM
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = (SIM.pool_embeddings(
+            emb, F.pmod(F.col("vec_id"), F.lit(7)).cast("long"))
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Generate" not in p
+    assert "MapInPandas" not in p and "ArrowEval" not in p
+    assert p.count("Exchange") == 1
