@@ -379,3 +379,20 @@ def test_mixture_sample_tokens_one_range_exchange(docs):
     assert "Window" not in p
     assert "Exchange rangepartitioning" not in p  # consumed pre-checkpoint
     assert "Exchange hashpartitioning" not in p
+
+
+def test_score_drift_bnlj_is_one_row_totals(spark, docs):
+    """The PSI monitor's only BroadcastNestedLoopJoin is the 1-row
+    totals reattach (the adjudicated heavy_keys / unigram_logprob
+    class): its build subtree is the groupless SUM over the k-row
+    bucket spine — provably one row — and the probe side is the
+    k-row spine itself, so the nested loop touches k rows total."""
+    from parallel_svms_spark.operators.audit import score_drift
+    from parallel_svms_spark.operators.text import quality_cols
+    df = score_drift(docs.filter("doc_id % 7 != 0"),
+                     docs.filter("doc_id % 7 = 0"),
+                     quality_cols("text")[3], k=10)
+    p = phys(df)
+    assert "CartesianProduct" not in p
+    if "BroadcastNestedLoopJoin" in p:
+        assert "sum(n_archive" in p  # the 1-row totals build side
