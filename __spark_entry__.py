@@ -616,7 +616,7 @@ _QKEY_ORDER = [
     "pack_sequences",
     "sample_stratified", "sample_uniform", "sample_weighted",
     "sample_cluster_balanced",
-    "dataset_split", "split_by_cluster",
+    "dataset_split", "split_by_cluster", "kfold_by_cluster",
     "chunk_documents", "cv_folds", "padding_stats", "pack_chunks",
     "dedup_editdist", "editdist_passjoin", "editdist_passjoin_incremental",
     "simjoin_candidates", "dedup_minhash", "dedup_minhash_incremental",
@@ -632,7 +632,7 @@ _QKEY_ORDER = [
     "pipeline_scrub_mixture", "pipeline_daily_ingest",
     "pipeline_curate", "pipeline_pretrain",
     # similarity / ANN
-    "label_centroids", "pool_embeddings",
+    "label_centroids", "pool_embeddings", "quantize_embeddings",
     "topk_cosine", "topk_batch", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_ivfpq_topk", "dedup_embedding",
     "dedup_embedding_ivf", "dedup_embedding_ivf_incremental",
@@ -855,6 +855,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # memorized-eval pathology; r10)
         "split_by_cluster": lambda s, d: SH.split_by_cluster(
             load_table(s, d, "documents")),
+        # the CV twin of split_by_cluster: fold coin keyed on the
+        # cluster rep so validation never scores a near-dup of a
+        # training doc (r10)
+        "kfold_by_cluster": lambda s, d: SH.kfold_by_cluster(
+            load_table(s, d, "documents")),
         "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "dedup_minhash": lambda s, d: D.minhash_near_dups(
@@ -1063,6 +1068,10 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pool_embeddings": lambda s, d: SIM.pool_embeddings(
             load_table(s, d, "embeddings"),
             F.pmod(F.col("vec_id"), F.lit(50)).cast("long")),
+        # int8 scalar quantization with the reconstruction error
+        # pinned through the hash (r10)
+        "quantize_embeddings": lambda s, d: SIM.quantize_embeddings(
+            load_table(s, d, "embeddings")),
         # PSI drift monitor: archive-quantile buckets, add-one
         # smoothing, per-bucket floor-micro terms (r10). Archive =
         # doc_id % 7 != 0, batch = the % 7 == 0 ingest slice — the
@@ -2138,6 +2147,38 @@ SELECT p.group_id, n.n_members, LIST(m ORDER BY i) AS pooled,
          AS comp_floor_sum
 FROM p JOIN n USING (group_id)
 GROUP BY p.group_id, n.n_members
+""",
+        # quantize_embeddings: per-dim min/max computed IN SQL, the
+        # identical floor(x + 0.5) code rule and floored error
+        # micros — codes and reconstruction error bit-match because
+        # both engines run (v-mn)/((mx-mn)/255.0) on the same doubles
+        "quantize_embeddings": """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT vec_id,
+         UNNEST([struct_pack(i := i, val := v[i])
+                 FOR i IN range(1, len(v) + 1)]) AS s
+  FROM e
+), mm AS (
+  SELECT s.i AS i, MIN(s.val) AS mn, MAX(s.val) AS mx
+  FROM x GROUP BY s.i
+), c AS (
+  SELECT vec_id, x.s.i AS i,
+         CASE WHEN mx = mn THEN 0
+              ELSE CAST(FLOOR((x.s.val - mn) / ((mx - mn) / 255.0)
+                              + 0.5) AS INT) END AS code,
+         CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR(ABS(mn + CAST(FLOOR((x.s.val - mn)
+                   / ((mx - mn) / 255.0) + 0.5) AS BIGINT)
+                   * ((mx - mn) / 255.0) - x.s.val) * 1000000)
+                   AS BIGINT) END AS errm
+  FROM x JOIN mm ON mm.i = x.s.i
+)
+SELECT vec_id, LIST(code ORDER BY i) AS codes,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       CAST(SUM(errm) AS BIGINT) AS err_micro_sum
+FROM c GROUP BY vec_id
 """,
         "label_centroids": """
 WITH ex AS (
@@ -3343,6 +3384,24 @@ SELECT doc_id, cluster_rep,
             WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 8)
                  < 'f3333333' THEN 'valid'
             ELSE 'test' END AS split
+FROM ({_DEDUP_CLUSTERS_ORACLE}) c
+""",
+        # kfold_by_cluster: the reachability CTE with the kfold CASE
+        # on cluster_rep — the split_by_cluster composition applied
+        # to the CV carve (thresholds = _rate_threshold_hex(i/5),
+        # literal-equality pinned for cv_folds)
+        "kfold_by_cluster": f"""
+SELECT doc_id, cluster_rep,
+       CAST(CASE
+         WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 8)
+              < '33333333' THEN 0
+         WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 8)
+              < '66666666' THEN 1
+         WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 8)
+              < '99999999' THEN 2
+         WHEN substring(md5(CAST(cluster_rep AS VARCHAR)), 1, 8)
+              < 'cccccccc' THEN 3
+         ELSE 4 END AS BIGINT) AS fold
 FROM ({_DEDUP_CLUSTERS_ORACLE}) c
 """,
         # chunk_documents: identical inclusive-stop stride walk —
@@ -5073,6 +5132,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
           _rowhash("doc_id*10000 + cluster_rep*10 + (case split "
                    "when 'train' then 0 when 'valid' then 1 "
                    "else 2 end)")]),
+        ("kfold_by_cluster",
+         ["sum(doc_id + fold)", "sum(cluster_rep*fold)",
+          _rowhash("doc_id*10000 + cluster_rep*10 + fold")]),
         ("chunk_documents", ["sum(doc_id)", "sum(n_chunk_chars)",
                              _rowhash("doc_id*1000 + chunk_ix")]),
         ("cv_folds", ["sum(fold*n_rows)", "sum(n_rows)",
@@ -5125,6 +5187,9 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
          ["sum(group_id*n_members)", "sum(comp_floor_sum)",
           _rowhash("group_id*1000000 + n_members*1000 "
                    "+ comp_floor_sum")]),
+        ("quantize_embeddings",
+         ["sum(vec_id + code_sum)", "sum(err_micro_sum)",
+          _rowhash("vec_id*100000 + code_sum + err_micro_sum")]),
     ],
     # HLL/t-digest sketches are engine-specific approximations, so no
     # recomputing SQL oracle can exist — but the estimates ARE

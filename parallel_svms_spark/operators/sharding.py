@@ -903,3 +903,28 @@ def mixture_sample_tokens(documents: DataFrame,
             .mapInPandas(sample,
                          schema=f"{id_col} {id_type}, source string, "
                                 f"n_tokens long"))
+
+
+def kfold_by_cluster(documents: DataFrame, k: int = 5,
+                     dedup_k: int = 3, threshold: float = 0.5,
+                     max_doc_freq: int | None = 1000,
+                     salt: str = "") -> DataFrame:
+    """Leakage-safe cross-validation carve: ``kfold_assign``'s
+    hash-interval coin keyed on the NEAR-DUP CLUSTER REPRESENTATIVE
+    — (doc_id, cluster_rep, fold) — so a validation fold never scores
+    a near-duplicate of a training fold's document (the CV estimate
+    inflation twin of the ``split_by_cluster`` train/test leak; a
+    per-doc coin deals cluster members independently and a size-m
+    cluster crosses folds with probability 1 − k·(1/k)^m).
+
+    All of ``split_by_cluster``'s contracts carry over verbatim:
+    no-straddle by construction, day-N members inherit their
+    cluster's standing fold, singletons keep their own-coin fate,
+    zero exchange beyond the propagation. Oracle = the reachability
+    CTE with the kfold CASE on ``cluster_rep``.
+    """
+    from parallel_svms_spark.operators.dedup import dedup_clusters
+
+    reps = dedup_clusters(documents, k=dedup_k, threshold=threshold,
+                          max_doc_freq=max_doc_freq)
+    return kfold_assign(reps, k, id_col="cluster_rep", salt=salt)

@@ -900,3 +900,75 @@ def pool_embeddings(vectors: DataFrame, group_col,
         lambda a, x: a + F.floor(x * 100000).cast("long"))
     return g.select("group_id", "n_members", pooled.alias("pooled"),
                     comp.alias("comp_floor_sum"))
+
+
+def quantize_embeddings(embeddings: DataFrame, dim: int = 64,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the 4×
+    memory cut (float32 → uint8 codes) that lets an ANN index serve
+    from RAM at corpus scale (the FAISS ``SQ8`` baseline; PQ, already
+    implemented, is the more aggressive codebook cousin): per
+    DIMENSION d, code = ⌊(v − min_d)/scale_d + ½⌋ with scale_d =
+    (max_d − min_d)/255, so codes span [0, 255] exactly.
+
+    Output: (id, codes ARRAY<INT>, code_sum, err_micro_sum) where
+    ``code_sum`` = Σ codes (the scalar suite-digest companion, the
+    pool_embeddings convention) and ``err_micro_sum`` =
+    Σ_d ⌊|dequant_d − v_d|·10⁶⌋ pins the RECONSTRUCTION error of
+    every component through the hash — the qkey doesn't just claim
+    codes, it claims how lossy they are.
+
+    Plan shape: ONE map-side-combinable params agg (2·dim scalar
+    min/max — a 1-row driver collect, the ivf_centroids committed-
+    params pattern), then a zero-exchange narrow projection with the
+    params inlined as literals — quantizing 100 TB is a scan.
+    Constant dimensions (max == min) code to 0 and dequantize to the
+    constant, exactly.
+
+    Engine parity, the part that makes a REAL SQL oracle possible:
+    ``floor(x + 0.5)`` instead of round() (HALF_UP vs banker's
+    rounding diverge between engines), and both engines compute
+    (v − min)/((max − min)/255.0) over the identical doubles, so
+    codes — and the floored error micros — bit-match.
+    """
+    v = lambda i: F.col(vec_col).getItem(i).cast("double")  # noqa: E731
+    params = embeddings.agg(
+        *[F.min(v(i)).alias(f"mn{i}") for i in range(int(dim))],
+        *[F.max(v(i)).alias(f"mx{i}") for i in range(int(dim))]
+    ).first()
+    mn = [float(params[f"mn{i}"]) for i in range(int(dim))]
+    sc = [(float(params[f"mx{i}"]) - mn[i]) / 255.0
+          for i in range(int(dim))]
+
+    def code(i):
+        if sc[i] == 0.0:
+            return F.lit(0)
+        return F.floor((v(i) - F.lit(mn[i])) / F.lit(sc[i]) + 0.5) \
+                .cast("int")
+
+    def err(i):
+        deq = (F.lit(mn[i]) + code(i).cast("double") * F.lit(sc[i])
+               if sc[i] != 0.0 else F.lit(mn[i]))
+        return F.floor(F.abs(deq - v(i)) * 1e6).cast("long")
+
+    codes = F.array(*[code(i) for i in range(int(dim))])
+    code_sum = sum([code(i).cast("long") for i in range(int(dim))],
+                   F.lit(0).cast("long"))
+    err_sum = sum([err(i) for i in range(int(dim))],
+                  F.lit(0).cast("long"))
+    return embeddings.select(
+        F.col(id_col), codes.alias("codes"),
+        code_sum.alias("code_sum"), err_sum.alias("err_micro_sum"))
+
+
+def dequantize_expr(codes_col, mn: list[float], sc: list[float]):
+    """The inverse as a Column: codes ARRAY<INT> → ARRAY<DOUBLE>
+    under the committed (min, scale) params — broadcast-literal
+    arithmetic, the scoring path of a quantized index."""
+    mn_arr = F.array(*[F.lit(m) for m in mn])
+    sc_arr = F.array(*[F.lit(s) for s in sc])
+    return F.zip_with(
+        F.zip_with(codes_col, sc_arr, lambda c, s:
+                   c.cast("double") * s),
+        mn_arr, lambda x, m: x + m)

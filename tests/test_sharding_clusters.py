@@ -326,3 +326,21 @@ def test_split_by_cluster_day_n_member_inherits(spark):
     for d in (10, 20, 30):
         assert s2[d] == s1[d], d  # standing docs never re-dealt
     assert s2[99] == s2[10]  # the newcomer inherits, not re-deals
+
+
+def test_kfold_by_cluster_never_crosses_folds(spark, docs):
+    got = SH.kfold_by_cluster(docs, k=5)
+    bad = (got.groupBy("cluster_rep")
+           .agg(F.countDistinct("fold").alias("n"))
+           .filter("n > 1").count())
+    assert bad == 0
+    rows = got.collect()
+    assert len(rows) == docs.count()
+    assert {r.fold for r in rows} <= set(range(5))
+    pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    fa = got.select(F.col("doc_id").alias("doc_a"),
+                    F.col("fold").alias("fold_a"))
+    fb = got.select(F.col("doc_id").alias("doc_b"),
+                    F.col("fold").alias("fold_b"))
+    assert (pairs.join(fa, "doc_a").join(fb, "doc_b")
+            .filter("fold_a <> fold_b").count()) == 0
