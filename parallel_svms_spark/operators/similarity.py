@@ -932,6 +932,17 @@ def quantize_embeddings(embeddings: DataFrame, dim: int = 64,
     (v − min)/((max − min)/255.0) over the identical doubles, so
     codes — and the floored error micros — bit-match.
     """
+    p = quant_params(embeddings, dim, vec_col)
+    return quantize_with(embeddings, p, vec_col, id_col)
+
+
+def quant_params(embeddings: DataFrame, dim: int = 64,
+                 vec_col: str = "embedding") -> dict:
+    """Commit the quantizer ARTIFACT: ``{'mn': [...], 'sc': [...]}``
+    from one map-side-combinable min/max agg — the params a day-N
+    batch must encode under so archived codes stay comparable (a
+    re-derived range would silently re-scale every new code). A few
+    hundred bytes; persist as JSON like the BPE vocab / classifier."""
     v = lambda i: F.col(vec_col).getItem(i).cast("double")  # noqa: E731
     params = embeddings.agg(
         *[F.min(v(i)).alias(f"mn{i}") for i in range(int(dim))],
@@ -940,12 +951,35 @@ def quantize_embeddings(embeddings: DataFrame, dim: int = 64,
     mn = [float(params[f"mn{i}"]) for i in range(int(dim))]
     sc = [(float(params[f"mx{i}"]) - mn[i]) / 255.0
           for i in range(int(dim))]
+    return {"mn": mn, "sc": sc}
+
+
+def quantize_with(embeddings: DataFrame, params: dict,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Quantize under FROZEN committed params — the day-N leg:
+    identical output to ``quantize_embeddings`` when ``params`` came
+    from this corpus (pytest-pinned), and the ONLY correct way to
+    encode a new batch against an existing code archive. Out-of-range
+    day-N values clamp to [0, 255] (the documented saturation trade
+    of frozen-range SQ; re-commit params when drift — watchable via
+    ``audit.score_drift`` on any component — makes saturation
+    material). Zero exchange: a pure literal-arithmetic projection.
+    """
+    mn = [float(x) for x in params["mn"]]
+    sc = [float(x) for x in params["sc"]]
+    dim = len(mn)
+    v = lambda i: F.col(vec_col).getItem(i).cast("double")  # noqa: E731
 
     def code(i):
         if sc[i] == 0.0:
             return F.lit(0)
-        return F.floor((v(i) - F.lit(mn[i])) / F.lit(sc[i]) + 0.5) \
-                .cast("int")
+        # clamp: a no-op for the params' own corpus (min/max bound
+        # the range by construction, so the oracle needs no clamp);
+        # saturation only engages on frozen-params day-N outliers
+        raw = F.floor((v(i) - F.lit(mn[i])) / F.lit(sc[i]) + 0.5)
+        return F.greatest(F.lit(0),
+                          F.least(F.lit(255), raw)).cast("int")
 
     def err(i):
         deq = (F.lit(mn[i]) + code(i).cast("double") * F.lit(sc[i])

@@ -576,3 +576,31 @@ def test_quantize_constant_dimension(spark):
     # constant dim 0 codes to 0 with zero error everywhere
     assert all(c[0] == 0 for c, _ in got.values())
     assert got[1][0][1] == 0 and got[3][0][1] == 255
+
+
+def test_quantize_day_n_frozen_params(spark, sf_dir, tmp_path):
+    """The quantizer lifecycle: params committed day-0 encode a new
+    batch identically to the full-corpus call on day-0's own rows,
+    and out-of-range day-N values SATURATE at the code boundaries
+    instead of silently re-scaling the archive."""
+    import json
+
+    from parallel_svms_spark.operators import similarity as SIM
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = SIM.quant_params(emb)
+    path = tmp_path / "quant.json"
+    path.write_text(json.dumps(p))
+    p2 = json.loads(path.read_text())
+    full = {r.vec_id: list(r.codes)
+            for r in SIM.quantize_embeddings(emb).collect()}
+    frozen = {r.vec_id: list(r.codes)
+              for r in SIM.quantize_with(emb, p2).collect()}
+    assert frozen == full  # in-range: frozen params == derived params
+    # day-N outlier beyond the committed range saturates
+    big = spark.createDataFrame(
+        [(9_999, [float(m) + 100.0 * max(s, 1e-9) * 255
+                  for m, s in zip(p["mn"], p["sc"])])],
+        "vec_id long, embedding array<double>")
+    [r] = SIM.quantize_with(big, p2).collect()
+    assert all(c == 255 or s == 0
+               for c, s in zip(r.codes, p["sc"]))
