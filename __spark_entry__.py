@@ -257,6 +257,41 @@ def _pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AU.dataset_manifest(day)
 
 
+def _pipeline_model_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-era curation composition (r10): the session's ML
+    artifacts chained with the dedup/split machinery as ONE DAG —
+    train the SVM quality classifier on the corpus's own md5 sample
+    → score corpus-wide with the compiled JVM expression → keep
+    predicted-high documents → leakage-safe CLUSTER split of the
+    survivors (near-dups co-travel) → per-(split, source) release
+    rollup (n_docs, n_tokens, score_milli_sum, id_sum — id_sum pins
+    exact membership through the hash). Pins that train → score →
+    gate → group-aware split compose: the curation shape a
+    model-filtered pretraining corpus actually ships with.
+    Golden-literal oracle (the classifier stage is SMO — the
+    svm_train precedent; every stage deterministic, so the composed
+    rollup is too)."""
+    from pyspark.sql import functions as F
+
+    from parallel_svms_spark.ml.quality import (score_quality,
+                                                train_quality_classifier)
+    from parallel_svms_spark.operators import sharding as SH
+
+    docs = load_table(spark, sf_dir, "documents")
+    art = train_quality_classifier(docs)
+    kept = score_quality(docs, art).filter("clf_high = 1")
+    split = SH.split_by_cluster(kept)
+    j = kept.join(split.select("doc_id", "split"), "doc_id")
+    return (j.groupBy("split", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(F.split(F.coalesce("text", F.lit("")),
+                                      " ")).cast("long"))
+                 .alias("n_tokens"),
+                 F.sum(F.floor(F.col("clf_score") * 1000).cast("long"))
+                 .alias("score_milli_sum"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
 def _pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r6 pretraining assembly line as ONE lazily-planned DAG:
     hash split → train decontaminated against its own held-out splits
@@ -638,7 +673,7 @@ _QKEY_ORDER = [
     "dedup_embedding_ivf", "dedup_embedding_ivf_incremental",
     # ML training — most expensive (golden-literal oracles at sf0.01): last
     "svm_train", "svm_linear_ovr", "cascade_svm", "bagging_svm",
-    "iterative_svm", "quality_classifier",
+    "iterative_svm", "quality_classifier", "pipeline_model_curate",
 ]
 
 
@@ -763,6 +798,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": lambda s, d: __import__(
             "parallel_svms_spark.ml.quality", fromlist=["x"]
         ).quality_classifier(load_table(s, d, "documents")),
+        "pipeline_model_curate": _pipeline_model_curate,
         # §2.8 extension ops — dedup / similarity / text / events
         "dedup_exact": lambda s, d: D.exact_dedup_keys(load_table(s, d, "documents")),
         # cross-source shingle-overlap matrix: the mixture diagnostic
@@ -4491,6 +4527,10 @@ _ML_GOLDEN_TYPES: dict[str, dict[str, str]] = {
                            "n_high": "BIGINT",
                            "score_milli_sum": "BIGINT",
                            "n_agree": "BIGINT"},
+    "pipeline_model_curate": {"split": "VARCHAR", "source": "VARCHAR",
+                              "n_docs": "BIGINT", "n_tokens": "BIGINT",
+                              "score_milli_sum": "BIGINT",
+                              "id_sum": "BIGINT"},
 }
 
 
@@ -5219,6 +5259,10 @@ _SUITES: dict[str, list[tuple[str, list[str]]]] = {
          ["sum(n_docs + n_high)", "sum(score_milli_sum)",
           _rowhash("length(source)*10000000 + n_agree*1000 "
                    "+ n_high")]),
+        ("pipeline_model_curate",
+         ["sum(n_docs + n_tokens)", "sum(score_milli_sum + id_sum)",
+          _rowhash("length(split)*100000000 + length(source)*1000000 "
+                   "+ n_docs*100 + (id_sum % 97)")]),
     ],
 }
 

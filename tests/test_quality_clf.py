@@ -155,3 +155,32 @@ def test_streaming_score_quality_matches_batch(spark, docs, artifact):
         got = {(r.doc_id, r.clf_score, r.clf_high) for r in
                spark.sql(f"SELECT * FROM {name}").collect()}
     assert got == batch and len(got) > 0
+
+
+def test_pipeline_model_curate_matches_staged(spark, sf_dir, docs):
+    """The composed DAG equals the explicitly staged computation —
+    column contracts and determinism survive chaining (the pipeline
+    family's stage-equivalence convention)."""
+    import __spark_entry__ as em
+    from parallel_svms_spark.operators import sharding as SH
+
+    got = {(r.split, r.source):
+           (r.n_docs, r.n_tokens, r.score_milli_sum, r.id_sum)
+           for r in em.queries_all()["pipeline_model_curate"](
+               spark, sf_dir).collect()}
+    art = Q.train_quality_classifier(docs)
+    kept = Q.score_quality(docs, art).filter("clf_high = 1")
+    split = {r.doc_id: r.split
+             for r in SH.split_by_cluster(kept).collect()}
+    want: dict = {}
+    for r in kept.select("doc_id", "source", "text",
+                         "clf_score").collect():
+        key = (split[r.doc_id], r.source)
+        d = want.setdefault(key, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += len((r.text or "").split(" "))
+        import math
+        d[2] += math.floor(r.clf_score * 1000)
+        d[3] += r.doc_id
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert len(got) > 1

@@ -37,7 +37,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 ML_QKEYS = ["svm_train", "svm_linear_ovr", "cascade_svm", "bagging_svm",
-            "iterative_svm", "quality_classifier"]
+            "iterative_svm", "quality_classifier",
+            "pipeline_model_curate"]
 
 _CHILD = r"""
 import json, sys
