@@ -27,6 +27,23 @@ TABLES = (
 )
 
 
+# Lazy-DataFrame memo keyed on (application, dir, table) — r10. One
+# `spark.read.parquet` costs ~110 ms of DRIVER time (file listing +
+# footer schema decode, guide §5/§6) and load_table is called once or
+# more by every one of ~190 member queries per bench pass — tens of
+# seconds of repeated listing of the SAME immutable files. The memo
+# returns the same LAZY DataFrame object: no rows are cached or
+# persisted anywhere (every action still scans parquet from disk —
+# Spark's own filesourcePartitionFileCacheSize blesses exactly this
+# listing-reuse, guide §6); only the driver-side listing/plan-build
+# repeats are removed. Keyed by applicationId so a fresh session (the
+# driver's own, a restarted local one) never sees another session's
+# plans. Callers that rewrite a directory IN PLACE between loads must
+# use spark.read.parquet directly (fixture tables are immutable; the
+# repo's only mutated-dir readers already do).
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (S1 analog: the line-text scan of
     cascade_svm/Precascade1.java:10-14, columnar here).
@@ -41,6 +58,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos-as-long compatibility branch is kept for older
     TIMESTAMP(NANOS) fixture layouts of ``events.ts``.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _LOAD_MEMO.get(key)
+    if hit is not None:
+        return hit
     # runtime-settable confs; needed even when the caller's session was
     # not built by our session.py (e.g. the driver's own session). The
     # UTC pin matters on any non-UTC host: the NTZ→TIMESTAMP cast below
@@ -61,6 +82,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # unix_millis/unix_micros/F.window/INTERVAL arithmetic legal
             # and the result schema aligned with the DuckDB oracle
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _LOAD_MEMO[key] = df
     return df
 
 

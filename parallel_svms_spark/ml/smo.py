@@ -85,6 +85,24 @@ def smo_solve(K: np.ndarray, y: np.ndarray, C: float = 1.0,
     n = len(y)
     if max_iter is None:
         max_iter = max(10_000, min(100 * n, 250_000))
+    if not shrinking:
+        # the hot path every engine caller takes (module docstring: the
+        # precomputed-Gram trade makes shrinking a loss here) — r10
+        # buffer-reusing rewrite, bit-identical by construction (same
+        # ops, same operand order; verified np.array_equal against
+        # _smo_solve_general over a random battery in tests/test_smo.py)
+        return _smo_solve_noshrink(K, y, C, eps, max_iter)
+    return _smo_solve_general(K, y, C, eps, max_iter, shrinking)
+
+
+def _smo_solve_general(K: np.ndarray, y: np.ndarray, C: float,
+                       eps: float, max_iter: int, shrinking: bool):
+    """The original (pre-r10) loop, with the optional shrinking
+    machinery. ``smo_solve`` routes shrinking=True here; it also
+    serves as the reference implementation the fast path's bitwise-
+    equality pytest runs against (shrinking=False here follows the
+    identical trajectory the fast path reproduces)."""
+    n = len(y)
     y = np.asarray(y, dtype=np.float64)
     alpha = np.zeros(n)                 # full-problem α, kept current
     Kdiag_full = np.ascontiguousarray(np.diag(K)).astype(np.float64)
@@ -230,6 +248,119 @@ def smo_solve(K: np.ndarray, y: np.ndarray, C: float = 1.0,
         low = ((y < 0) & (alpha < C)) | ((y > 0) & (alpha > 0))
         ub = yg[up].max() if up.any() else 0.0
         lb = yg[low].min() if low.any() else 0.0
+        rho = (ub + lb) / 2.0
+    return alpha, rho
+
+
+def _smo_solve_noshrink(K: np.ndarray, y: np.ndarray, C: float,
+                        eps: float, max_iter: int):
+    """``smo_solve(shrinking=False)``'s loop with per-iteration
+    allocations hoisted out (guide §1.2 step 2 — per-task work): every
+    n-length temporary is a preallocated buffer written with ``out=``
+    ufuncs, ``np.where`` selects become fill+``np.copyto(where=)``,
+    and ``y·K`` rows are precomputed once as a row-scaled matrix
+    (YK[i, j] = K[i, j]·y[j] — the exact product the loop forms per
+    iteration). Every arithmetic op keeps the reference path's operand
+    ORDER, so results are bit-identical (pytest-pinned equality over a
+    random problem battery + the existing golden oracles); measured
+    1.1-1.4× on capped mid-size duals (n=512: 2.6 → 1.9 s)."""
+    n = len(y)
+    y = np.asarray(y, dtype=np.float64)
+    alpha = np.zeros(n)
+    Kd = np.ascontiguousarray(np.diag(K)).astype(np.float64)
+    NEG_INF, POS_INF = -np.inf, np.inf
+    grad = -np.ones(n)                  # ∇f(α) = Qα − e, α=0 ⇒ −e
+    YK = K * y[None, :]                 # YK[i] == y * K[i] bitwise
+    pos = y > 0
+    neg = ~pos
+    yg = np.empty(n)
+    yg_up = np.empty(n)
+    yg_low = np.empty(n)
+    b = np.empty(n)
+    a = np.empty(n)
+    obj = np.empty(n)
+    t1 = np.empty(n)
+    t2 = np.empty(n)
+    up = np.empty(n, dtype=bool)
+    low = np.empty(n, dtype=bool)
+    m1 = np.empty(n, dtype=bool)
+    m2 = np.empty(n, dtype=bool)
+    b1 = np.empty(n, dtype=bool)
+    b2 = np.empty(n, dtype=bool)
+    for _ in range(max_iter):
+        np.multiply(y, grad, out=yg)
+        np.negative(yg, out=yg)         # yg = −y∇f, as the reference
+        np.less(alpha, C, out=m1)
+        np.greater(alpha, 0.0, out=m2)
+        # up = pos ? (α<C) : (α>0);  low = pos ? (α>0) : (α<C)
+        np.logical_and(pos, m1, out=b1)
+        np.logical_and(neg, m2, out=b2)
+        np.logical_or(b1, b2, out=up)
+        np.logical_and(pos, m2, out=b1)
+        np.logical_and(neg, m1, out=b2)
+        np.logical_or(b1, b2, out=low)
+        yg_up.fill(NEG_INF)
+        np.copyto(yg_up, yg, where=up)
+        li = int(np.argmax(yg_up))
+        m = yg_up[li]
+        yg_low.fill(POS_INF)
+        np.copyto(yg_low, yg, where=low)
+        M = yg_low.min()
+        stalled = (m == NEG_INF) or (M == POS_INF) or (m - M < eps)
+        lj = -1
+        if not stalled:
+            # second-order j selection among violators (WSS2), same
+            # expressions as the reference loop
+            Krow_i = K[li]
+            np.subtract(m, yg, out=b)
+            np.add(Kd, Kd[li], out=t2)          # Kd[li] + Kd
+            np.multiply(YK[li], 2.0 * y[li], out=t1)
+            np.subtract(t2, t1, out=a)
+            np.maximum(a, TAU, out=a)
+            np.multiply(b, b, out=t1)
+            np.negative(t1, out=t1)
+            np.divide(t1, a, out=t1)            # −b²/a everywhere
+            np.greater(b, TAU, out=m1)
+            np.logical_and(low, m1, out=m1)
+            obj.fill(POS_INF)
+            np.copyto(obj, t1, where=m1)
+            lj = int(np.argmin(obj))
+            stalled = obj[lj] == POS_INF
+        if stalled:
+            break
+        quad = max(Kd[li] + Kd[lj]
+                   - 2.0 * y[li] * y[lj] * Krow_i[lj], TAU)
+        delta = (m - yg[lj]) / quad
+        old_ai, old_aj = alpha[li], alpha[lj]
+        ai = old_ai + y[li] * delta
+        s = y[li] * old_ai + y[lj] * old_aj
+        ai = min(max(ai, 0.0), C)
+        aj = y[lj] * (s - y[li] * ai)
+        if aj < 0.0:
+            aj = 0.0
+            ai = y[li] * (s - y[lj] * aj)
+        elif aj > C:
+            aj = C
+            ai = y[li] * (s - y[lj] * aj)
+        dai, daj = ai - old_ai, aj - old_aj
+        if abs(dai) < TAU and abs(daj) < TAU:
+            break
+        alpha[li], alpha[lj] = ai, aj
+        np.multiply(YK[li], y[li] * dai, out=t1)
+        np.multiply(YK[lj], y[lj] * daj, out=t2)
+        np.add(t1, t2, out=t1)
+        np.add(grad, t1, out=grad)              # += (y·Kᵢ)(yᵢδᵢ) + (y·Kⱼ)(yⱼδⱼ)
+    # rho — identical to the reference epilogue (grad IS the full
+    # gradient: no shrinking on this path)
+    yg_f = y * grad
+    free = (alpha > TAU) & (alpha < C - TAU)
+    if free.any():
+        rho = yg_f[free].mean()
+    else:
+        up_ = ((y > 0) & (alpha < C)) | ((y < 0) & (alpha > 0))
+        low_ = ((y < 0) & (alpha < C)) | ((y > 0) & (alpha > 0))
+        ub = yg_f[up_].max() if up_.any() else 0.0
+        lb = yg_f[low_].min() if low_.any() else 0.0
         rho = (ub + lb) / 2.0
     return alpha, rho
 

@@ -879,27 +879,29 @@ def pool_embeddings(vectors: DataFrame, group_col,
     order differences sit ~1e-15, far under the rounding).
     """
     if mode == "mean":
-        agg1 = lambda c: F.avg(c)  # noqa: E731
+        fn = "avg"
     elif mode == "max":
-        agg1 = lambda c: F.max(c)  # noqa: E731
+        fn = "max"
     else:
         raise ValueError(f"unknown pooling mode: {mode!r}")
-    v = F.col(vec_col)
-    aggs = [F.round(agg1(v.getItem(i).cast("double")), 6)
+    # agg + reassembly expressions as SQL text (r10): the Column-API
+    # form spent ~0.9 s/call of pure driver latency on ~500 py4j
+    # round-trips at dim=64 (guide §5); F.expr/selectExpr parse the
+    # identical tree JVM-side. Plan and values unchanged.
+    aggs = [F.expr(f"round({fn}(cast({vec_col}[{i}] as double)), 6)")
             .alias(f"_p{i}") for i in range(int(dim))]
     g = (vectors.select(group_col.alias("group_id"), vec_col)
          .groupBy("group_id")
-         .agg(F.count("*").alias("n_members"), *aggs))
-    pooled = F.array(*[F.col(f"_p{i}") for i in range(int(dim))])
+         .agg(F.expr("count(*)").alias("n_members"), *aggs))
+    pooled = "array(" + ", ".join(f"_p{i}" for i in range(int(dim))) + ")"
     # scalar companion of the array (Σ⌊cᵢ·10⁵⌋): suite digests are
     # SQL evaluated by BOTH engines, whose array indexing differs
     # (0- vs 1-based) — a scalar column sidesteps the divergence
     # while pinning every component through the hash
-    comp = F.aggregate(
-        pooled, F.lit(0).cast("long"),
-        lambda a, x: a + F.floor(x * 100000).cast("long"))
-    return g.select("group_id", "n_members", pooled.alias("pooled"),
-                    comp.alias("comp_floor_sum"))
+    comp = (f"aggregate({pooled}, cast(0 as long), "
+            f"(a, x) -> a + cast(floor(x * 100000) as long))")
+    return g.selectExpr("group_id", "n_members", f"{pooled} as pooled",
+                        f"{comp} as comp_floor_sum")
 
 
 def quantize_embeddings(embeddings: DataFrame, dim: int = 64,
@@ -943,10 +945,14 @@ def quant_params(embeddings: DataFrame, dim: int = 64,
     batch must encode under so archived codes stay comparable (a
     re-derived range would silently re-scale every new code). A few
     hundred bytes; persist as JSON like the BPE vocab / classifier."""
-    v = lambda i: F.col(vec_col).getItem(i).cast("double")  # noqa: E731
-    params = embeddings.agg(
-        *[F.min(v(i)).alias(f"mn{i}") for i in range(int(dim))],
-        *[F.max(v(i)).alias(f"mx{i}") for i in range(int(dim))]
+    # agg exprs as SQL text, not Column chains: 2·dim Column builds
+    # cost ~2·dim·6 py4j round-trips of pure driver latency (guide
+    # §5 — the driver should do almost no work); one selectExpr
+    # parses the same tree JVM-side in one call. Identical plan.
+    v = lambda i: f"cast({vec_col}[{i}] as double)"  # noqa: E731
+    params = embeddings.selectExpr(
+        *[f"min({v(i)}) as mn{i}" for i in range(int(dim))],
+        *[f"max({v(i)}) as mx{i}" for i in range(int(dim))]
     ).first()
     mn = [float(params[f"mn{i}"]) for i in range(int(dim))]
     sc = [(float(params[f"mx{i}"]) - mn[i]) / 255.0
@@ -969,31 +975,44 @@ def quantize_with(embeddings: DataFrame, params: dict,
     mn = [float(x) for x in params["mn"]]
     sc = [float(x) for x in params["sc"]]
     dim = len(mn)
-    v = lambda i: F.col(vec_col).getItem(i).cast("double")  # noqa: E731
 
-    def code(i):
+    # Expression tree built as SQL TEXT, parsed JVM-side in ONE
+    # selectExpr call (r10). The Column-API form built code(i) three
+    # times per dimension (codes array + code_sum chain + err's
+    # dequantize), ~7k py4j round-trips = 4.7 s of pure DRIVER time
+    # per call at dim=64 (guide §5: the driver should do almost no
+    # work) before a single task ran. Arithmetic, operand order and
+    # types are identical — float params embed as CAST('<repr>' AS
+    # DOUBLE), exact by Java's round-trip parse — so codes and error
+    # micros are bit-identical (oracle re-verified).
+    def d(x: float) -> str:
+        return f"cast('{x!r}' as double)"
+
+    v = lambda i: f"cast({vec_col}[{i}] as double)"  # noqa: E731
+
+    def code(i: int) -> str:
         if sc[i] == 0.0:
-            return F.lit(0)
+            return "0"
         # clamp: a no-op for the params' own corpus (min/max bound
         # the range by construction, so the oracle needs no clamp);
         # saturation only engages on frozen-params day-N outliers
-        raw = F.floor((v(i) - F.lit(mn[i])) / F.lit(sc[i]) + 0.5)
-        return F.greatest(F.lit(0),
-                          F.least(F.lit(255), raw)).cast("int")
+        raw = f"floor((({v(i)} - {d(mn[i])}) / {d(sc[i])}) + 0.5d)"
+        return f"cast(greatest(0, least(255, {raw})) as int)"
 
-    def err(i):
-        deq = (F.lit(mn[i]) + code(i).cast("double") * F.lit(sc[i])
-               if sc[i] != 0.0 else F.lit(mn[i]))
-        return F.floor(F.abs(deq - v(i)) * 1e6).cast("long")
+    def err(i: int) -> str:
+        deq = (f"({d(mn[i])} + (cast({code(i)} as double) * {d(sc[i])}))"
+               if sc[i] != 0.0 else d(mn[i]))
+        return f"cast(floor(abs({deq} - {v(i)}) * 1e6) as long)"
 
-    codes = F.array(*[code(i) for i in range(int(dim))])
-    code_sum = sum([code(i).cast("long") for i in range(int(dim))],
-                   F.lit(0).cast("long"))
-    err_sum = sum([err(i) for i in range(int(dim))],
-                  F.lit(0).cast("long"))
-    return embeddings.select(
-        F.col(id_col), codes.alias("codes"),
-        code_sum.alias("code_sum"), err_sum.alias("err_micro_sum"))
+    codes = "array(" + ", ".join(code(i) for i in range(int(dim))) + ")"
+    code_sum = "cast(0 as long)"
+    err_sum = "cast(0 as long)"
+    for i in range(int(dim)):
+        code_sum = f"({code_sum} + cast({code(i)} as long))"
+        err_sum = f"({err_sum} + {err(i)})"
+    return embeddings.selectExpr(
+        id_col, f"{codes} as codes",
+        f"{code_sum} as code_sum", f"{err_sum} as err_micro_sum")
 
 
 def dequantize_expr(codes_col, mn: list[float], sc: list[float]):

@@ -113,3 +113,32 @@ def test_fit_global_distributed_matches_serial(spark, sf_dir):
     # near-identical predictions (boundary-tie flips only)
     agree = float((dist.predict(X) == serial.predict(X)).mean())
     assert agree >= 0.97
+
+
+def test_fast_path_bitwise_equals_general_loop():
+    """r10 optimization pin: smo_solve's buffer-reusing no-shrink fast
+    path returns the BITWISE-identical (alpha, rho) the original loop
+    (_smo_solve_general, shrinking=False) produces — same ops, same
+    operand order, over a battery spanning converged and
+    iteration-capped duals, both kernels, and C extremes."""
+    import numpy as np
+    from parallel_svms_spark.ml import smo
+
+    rng = np.random.RandomState(20251104)
+    checked = 0
+    for trial in range(10):
+        n = int(rng.choice([15, 60, 200, 400]))
+        d = int(rng.choice([4, 8, 64]))
+        X = rng.randn(n, d)
+        y = np.where(rng.rand(n) > rng.rand(), 1.0, -1.0)
+        if len(set(y.tolist())) < 2:
+            continue
+        K = smo.KERNELS["rbf" if trial % 2 else "linear"](X, X, 1.0 / d)
+        C = float(rng.choice([0.5, 1.0, 10.0]))
+        mi = max(10_000, min(100 * n, 250_000))
+        a_ref, r_ref = smo._smo_solve_general(K, y, C, 1e-3, mi, False)
+        a_new, r_new = smo.smo_solve(K, y, C=C)
+        assert np.array_equal(a_ref, a_new)
+        assert r_ref == r_new
+        checked += 1
+    assert checked >= 6
