@@ -63,7 +63,8 @@ def _pairs_from_ids(ids: F.Column) -> F.Column:
             lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")))))
 
 
-def shingles_col(text_col: str = "text", k: int = 3) -> F.Column:
+def shingles_col(text_col: str = "text", k: int = 3,
+                 let: bool | None = None) -> F.Column:
     """Word k-shingles as strings, all JVM-side array expressions.
 
     r9 linearization: built as a ``zip_with`` chain over k SHIFTED
@@ -71,20 +72,34 @@ def shingles_col(text_col: str = "text", k: int = 3) -> F.Column:
     ``transform`` lambda — Catalyst does not hoist loop-invariant
     subexpressions out of lambda bodies, so the old form re-split
     the text once per shingle, O(L²) per document (182 s for ONE
-    30k-token doc). Here the split is evaluated k+3 times per ROW
-    (constant), every lambda references only its bound arguments
-    (which also keeps the expression safe as a pandas-UDF input —
-    ``let_col``-captured lambdas break ExtractPythonUDFs in the
-    minhash plans), and the whole thing stays codegen'd."""
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    m = F.greatest(n - k + 1, F.lit(0))
-    sh = F.slice(toks, 1, m)
-    for i in range(1, k):
-        sh = F.zip_with(sh, F.slice(toks, i + 1, m),
-                        lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(n >= k, sh).otherwise(
-        F.array(F.array_join(toks, " ")))
+    30k-token doc). r10: ``let`` controls whether the token array is
+    additionally LET-BOUND so the split runs ONCE per row instead of
+    k+3 times — subexpression elimination does NOT unify the split
+    occurrences across the slice arguments. Measured same-session at
+    sf0.1: a 2.2× win at k=5 (5-gram emission 1.2 → 0.55 s) but a
+    LOSS at k=3 (0.26 → 0.42 s — the let wrapper's extra array
+    allocation outweighs saving two short-k splits), so the default
+    resolves to let = (k ≥ 4).
+
+    ``let=False`` is also REQUIRED for expressions that feed a pandas
+    UDF — ``let_col``-captured lambdas break ExtractPythonUDFs in the
+    minhash plans — which minhash_hashes_col pins explicitly."""
+    if let is None:
+        let = k >= 4
+
+    def chain(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+        m = F.greatest(n - k + 1, F.lit(0))
+        sh = F.slice(toks, 1, m)
+        for i in range(1, k):
+            sh = F.zip_with(sh, F.slice(toks, i + 1, m),
+                            lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.when(n >= k, sh).otherwise(
+            F.array(F.array_join(toks, " ")))
+
+    if let:
+        return let_col(tokens_col(text_col), chain)
+    return chain(tokens_col(text_col))
 
 
 # ---------------------------------------------------------------------------
@@ -322,8 +337,10 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 64,
 
 def minhash_hashes_col(text_col: str = "text", k: int = 3) -> F.Column:
     """Shingle-hash array feeding the minhash reducer — JVM-side
-    (shingling + xxhash64 folded into the 31-bit field)."""
-    return F.transform(shingles_col(text_col, k),
+    (shingling + xxhash64 folded into the 31-bit field). ``let=False``:
+    this column is a pandas-UDF input (minhash_udf), where let_col's
+    captured lambda breaks ExtractPythonUDFs (shingles_col docstring)."""
+    return F.transform(shingles_col(text_col, k, let=False),
                        lambda s: F.abs(F.xxhash64(s)) % F.lit(MERSENNE31))
 
 
@@ -1755,12 +1772,27 @@ def gram_structs_col(text_col: str, k: int) -> F.Column:
     strings come from the ``shingles_col`` zip_with chain; docs
     shorter than k tokens yield an empty array (shingles_col's
     whole-text fallback is NOT a k-gram, so it is excluded here)."""
-    toks = tokens_col(text_col)
-    return F.when(F.size(toks) >= k, F.transform(
-        shingles_col(text_col, int(k)),
-        lambda s, i: F.struct(i.alias("pos"),
-                              F.xxhash64(s).alias("g")))) \
-        .otherwise(F.array())
+    k = int(k)
+
+    def body(toks: F.Column) -> F.Column:
+        # the shingle chain inlined under ONE let-bound token array
+        # (r10): the previous form evaluated split(text) once for the
+        # outer size() guard plus k+3 times inside shingles_col —
+        # measured 2.2× on the sf0.1 emission, values identical (the
+        # n ≥ k branch makes shingles_col's whole-text fallback
+        # unreachable, so the raw chain is the same array)
+        n = F.size(toks)
+        m = F.greatest(n - k + 1, F.lit(0))
+        sh = F.slice(toks, 1, m)
+        for i in range(1, k):
+            sh = F.zip_with(sh, F.slice(toks, i + 1, m),
+                            lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.when(n >= k, F.transform(
+            sh, lambda s, i: F.struct(i.alias("pos"),
+                                      F.xxhash64(s).alias("g")))) \
+            .otherwise(F.array())
+
+    return let_col(tokens_col(text_col), body)
 
 
 def _spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
