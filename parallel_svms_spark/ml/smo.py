@@ -252,8 +252,61 @@ def _smo_solve_general(K: np.ndarray, y: np.ndarray, C: float,
     return alpha, rho
 
 
+def _rho_epilogue(y: np.ndarray, alpha: np.ndarray, grad: np.ndarray,
+                  C: float) -> float:
+    """Shared rho computation over the final (alpha, grad) iterate —
+    identical to the reference epilogue; grad IS the full gradient on
+    the no-shrink paths. One implementation so the numpy and native
+    loops cannot drift."""
+    yg_f = y * grad
+    free = (alpha > TAU) & (alpha < C - TAU)
+    if free.any():
+        return yg_f[free].mean()
+    up_ = ((y > 0) & (alpha < C)) | ((y < 0) & (alpha > 0))
+    low_ = ((y < 0) & (alpha < C)) | ((y > 0) & (alpha > 0))
+    ub = yg_f[up_].max() if up_.any() else 0.0
+    lb = yg_f[low_].min() if low_.any() else 0.0
+    return (ub + lb) / 2.0
+
+
 def _smo_solve_noshrink(K: np.ndarray, y: np.ndarray, C: float,
                         eps: float, max_iter: int):
+    """Dispatch the no-shrink loop to the compiled build when the host
+    can provide one (guide §1.2 step 2: the per-iteration cost here is
+    numpy ufunc DISPATCH, not arithmetic — ~12 short vector ops per
+    iteration whose fixed overhead dominates at bucket sizes). The C
+    loop is a bit-for-bit port (same ops, same operand order, IEEE
+    doubles, no FMA contraction — _smo_native docstring) and the numpy
+    path remains both the fallback and the equality oracle the tests
+    pin the native build against."""
+    from parallel_svms_spark.ml import _smo_native
+    lib = _smo_native.load()
+    if lib is not None:
+        return _smo_solve_noshrink_native(lib, K, y, C, eps, max_iter)
+    return _smo_solve_noshrink_np(K, y, C, eps, max_iter)
+
+
+def _smo_solve_noshrink_native(lib, K: np.ndarray, y: np.ndarray,
+                               C: float, eps: float, max_iter: int):
+    import ctypes
+    n = len(y)
+    y = np.ascontiguousarray(np.asarray(y, dtype=np.float64))
+    Kc = np.ascontiguousarray(K, dtype=np.float64)
+    Kd = np.ascontiguousarray(np.diag(Kc)).astype(np.float64)
+    alpha = np.empty(n)
+    grad = np.empty(n)
+    p = ctypes.POINTER(ctypes.c_double)
+    rc = lib.smo_noshrink_loop(
+        Kc.ctypes.data_as(p), Kd.ctypes.data_as(p), y.ctypes.data_as(p),
+        alpha.ctypes.data_as(p), grad.ctypes.data_as(p),
+        n, float(C), float(eps), int(max_iter))
+    if rc != 0:  # scratch allocation failed — numpy computes the same
+        return _smo_solve_noshrink_np(K, y, C, eps, max_iter)
+    return alpha, _rho_epilogue(y, alpha, grad, C)
+
+
+def _smo_solve_noshrink_np(K: np.ndarray, y: np.ndarray, C: float,
+                           eps: float, max_iter: int):
     """``smo_solve(shrinking=False)``'s loop with per-iteration
     allocations hoisted out (guide §1.2 step 2 — per-task work): every
     n-length temporary is a preallocated buffer written with ``out=``
@@ -363,19 +416,7 @@ def _smo_solve_noshrink(K: np.ndarray, y: np.ndarray, C: float,
         np.multiply(YK[lj], y[lj] * daj, out=t2)
         np.add(t1, t2, out=t1)
         np.add(grad, t1, out=grad)              # += (y·Kᵢ)(yᵢδᵢ) + (y·Kⱼ)(yⱼδⱼ)
-    # rho — identical to the reference epilogue (grad IS the full
-    # gradient: no shrinking on this path)
-    yg_f = y * grad
-    free = (alpha > TAU) & (alpha < C - TAU)
-    if free.any():
-        rho = yg_f[free].mean()
-    else:
-        up_ = ((y > 0) & (alpha < C)) | ((y < 0) & (alpha > 0))
-        low_ = ((y < 0) & (alpha < C)) | ((y > 0) & (alpha > 0))
-        ub = yg_f[up_].max() if up_.any() else 0.0
-        lb = yg_f[low_].min() if low_.any() else 0.0
-        rho = (ub + lb) / 2.0
-    return alpha, rho
+    return alpha, _rho_epilogue(y, alpha, grad, C)
 
 
 class SVCModel:

@@ -142,3 +142,39 @@ def test_fast_path_bitwise_equals_general_loop():
         assert r_ref == r_new
         checked += 1
     assert checked >= 6
+
+
+def test_native_loop_bitwise_equals_numpy_fast_path():
+    """r10 optimization pin: the compiled no-shrink loop (_smo_native,
+    gcc -ffp-contract=off, op-for-op port) returns BITWISE-identical
+    (alpha, rho) to the numpy fast path over a battery that includes
+    iteration-capped degenerate duals (duplicated rows force the
+    zigzag regime where the cap binds, so deep trajectories are
+    compared, not just early-converged ones)."""
+    import numpy as np
+    import pytest
+    from parallel_svms_spark.ml import _smo_native, smo
+
+    lib = _smo_native.load()
+    if lib is None:
+        pytest.skip("no native build on this host (numpy fallback active)")
+    rng = np.random.RandomState(77031)
+    checked = 0
+    for trial in range(12):
+        n = int(rng.choice([15, 60, 200, 400, 640]))
+        d = int(rng.choice([4, 8, 64]))
+        X = rng.randn(n, d)
+        if trial % 3 == 2:  # rank-deficient: duplicate half the rows
+            X[n // 2:] = X[: n - n // 2]
+        y = np.where(rng.rand(n) > rng.rand(), 1.0, -1.0)
+        if len(set(y.tolist())) < 2:
+            continue
+        K = smo.KERNELS["rbf" if trial % 2 else "linear"](X, X, 1.0 / d)
+        C = float(rng.choice([0.5, 1.0, 10.0]))
+        mi = max(10_000, min(100 * n, 250_000))
+        a_np, r_np = smo._smo_solve_noshrink_np(K, y, C, 1e-3, mi)
+        a_c, r_c = smo._smo_solve_noshrink_native(lib, K, y, C, 1e-3, mi)
+        assert np.array_equal(a_np, a_c)
+        assert r_np == r_c
+        checked += 1
+    assert checked >= 8
