@@ -95,9 +95,14 @@ def _svm_linear_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     model = train_linear_ovr(emb, max_iter=5)
     pred = predict_linear_ovr(model, emb)
+    # one aggregation job instead of count() + distinct().count():
+    # each action re-runs the full OvR scoring pass over the
+    # embeddings (guide §1.2 step 1 — don't compute things twice);
+    # count/countDistinct values are identical by definition
+    n_scored, n_distinct = pred.agg(
+        F.count(F.lit(1)), F.countDistinct("pred")).first()
     return spark.createDataFrame(
-        [(pred.count(), pred.select("pred").distinct().count())],
-        "n_scored long, n_distinct_preds long")
+        [(n_scored, n_distinct)], "n_scored long, n_distinct_preds long")
 
 
 def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,11 +249,18 @@ def _pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_svms_spark.operators import audit as AU
     from parallel_svms_spark.operators import dedup as D
 
+    from parallel_svms_spark.caching import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents") \
         .filter("text is not null")
     archive = docs.filter("source <> 'src0'")
     batch = docs.filter("source = 'src0'")
-    fresh = D.dedup_against(archive, batch)
+    # persist the accepted batch: THREE consumers (the scrub's gram
+    # pass, its rewrite base, and the lang re-join below) would each
+    # re-run the digest anti-join against the full archive otherwise
+    # (guide §2.4/§5 — the surviving batch is the smallest frame in
+    # the pipeline, the cheapest thing to keep)
+    fresh = scoped_persist(D.dedup_against(archive, batch))
     scrubbed = D.scrub_repeated_spans_incremental(archive, fresh)
     day = (scrubbed
            .join(fresh.select("doc_id", "lang"), "doc_id")

@@ -722,7 +722,13 @@ def winnow_near_dups_incremental(corpus: DataFrame,
     from parallel_svms_spark.caching import scoped_persist
     batch_fps = scoped_persist(winnow_index(new_docs, k, w))
     if index is None:
-        index = winnow_index(corpus, k, w)
+        # the fixture path re-fingerprints the corpus; persist it —
+        # TWO branches consume it (the frequency rollup and the cross
+        # join) and an unpersisted plan runs the whole linear
+        # fingerprint chain over the corpus twice (guide §2.4: the
+        # production path reads a parquet index, where a double scan
+        # is cheap; a double recompute is not)
+        index = scoped_persist(winnow_index(corpus, k, w))
     # union frequency per batch fp: appends are per-batch distinct
     # (one row per (fp, doc)), so count(*) counts docs
     old_freq = index.groupBy("fp").agg(F.count("*").alias("n_old"))
@@ -905,9 +911,15 @@ def simhash_near_dups_incremental(corpus: DataFrame,
     equi-join on (blk, val) against the index's derived block rows,
     codegen'd xor-popcount verify — no stage ever touches archive
     text."""
+    from parallel_svms_spark.caching import scoped_persist
     sigs_old = (index if index is not None
                 else simhash_index(corpus, hasher=hasher))
-    sigs_new = simhash(new_docs, hasher=hasher)
+    # persist the batch signatures: the cross join and the
+    # within-batch half both consume them, and each unpersisted
+    # branch re-runs the family's one Python hop (the Arrow tally
+    # UDF) plus the batch scan (guide §2.4); 8 B/doc, trivially
+    # cacheable at any batch size
+    sigs_new = scoped_persist(simhash(new_docs, hasher=hasher))
     bn = _simhash_blocks(sigs_new, n_blocks)
     bo = _simhash_blocks(sigs_old, n_blocks)
     cross = (bn.select(F.col("doc_id").alias("bid"),
@@ -1476,6 +1488,11 @@ def editdist_passjoin_incremental(corpus: DataFrame,
     tau = int(max_dist)
     q = tau + 1
     if index is None:
+        # measured (r10): persisting this fixture-path index is a LOSS
+        # (0.98 -> 1.14 s same-session A/B) — the index is a narrow
+        # projection + explode, cheaper to recompute per consuming
+        # branch than to materialize; contrast the winnow/simhash
+        # incrementals where the rebuilt side carries real compute
         index = editdist_index(corpus, max_dist=max_dist,
                                verify_chars=verify_chars,
                                id_col=id_col, text_col=text_col)
