@@ -901,13 +901,25 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster representative, so near-duplicates co-travel across
         # splits (a per-doc coin deals them independently — the
         # memorized-eval pathology; r10)
+        # both cluster-keyed carves start from the identical
+        # dedup_clusters(k=3, t=0.5) assignment; inside one suite
+        # build the propagation runs once (_suite_scoped), outside it
+        # each qkey recomputes as before
         "split_by_cluster": lambda s, d: SH.split_by_cluster(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"),
+            reps=_suite_scoped(("clusters_k3_t05", d), lambda:
+                               D.dedup_clusters(
+                                   load_table(s, d, "documents"),
+                                   k=3, threshold=0.5))),
         # the CV twin of split_by_cluster: fold coin keyed on the
         # cluster rep so validation never scores a near-dup of a
         # training doc (r10)
         "kfold_by_cluster": lambda s, d: SH.kfold_by_cluster(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"),
+            reps=_suite_scoped(("clusters_k3_t05", d), lambda:
+                               D.dedup_clusters(
+                                   load_table(s, d, "documents"),
+                                   k=3, threshold=0.5))),
         "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
             load_table(s, d, "documents"), k=3, threshold=0.5),
         "dedup_minhash": lambda s, d: D.minhash_near_dups(
@@ -5315,17 +5327,72 @@ def _digest_exprs(exprs: list[str]) -> list[str]:
     return out
 
 
+# Suite-build scope (r10 optimization): while ONE suite fn builds its
+# member frames, members that share an identical expensive
+# sub-derivation (e.g. the near-dup cluster assignment both
+# cluster-keyed carves start from) can compute it once via
+# _suite_scoped. The scope is a stack entry pushed/popped around a
+# single suite invocation — nothing survives the call, so every
+# bench/driver run still computes from parquet (this is common-
+# subexpression elimination WITHIN one query, not cross-run caching).
+_SUITE_BUILD_SCOPES: list[dict] = []
+
+
+_SUITE_SCOPED_LOCK = __import__("threading").RLock()
+
+
+def _suite_scoped(key: tuple, builder: Callable[[], "DataFrame"]):
+    """``builder()`` memoized in the innermost active suite-build
+    scope; always recomputes outside a suite build (individual qkey
+    calls are unaffected). The lock serializes concurrent member
+    threads asking for the same shared derivation."""
+    if not _SUITE_BUILD_SCOPES:
+        return builder()
+    scope = _SUITE_BUILD_SCOPES[-1]
+    with _SUITE_SCOPED_LOCK:
+        if key not in scope:
+            scope[key] = builder()
+        return scope[key]
+
+
+# Member-build concurrency (r10, guide §2.6 "overlap independent
+# jobs"): many members do eager driver-side work while their frame is
+# CONSTRUCTED — two-pass prefix-sum collects, label-propagation
+# rounds, SMO trainings — so a suite's wall-clock was dominated by
+# serially awaiting each member's jobs while most executor slots sat
+# idle (measured: sampling_suite build 8.6 s vs exec 3.3 s in a warm
+# session). Members are independent, deterministic queries, so their
+# builds overlap from a small driver thread pool; Spark's FIFO
+# scheduler backfills the tail of one member's stage with the next
+# member's tasks. Results are unchanged: pool.map preserves member
+# order and each member's own jobs stay internally ordered.
+_SUITE_BUILD_THREADS = 8
+
+
 def _make_suite_fn(members: list[tuple[str, list[str]]],
                    all_q: dict) -> Callable[[SparkSession, str], DataFrame]:
     def run(s: SparkSession, d: str) -> DataFrame:
+        from concurrent.futures import ThreadPoolExecutor
         from pyspark.sql import functions as F
-        parts = []
-        for qkey, exprs in members:
+
+        def build(member):
+            qkey, exprs = member
             df = all_q[qkey](s, d)
             agg = df.selectExpr(
                 "cast(count(*) as bigint) as n_rows",
                 *_digest_exprs(exprs))
-            parts.append(agg.select(F.lit(qkey).alias("q"), "*"))
+            return agg.select(F.lit(qkey).alias("q"), "*")
+
+        _SUITE_BUILD_SCOPES.append({})
+        try:
+            if len(members) > 1:
+                workers = min(_SUITE_BUILD_THREADS, len(members))
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    parts = list(pool.map(build, members))
+            else:
+                parts = [build(members[0])]
+        finally:
+            _SUITE_BUILD_SCOPES.pop()
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -568,7 +568,8 @@ def split_by_cluster(documents: DataFrame,
                      fractions: list[tuple[str, float]] | None = None,
                      k: int = 3, threshold: float = 0.5,
                      max_doc_freq: int | None = 1000,
-                     salt: str = "") -> DataFrame:
+                     salt: str = "",
+                     reps: DataFrame | None = None) -> DataFrame:
     """Leakage-safe train/valid/test carve: hash the SPLIT COIN on
     the near-dup cluster representative instead of the document id,
     so every member of a near-duplicate cluster lands in the same
@@ -603,11 +604,18 @@ def split_by_cluster(documents: DataFrame,
     DuckDB oracle: the recursive-CTE reachability oracle of
     ``dedup_clusters`` with the split CASE applied to its
     ``cluster_rep`` — both stages' oracles composed verbatim.
+
+    ``reps``: pass a precomputed (doc_id, cluster_rep) assignment to
+    skip the propagation — the suite-scoped sharing hook (r10): two
+    cluster-keyed carves over the same corpus need the clusters once,
+    not once each. Must be ``dedup_clusters`` output over the same
+    documents/params for the no-straddle contract to hold.
     """
     from parallel_svms_spark.operators.dedup import dedup_clusters
 
-    reps = dedup_clusters(documents, k=k, threshold=threshold,
-                          max_doc_freq=max_doc_freq)
+    if reps is None:
+        reps = dedup_clusters(documents, k=k, threshold=threshold,
+                              max_doc_freq=max_doc_freq)
     return dataset_split(reps, fractions, id_col="cluster_rep",
                          salt=salt)
 
@@ -908,7 +916,8 @@ def mixture_sample_tokens(documents: DataFrame,
 def kfold_by_cluster(documents: DataFrame, k: int = 5,
                      dedup_k: int = 3, threshold: float = 0.5,
                      max_doc_freq: int | None = 1000,
-                     salt: str = "") -> DataFrame:
+                     salt: str = "",
+                     reps: DataFrame | None = None) -> DataFrame:
     """Leakage-safe cross-validation carve: ``kfold_assign``'s
     hash-interval coin keyed on the NEAR-DUP CLUSTER REPRESENTATIVE
     — (doc_id, cluster_rep, fold) — so a validation fold never scores
@@ -921,10 +930,12 @@ def kfold_by_cluster(documents: DataFrame, k: int = 5,
     no-straddle by construction, day-N members inherit their
     cluster's standing fold, singletons keep their own-coin fate,
     zero exchange beyond the propagation. Oracle = the reachability
-    CTE with the kfold CASE on ``cluster_rep``.
+    CTE with the kfold CASE on ``cluster_rep``. ``reps`` as in
+    ``split_by_cluster`` (the suite-scoped sharing hook).
     """
     from parallel_svms_spark.operators.dedup import dedup_clusters
 
-    reps = dedup_clusters(documents, k=dedup_k, threshold=threshold,
-                          max_doc_freq=max_doc_freq)
+    if reps is None:
+        reps = dedup_clusters(documents, k=dedup_k, threshold=threshold,
+                              max_doc_freq=max_doc_freq)
     return kfold_assign(reps, k, id_col="cluster_rep", salt=salt)
