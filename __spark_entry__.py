@@ -93,7 +93,13 @@ def _svm_linear_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_svms_spark.ml.mllib_path import (predict_linear_ovr,
                                                    train_linear_ovr)
     emb = load_table(spark, sf_dir, "embeddings")
-    model = train_linear_ovr(emb, max_iter=5)
+    # parallelism passed explicitly: skips train_linear_ovr's
+    # class-count distinct().count() job (docstring contract) and
+    # lets the OvR binary fits interleave up to the core count —
+    # fits are independent, results unchanged
+    model = train_linear_ovr(
+        emb, max_iter=5,
+        parallelism=spark.sparkContext.defaultParallelism)
     pred = predict_linear_ovr(model, emb)
     # one aggregation job instead of count() + distinct().count():
     # each action re-runs the full OvR scoring pass over the
@@ -261,7 +267,11 @@ def _pipeline_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (guide §2.4/§5 — the surviving batch is the smallest frame in
     # the pipeline, the cheapest thing to keep)
     fresh = scoped_persist(D.dedup_against(archive, batch))
-    scrubbed = D.scrub_repeated_spans_incremental(archive, fresh)
+    # the archive gram index is the suite-shared frame (NULL-text rows
+    # contribute no grams, so the unfiltered-archive index is value-
+    # identical to one built from this pipeline's null-filtered view)
+    scrubbed = D.scrub_repeated_spans_incremental(
+        archive, fresh, index=_shared_arch_gram_index(spark, sf_dir))
     day = (scrubbed
            .join(fresh.select("doc_id", "lang"), "doc_id")
            .select("doc_id", F.col("clean_text").alias("text"),
@@ -285,12 +295,13 @@ def _pipeline_model_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is too)."""
     from pyspark.sql import functions as F
 
-    from parallel_svms_spark.ml.quality import (score_quality,
-                                                train_quality_classifier)
+    from parallel_svms_spark.ml.quality import score_quality
     from parallel_svms_spark.operators import sharding as SH
 
     docs = load_table(spark, sf_dir, "documents")
-    art = train_quality_classifier(docs)
+    # suite-shared training: the quality_classifier member commits the
+    # identical deterministic artifact (dict — no Spark state shared)
+    art = _shared_quality_artifact(spark, sf_dir)
     kept = score_quality(docs, art).filter("clf_high = 1")
     split = SH.split_by_cluster(kept)
     j = kept.join(split.select("doc_id", "split"), "doc_id")
@@ -689,6 +700,102 @@ _QKEY_ORDER = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Suite-scoped shared derivations (r10 optimization, guide §1.2 step 1
+# — don't compute the identical thing twice inside one query). Each
+# helper names ONE expensive sub-derivation consumed by ≥ 2 members of
+# the SAME suite; inside a suite build it is computed once
+# (_suite_scoped, persisted where the frame is lazy so the members'
+# union plan materializes it once instead of per branch). Outside a
+# suite build each helper just computes — individual qkey calls
+# (BENCH_ALL, selfcheck subsets) behave exactly as before.
+# ---------------------------------------------------------------------------
+
+def _shared_minhash_pairs(s: SparkSession, d: str) -> DataFrame:
+    """minhash_near_dups(documents, threshold=0.5): the dedup_minhash
+    member AND dedup_ensemble's jaccard arm (neardup_suite)."""
+    return _suite_scoped(("minhash_pairs_t05", d), lambda:
+                         D.minhash_near_dups(
+                             load_table(s, d, "documents"),
+                             threshold=0.5), persist=True)
+
+
+def _shared_simhash_pairs(s: SparkSession, d: str) -> DataFrame:
+    """simhash_near_dups(documents, max_hamming=3): the dedup_simhash
+    member AND dedup_ensemble's simhash arm (neardup_suite)."""
+    return _suite_scoped(("simhash_pairs_h3", d), lambda:
+                         D.simhash_near_dups(
+                             load_table(s, d, "documents"),
+                             max_hamming=3), persist=True)
+
+
+def _shared_simhash_inc_pairs(s: SparkSession, d: str) -> DataFrame:
+    """simhash_near_dups_incremental (%7 split, max_hamming=3): the
+    dedup_simhash_incremental member AND dedup_ensemble_incremental's
+    simhash arm (neardup_suite)."""
+    return _suite_scoped(("simhash_inc_h3", d), lambda: (lambda docs:
+        D.simhash_near_dups_incremental(
+            docs.filter("doc_id % 7 != 0"),
+            docs.filter("doc_id % 7 = 0"), max_hamming=3))(
+        load_table(s, d, "documents")), persist=True)
+
+
+def _shared_editdist_inc_pairs(s: SparkSession, d: str) -> DataFrame:
+    """editdist_passjoin_incremental (%7 split, max_dist=3): the
+    editdist_passjoin_incremental member AND
+    dedup_ensemble_incremental's editdist arm (neardup_suite)."""
+    return _suite_scoped(("editdist_inc_d3", d), lambda: (lambda docs:
+        D.editdist_passjoin_incremental(
+            docs.filter("doc_id % 7 != 0"),
+            docs.filter("doc_id % 7 = 0"), max_dist=3))(
+        load_table(s, d, "documents")), persist=True)
+
+
+def _shared_arch_gram_index(s: SparkSession, d: str) -> DataFrame:
+    """gram_count_index(archive, k=5) — archive = non-src0 sources:
+    the corpus-side index all three incremental span members AND
+    pipeline_daily_ingest's scrub stage rebuild identically when no
+    persisted index is passed (span_suite). NULL-text rows contribute
+    no grams (_gram_positions filters them), so this one index serves
+    daily_ingest's null-filtered archive too."""
+    return _suite_scoped(("gram_idx_arch_k5", d), lambda:
+                         D.gram_count_index(
+                             load_table(s, d, "documents")
+                             .filter("source <> 'src0'"), k=5),
+                         persist=True)
+
+
+def _shared_spans_full(s: SparkSession, d: str) -> DataFrame:
+    """repeated_spans(documents, k=5, min_count=2): the detect member
+    AND the stats member's detection pass (span_suite)."""
+    return _suite_scoped(("repeated_spans_k5", d), lambda:
+                         D.repeated_spans(
+                             load_table(s, d, "documents")),
+                         persist=True)
+
+
+def _shared_spans_inc(s: SparkSession, d: str) -> DataFrame:
+    """repeated_spans_incremental(archive, src0 batch): the detect
+    member AND the stats member's detection pass (span_suite); the
+    archive counts come from the shared gram index above."""
+    return _suite_scoped(("repeated_spans_inc_k5", d), lambda: (
+        lambda docs: D.repeated_spans_incremental(
+            docs.filter("source <> 'src0'"),
+            docs.filter("source = 'src0'"),
+            index=_shared_arch_gram_index(s, d)))(
+        load_table(s, d, "documents")), persist=True)
+
+
+def _shared_quality_artifact(s: SparkSession, d: str) -> dict:
+    """train_quality_classifier(documents) — a deterministic driver-
+    side dict: the quality_classifier member AND
+    pipeline_model_curate's training stage (ml_suite)."""
+    from parallel_svms_spark.ml.quality import train_quality_classifier
+    return _suite_scoped(("quality_clf_art", d), lambda:
+                         train_quality_classifier(
+                             load_table(s, d, "documents")))
+
+
 def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The FULL per-operator registry: one entry per implemented
     operator/query from SURVEY.md §2 (count pinned by _check_curated_cover). The driver-facing
@@ -809,7 +916,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exchange in the score path); golden-literal oracle
         "quality_classifier": lambda s, d: __import__(
             "parallel_svms_spark.ml.quality", fromlist=["x"]
-        ).quality_classifier(load_table(s, d, "documents")),
+        ).quality_classifier(load_table(s, d, "documents"),
+                             artifact=_shared_quality_artifact(s, d)),
         "pipeline_model_curate": _pipeline_model_curate,
         # §2.8 extension ops — dedup / similarity / text / events
         "dedup_exact": lambda s, d: D.exact_dedup_keys(load_table(s, d, "documents")),
@@ -824,35 +932,35 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # substring-granular dedup (Lee et al. ACL 2022): maximal
         # token spans covered by corpus-repeated word 5-grams, and
         # the per-doc duplicated-fraction filter signal — r8
-        "repeated_spans": lambda s, d: D.repeated_spans(
-            load_table(s, d, "documents")),
+        # detect + stats share one detection pass inside a suite
+        # build (the stats tail re-derives nothing from the spans)
+        "repeated_spans": _shared_spans_full,
         "repeated_span_stats": lambda s, d: D.repeated_span_stats(
-            load_table(s, d, "documents")),
+            load_table(s, d, "documents"),
+            spans=_shared_spans_full(s, d)),
         # the transform form: cut all-but-the-first occurrence of
         # every corpus-repeated 5-gram run (Lee et al. semantics)
         "repeated_span_scrub": lambda s, d: D.scrub_repeated_spans(
             load_table(s, d, "documents")),
         # daily-crawl shape: batch spans counted against the archive
         # gram index, corpus never re-grammed
-        "repeated_spans_incremental": lambda s, d: (
-            lambda docs: D.repeated_spans_incremental(
-                docs.filter("source <> 'src0'"),
-                docs.filter("source = 'src0'")))(
-            load_table(s, d, "documents")),
+        "repeated_spans_incremental": _shared_spans_inc,
         # r9: keep-first scrub of the batch against the archive's
         # persisted (first_doc, first_pos) witness — the transform
         # form of the incremental screen, corpus never re-grammed
         "repeated_span_scrub_incremental": lambda s, d: (
             lambda docs: D.scrub_repeated_spans_incremental(
                 docs.filter("source <> 'src0'"),
-                docs.filter("source = 'src0'")))(
+                docs.filter("source = 'src0'"),
+                index=_shared_arch_gram_index(s, d)))(
             load_table(s, d, "documents")),
         # r9: per-batch-doc dup/novelty fraction vs the archive —
         # the daily mixing signal (stats form of the incremental pair)
         "repeated_span_stats_incremental": lambda s, d: (
             lambda docs: D.repeated_span_stats_incremental(
                 docs.filter("source <> 'src0'"),
-                docs.filter("source = 'src0'")))(
+                docs.filter("source = 'src0'"),
+                spans=_shared_spans_inc(s, d)))(
             load_table(s, d, "documents")),
         # normalize-then-dedup (CCNet ordering): scrub fused into the
         # scan, then the same 40 B (digest, id) aggregation
@@ -922,8 +1030,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    k=3, threshold=0.5))),
         "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
             load_table(s, d, "documents"), k=3, threshold=0.5),
-        "dedup_minhash": lambda s, d: D.minhash_near_dups(
-            load_table(s, d, "documents"), threshold=0.5),
+        "dedup_minhash": _shared_minhash_pairs,
         # incremental twin: batch = doc_id % 7 == 0, corpus = rest;
         # index built from the corpus (at scale: read persisted)
         "dedup_minhash_incremental": lambda s, d: (lambda docs:
@@ -944,28 +1051,40 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 docs.filter("doc_id % 7 != 0"),
                 docs.filter("doc_id % 7 = 0"), threshold=0.5))(
             load_table(s, d, "documents")),
-        "dedup_simhash": lambda s, d: D.simhash_near_dups(
-            load_table(s, d, "documents"), max_hamming=3),
+        "dedup_simhash": _shared_simhash_pairs,
         # r10: consensus voting across the three independent detector
         # families (Jaccard / SimHash / edit-distance) — the precision
-        # lever before destructive dedup; >= 2-of-3 agreement
+        # lever before destructive dedup; >= 2-of-3 agreement. The
+        # jaccard/simhash arms are the suite-shared pair sets (the
+        # standalone members compute the identical frames); editdist
+        # has no standalone full-run twin in this suite, so it stays
+        # arm-local
         "dedup_ensemble": lambda s, d: D.ensemble_near_dups(
-            load_table(s, d, "documents"), threshold=0.5,
-            max_hamming=3, max_dist=3, min_votes=2),
+            None, min_votes=2, pair_sets=[
+                ("jaccard", _shared_minhash_pairs(s, d)),
+                ("simhash", _shared_simhash_pairs(s, d)),
+                ("editdist", D.editdist_passjoin_pairs(
+                    load_table(s, d, "documents"), max_dist=3)),
+            ]),
         # r10: SimHash day-N screen — batch signed (the family's one
         # Python hop runs over the batch only), block-joined vs the
         # persisted signature index; %7 convention
-        "dedup_simhash_incremental": lambda s, d: (lambda docs:
-            D.simhash_near_dups_incremental(
-                docs.filter("doc_id % 7 != 0"),
-                docs.filter("doc_id % 7 = 0"), max_hamming=3))(
-            load_table(s, d, "documents")),
+        "dedup_simhash_incremental": _shared_simhash_inc_pairs,
         # r10: day-N consensus — the vote over the three families'
         # incremental screens; restriction-equivalent by composition
+        # the simhash/editdist arms are the suite-shared incremental
+        # pair sets (this suite's standalone members compute the
+        # identical frames); the jaccard arm's standalone twin lives
+        # in dedup_exact_suite, so it stays arm-local here
         "dedup_ensemble_incremental": lambda s, d: (lambda docs:
-            D.ensemble_near_dups_incremental(
-                docs.filter("doc_id % 7 != 0"),
-                docs.filter("doc_id % 7 = 0"), min_votes=2))(
+            D.ensemble_near_dups(
+                None, min_votes=2, pair_sets=[
+                    ("jaccard", D.minhash_near_dups_incremental(
+                        docs.filter("doc_id % 7 != 0"),
+                        docs.filter("doc_id % 7 = 0"), threshold=0.5)),
+                    ("simhash", _shared_simhash_inc_pairs(s, d)),
+                    ("editdist", _shared_editdist_inc_pairs(s, d)),
+                ]))(
             load_table(s, d, "documents")),
         "dedup_keep_canonical": lambda s, d: D.keep_canonical(
             load_table(s, d, "documents"), k=3, threshold=0.5)
@@ -1349,11 +1468,7 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: the PassJoin day-N screen — batch probes vs the
         # (persistable) archive segment index + full within-batch;
         # %7 convention, restriction equivalence pytest-pinned
-        "editdist_passjoin_incremental": lambda s, d: (lambda docs:
-            D.editdist_passjoin_incremental(
-                docs.filter("doc_id % 7 != 0"),
-                docs.filter("doc_id % 7 = 0"), max_dist=3))(
-            load_table(s, d, "documents")),
+        "editdist_passjoin_incremental": _shared_editdist_inc_pairs,
         "compaction_roundtrip": _compaction_roundtrip,
         "pipeline_curate": _pipeline_curate,
         "pipeline_daily_ingest": _pipeline_daily_ingest,
@@ -5341,18 +5456,51 @@ _SUITE_BUILD_SCOPES: list[dict] = []
 _SUITE_SCOPED_LOCK = __import__("threading").RLock()
 
 
-def _suite_scoped(key: tuple, builder: Callable[[], "DataFrame"]):
+def _suite_scoped(key: tuple, builder: Callable[[], "DataFrame"],
+                  persist: bool = False):
     """``builder()`` memoized in the innermost active suite-build
     scope; always recomputes outside a suite build (individual qkey
     calls are unaffected). The lock serializes concurrent member
-    threads asking for the same shared derivation."""
+    threads asking for the same shared derivation.
+
+    ``persist=True`` additionally ``scoped_persist``s a shared LAZY
+    frame (only when a scope is active) and materializes the cache
+    EAGERLY (one count() job at build time): the suite's members
+    become branches of ONE union plan, and Catalyst does no
+    cross-branch CSE — without the persist each consuming branch
+    would recompute the shared subtree at action time, and with a
+    lazy persist the branches' stages would race to build the same
+    cache partitions concurrently inside the one action (measured
+    3-6× WORSE than no sharing — a thundering herd of duplicate
+    partition computes + block-write contention). Materializing
+    under the memo lock means later members asking for the same key
+    block until the cache is warm, then every branch reads it.
+    Materialized frames (e.g. ``dedup_clusters``' localCheckpoint'd
+    labels) don't need it."""
     if not _SUITE_BUILD_SCOPES:
         return builder()
     scope = _SUITE_BUILD_SCOPES[-1]
+    # per-KEY build locks (the global lock only guards the scope
+    # dict): distinct shared derivations materialize concurrently
+    # from their member threads — a single global lock would
+    # serialize every warm-up job back-to-back and forfeit the
+    # overlap the threaded suite build exists to provide
     with _SUITE_SCOPED_LOCK:
-        if key not in scope:
-            scope[key] = builder()
-        return scope[key]
+        cell = scope.get(key)
+        if cell is None:
+            import threading
+            cell = scope[key] = {"lock": threading.Lock(), "done": False,
+                                 "val": None}
+    with cell["lock"]:
+        if not cell["done"]:
+            val = builder()
+            if persist:
+                from parallel_svms_spark.caching import scoped_persist
+                val = scoped_persist(val)
+                val.count()  # warm the cache before any branch reads
+            cell["val"] = val
+            cell["done"] = True
+    return cell["val"]
 
 
 # Member-build concurrency (r10, guide §2.6 "overlap independent

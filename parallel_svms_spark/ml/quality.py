@@ -156,7 +156,8 @@ def score_quality(documents: DataFrame, artifact: dict,
 
 
 def quality_classifier(documents: DataFrame, dim: int = 64,
-                       sample_rows: int = 512) -> DataFrame:
+                       sample_rows: int = 512,
+                       artifact: dict | None = None) -> DataFrame:
     """The driver qkey: train on the corpus's own md5 sample, score
     every document JVM-side, roll up per source — (source, n_docs,
     n_high, score_milli_sum, n_agree) where ``score_milli_sum`` =
@@ -165,8 +166,14 @@ def quality_classifier(documents: DataFrame, dim: int = 64,
     label it was trained toward (the generalization receipt: the
     token-evidence model recovering the heuristic's decision on the
     FULL corpus, not just the 512-doc sample). Golden-literal oracle
-    (the svm_train precedent — see module docstring)."""
-    art = train_quality_classifier(documents, dim, sample_rows)
+    (the svm_train precedent — see module docstring).
+
+    ``artifact``: pass a pre-committed ``train_quality_classifier``
+    artifact (same documents/dim/sample_rows) to skip the training
+    step — the suite-scoped sharing hook (r10): two members of one
+    suite that train the identical classifier need it once."""
+    art = artifact if artifact is not None else \
+        train_quality_classifier(documents, dim, sample_rows)
     *_, q = quality_cols("text")
     s = quality_score_expr(art)
     high = F.col("s") >= 0

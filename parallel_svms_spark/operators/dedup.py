@@ -1833,7 +1833,8 @@ def _spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
 
 def repeated_span_stats(documents: DataFrame, k: int = 5,
                         min_count: int = 2, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        spans: DataFrame | None = None) -> DataFrame:
     """Per-document duplicated-content fraction over
     ``repeated_spans``: the quality-filter signal form of substring
     dedup — a document mostly covered by corpus-repeated k-grams is
@@ -1852,9 +1853,15 @@ def repeated_span_stats(documents: DataFrame, k: int = 5,
     aggregation of the (already doc-bounded) span rows and one
     id-keyed left join back to a narrow (doc_id, n_tokens)
     projection — text never shuffles.
+
+    ``spans``: pass precomputed ``repeated_spans`` output (same
+    documents/params) to skip the detection pass — the suite-scoped
+    sharing hook (r10): the detect and stats members of one suite
+    need the spans once, not once each.
     """
-    spans = repeated_spans(documents, k=k, min_count=min_count,
-                           id_col=id_col, text_col=text_col)
+    if spans is None:
+        spans = repeated_spans(documents, k=k, min_count=min_count,
+                               id_col=id_col, text_col=text_col)
     return _stats_from_spans(spans, documents, id_col, text_col)
 
 
@@ -1887,7 +1894,9 @@ def repeated_span_stats_incremental(corpus: DataFrame,
                                     index: DataFrame | None = None,
                                     k: int = 5, min_count: int = 2,
                                     id_col: str = "doc_id",
-                                    text_col: str = "text") -> DataFrame:
+                                    text_col: str = "text",
+                                    spans: DataFrame | None = None
+                                    ) -> DataFrame:
     """Per-BATCH-document duplicated-content fraction vs the archive
     (r9 — completes the family matrix: detect/stats/scrub each now
     have full-corpus AND incremental forms). The number a daily
@@ -1897,10 +1906,14 @@ def repeated_span_stats_incremental(corpus: DataFrame,
     ``repeated_spans_incremental`` (batch grams + persisted archive
     counts, corpus never re-grammed); the stats tail is shared with
     ``repeated_span_stats`` verbatim, based on the BATCH docs only.
-    Full-run-restriction equivalence is test-pinned."""
-    spans = repeated_spans_incremental(corpus, new_docs, index=index,
-                                       k=k, min_count=min_count,
-                                       id_col=id_col, text_col=text_col)
+    Full-run-restriction equivalence is test-pinned. ``spans`` as in
+    ``repeated_span_stats`` (precomputed ``repeated_spans_incremental``
+    output over the same corpus/batch/params — the suite-scoped
+    sharing hook)."""
+    if spans is None:
+        spans = repeated_spans_incremental(corpus, new_docs, index=index,
+                                           k=k, min_count=min_count,
+                                           id_col=id_col, text_col=text_col)
     return _stats_from_spans(spans, new_docs, id_col, text_col)
 
 
