@@ -786,6 +786,19 @@ def _shared_spans_inc(s: SparkSession, d: str) -> DataFrame:
         load_table(s, d, "documents")), persist=True)
 
 
+def _shared_shingle_source_rollup(s: SparkSession, d: str) -> DataFrame:
+    """corpus_shingle_source_counts(non-src0 corpus, k=3): the corpus
+    side of BOTH leakage audits — contamination_sources consumes it
+    as-is, contamination_report sums it over sources (exact: one
+    source per corpus doc ⇒ per-source distinct-doc counts add)
+    (decontaminate_suite)."""
+    return _suite_scoped(("shingle_src_rollup_k3", d), lambda: __import__(
+        "parallel_svms_spark.operators.contamination", fromlist=["x"]
+    ).corpus_shingle_source_counts(
+        load_table(s, d, "documents").filter("source <> 'src0'"), k=3),
+        persist=True)
+
+
 def _shared_quality_artifact(s: SparkSession, d: str) -> dict:
     """train_quality_classifier(documents) — a deterministic driver-
     side dict: the quality_classifier member AND
@@ -1115,11 +1128,14 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 load_table(s, d, "documents")),
         # r9 audit twin of decontaminate: per-EVAL-ITEM leakage
         # fractions (which benchmark items are compromised, how badly)
+        # both audits derive their corpus side from the suite-shared
+        # per-(shingle, source) rollup (report sums it over sources)
         "contamination_report": lambda s, d: (lambda docs: __import__(
             "parallel_svms_spark.operators.contamination",
             fromlist=["x"]).contamination_report(
                 docs.filter("source <> 'src0'"),
-                docs.filter("source = 'src0'")))(
+                docs.filter("source = 'src0'"),
+                source_rollup=_shared_shingle_source_rollup(s, d)))(
                 load_table(s, d, "documents")),
         # r10: source-attributed leakage — per (eval item, corpus
         # source), the mixture-vs-eval-surgery number
@@ -1127,7 +1143,8 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "parallel_svms_spark.operators.contamination",
             fromlist=["x"]).contamination_sources(
                 docs.filter("source <> 'src0'"),
-                docs.filter("source = 'src0'")))(
+                docs.filter("source = 'src0'"),
+                source_rollup=_shared_shingle_source_rollup(s, d)))(
                 load_table(s, d, "documents")),
         # eval-leakage firewall: split the corpus, then scrub the
         # train split of held-out shingle overlap — one composed DAG

@@ -226,10 +226,37 @@ def decontaminate_surgical(corpus: DataFrame, benchmark: DataFrame,
     return _rewrite_without(corpus, witnesses, k, id_col, text_col)
 
 
+def corpus_shingle_source_counts(corpus: DataFrame, k: int = 3,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 source_col: str = "source"
+                                 ) -> DataFrame:
+    """(shingle, source, n_cdocs): the corpus side of BOTH leakage
+    audits, pre-collapsed to one row per (shingle, source) with a
+    distinct-doc count — map-side-combinable, bounded by |shingle
+    vocabulary| × |sources|. ``contamination_sources`` consumes it
+    as-is; ``contamination_report``'s per-shingle counts are this
+    rollup summed over sources (every corpus doc carries exactly one
+    source, so the per-source distinct-doc sets are disjoint and
+    their counts add). Factored out (r10) so one suite/session can
+    compute the rollup once for both audits."""
+    k = int(k)
+    return (corpus
+            .filter(F.col(text_col).isNotNull())
+            .select(F.col(source_col).alias("source"),
+                    F.col(id_col).alias("cdoc"),
+                    F.explode(F.array_distinct(
+                        shingles_col(text_col, k))).alias("shingle"))
+            .groupBy("shingle", "source")
+            .agg(F.countDistinct("cdoc").alias("n_cdocs")))
+
+
 def contamination_sources(corpus: DataFrame, benchmark: DataFrame,
                           k: int = 3, id_col: str = "doc_id",
                           text_col: str = "text",
-                          source_col: str = "source") -> DataFrame:
+                          source_col: str = "source",
+                          source_rollup: DataFrame | None = None
+                          ) -> DataFrame:
     """Source-attributed leakage audit (r10 — VERDICT r9 #3): for
     each (benchmark doc, corpus SOURCE) pair, how much of the eval
     item leaks from THAT source — the number that decides mixture
@@ -256,21 +283,18 @@ def contamination_sources(corpus: DataFrame, benchmark: DataFrame,
     by definition. The join therefore carries the per-source shingle
     vocabulary, never documents — ``contamination_report``'s shape
     with one extra grouping column (and the same no-corpus-broadcast
-    rule)."""
+    rule). ``source_rollup``: pass a precomputed
+    ``corpus_shingle_source_counts`` frame (same corpus/k) to skip
+    the corpus pass — the suite-scoped sharing hook (r10)."""
     k = int(k)
     bsh = (benchmark
            .filter(F.col(text_col).isNotNull())
            .select(F.col(id_col).alias("doc_id"),
                    F.explode(F.array_distinct(
                        shingles_col(text_col, k))).alias("shingle")))
-    csh = (corpus
-           .filter(F.col(text_col).isNotNull())
-           .select(F.col(source_col).alias("source"),
-                   F.col(id_col).alias("cdoc"),
-                   F.explode(F.array_distinct(
-                       shingles_col(text_col, k))).alias("shingle"))
-           .groupBy("shingle", "source")
-           .agg(F.countDistinct("cdoc").alias("n_cdocs")))
+    csh = source_rollup if source_rollup is not None else \
+        corpus_shingle_source_counts(corpus, k, id_col, text_col,
+                                     source_col)
     sizes = bsh.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"))
     hits = (bsh.join(csh, "shingle")
@@ -289,7 +313,9 @@ def contamination_sources(corpus: DataFrame, benchmark: DataFrame,
 
 def contamination_report(corpus: DataFrame, benchmark: DataFrame,
                          k: int = 3, id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         source_rollup: DataFrame | None = None
+                         ) -> DataFrame:
     """Per-BENCHMARK-item leakage audit (r9) — the reverse direction
     of ``decontaminate``: instead of asking "which corpus docs are
     tainted" it asks "which EVAL ITEMS are compromised, and how
@@ -317,6 +343,13 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
     (map-side-combinable), so the join carries |corpus shingle
     vocabulary| rows at most once, never documents. No broadcast of
     the corpus side is ever attempted.
+
+    ``source_rollup``: pass a precomputed
+    ``corpus_shingle_source_counts`` frame (same corpus/k) to derive
+    the per-shingle counts by one sum over sources instead of
+    re-scanning the corpus — exact because every corpus doc carries
+    one source, so per-source distinct-doc counts add (the
+    suite-scoped sharing hook, r10).
     """
     k = int(k)
     bsh = (benchmark
@@ -324,13 +357,17 @@ def contamination_report(corpus: DataFrame, benchmark: DataFrame,
            .select(F.col(id_col).alias("doc_id"),
                    F.explode(F.array_distinct(
                        shingles_col(text_col, k))).alias("shingle")))
-    csh = (corpus
-           .filter(F.col(text_col).isNotNull())
-           .select(F.col(id_col).alias("cdoc"),
-                   F.explode(F.array_distinct(
-                       shingles_col(text_col, k))).alias("shingle"))
-           .groupBy("shingle")
-           .agg(F.countDistinct("cdoc").alias("n_cdocs")))
+    if source_rollup is not None:
+        csh = (source_rollup.groupBy("shingle")
+               .agg(F.sum("n_cdocs").alias("n_cdocs")))
+    else:
+        csh = (corpus
+               .filter(F.col(text_col).isNotNull())
+               .select(F.col(id_col).alias("cdoc"),
+                       F.explode(F.array_distinct(
+                           shingles_col(text_col, k))).alias("shingle"))
+               .groupBy("shingle")
+               .agg(F.countDistinct("cdoc").alias("n_cdocs")))
     joined = (bsh.join(csh, "shingle", "left")
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_shingles"),

@@ -126,3 +126,27 @@ def test_contamination_sources_hand_computed(spark):
     for (d, _s), (_, _, _, h) in got.items():
         hits[d] += h
     assert all(rep[d] == hits.get(d, 0) for d in rep)
+
+
+def test_report_and_sources_from_shared_rollup_equivalent(spark, docs):
+    """r10 sharing hook: contamination_report derived from the
+    per-(shingle, source) rollup (sum over sources) must equal the
+    direct per-shingle computation row-for-row, and
+    contamination_sources fed the precomputed rollup must equal its
+    self-computed form — the exactness argument (one source per
+    corpus doc => per-source distinct-doc counts add) checked on the
+    real fixture, not argued."""
+    from parallel_svms_spark.operators import contamination as C
+    corpus = docs.filter("source <> 'src0'")
+    bench = docs.filter("source = 'src0'")
+    rollup = C.corpus_shingle_source_counts(corpus, k=3)
+    direct_r = C.contamination_report(corpus, bench)
+    shared_r = C.contamination_report(corpus, bench,
+                                      source_rollup=rollup)
+    assert direct_r.exceptAll(shared_r).count() == 0
+    assert shared_r.exceptAll(direct_r).count() == 0
+    direct_s = C.contamination_sources(corpus, bench)
+    shared_s = C.contamination_sources(corpus, bench,
+                                       source_rollup=rollup)
+    assert direct_s.exceptAll(shared_s).count() == 0
+    assert shared_s.exceptAll(direct_s).count() == 0
