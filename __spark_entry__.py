@@ -115,8 +115,7 @@ def _topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3: brute-force cosine top-10 against the vec_id=0 embedding."""
     from parallel_svms_spark.operators.similarity import topk_cosine
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
-    return topk_cosine(emb, [float(x) for x in qvec], k=10)
+    return topk_cosine(emb, _shared_ann_qvec(spark, sf_dir), k=10)
 
 
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,8 +124,7 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     force additionally asserted in tests)."""
     from parallel_svms_spark.operators.similarity import ann_lsh_topk
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
-    return ann_lsh_topk(emb, [float(x) for x in qvec], k=10)
+    return ann_lsh_topk(emb, _shared_ann_qvec(spark, sf_dir), k=10)
 
 
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,8 +133,8 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-ordered sample; recall vs brute force asserted in tests)."""
     from parallel_svms_spark.operators.similarity import ivf_topk
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
-    return ivf_topk(emb, [float(x) for x in qvec], k=10)
+    return ivf_topk(emb, _shared_ann_qvec(spark, sf_dir), k=10,
+                    index=_shared_ivf_index(spark, sf_dir))
 
 
 def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,8 +145,7 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tools/recall_sweep.py and pinned in tests)."""
     from parallel_svms_spark.operators.similarity import pq_topk
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
-    return pq_topk(emb, [float(x) for x in qvec], k=10)
+    return pq_topk(emb, _shared_ann_qvec(spark, sf_dir), k=10)
 
 
 def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,8 +156,8 @@ def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests)."""
     from parallel_svms_spark.operators.similarity import ivfpq_topk
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
-    return ivfpq_topk(emb, [float(x) for x in qvec], k=10)
+    return ivfpq_topk(emb, _shared_ann_qvec(spark, sf_dir), k=10,
+                      index=_shared_ivf_index(spark, sf_dir))
 
 
 def _topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,6 +794,35 @@ def _shared_shingle_source_rollup(s: SparkSession, d: str) -> DataFrame:
     ).corpus_shingle_source_counts(
         load_table(s, d, "documents").filter("source <> 'src0'"), k=3),
         persist=True)
+
+
+def _shared_ann_qvec(s: SparkSession, d: str) -> list:
+    """The vec_id=0 query vector every ANN member probes with — five
+    members each ran the identical first() job (ann_suite)."""
+    return _suite_scoped(("ann_qvec", d), lambda: [
+        float(x) for x in load_table(s, d, "embeddings")
+        .filter("vec_id = 0").select("embedding").first()[0]])
+
+
+def _shared_ivf_index(s: SparkSession, d: str):
+    """(assigned, centroids) from ivf_assign(embeddings, n_lists=16,
+    seed=42): the driver-side TakeOrdered sample + seeded k-means AND
+    the full-table list assignment that ann_ivf_topk and
+    ann_ivfpq_topk both rebuild identically (ann_suite). One memo key
+    for the pair so a standalone call computes the centroids exactly
+    once; the assignment frame is persisted+warmed only inside a
+    suite build (the _suite_scoped persist contract, done manually
+    here because the shared value is a tuple)."""
+    def build():
+        emb = load_table(s, d, "embeddings")
+        C = SIM.ivf_centroids(emb, 16, 42)
+        assigned = SIM.ivf_assign_with(emb, C)
+        if _SUITE_BUILD_SCOPES:
+            from parallel_svms_spark.caching import scoped_persist
+            assigned = scoped_persist(assigned)
+            assigned.count()  # warm before any branch reads
+        return (assigned, C)
+    return _suite_scoped(("ivf_index_16", d), build)
 
 
 def _shared_quality_artifact(s: SparkSession, d: str) -> dict:

@@ -306,13 +306,18 @@ def cluster_balanced_sample(embeddings: DataFrame, per_list: int = 20,
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              n_lists: int = 16, n_probe: int = 4, seed: int = 42,
-             features_col: str = "embedding") -> DataFrame:
+             features_col: str = "embedding",
+             index: "tuple[DataFrame, np.ndarray] | None" = None
+             ) -> DataFrame:
     """IVF ANN top-k: probe the n_probe nearest inverted lists, exact
     rerank inside them. Scans n_probe/n_lists of the data — with the
     table partitioned by ivf_list this is partition pruning, the
-    100 TB path."""
-    assigned, C = ivf_assign(embeddings, n_lists, seed,
-                             features_col=features_col)
+    100 TB path. ``index``: pass a prebuilt (assigned, centroids)
+    pair from ``ivf_assign`` (same embeddings/params) to skip the
+    index build — the suite-scoped sharing hook (r10); the
+    partitioned-layout production twin is ``ivf_topk_partitioned``."""
+    assigned, C = index if index is not None else \
+        ivf_assign(embeddings, n_lists, seed, features_col=features_col)
     q = np.asarray(query_vec, dtype=np.float64)
     d = ((C - q[None, :]) ** 2).sum(1)
     probes = [int(i) for i in np.argsort(d)[:n_probe]]
@@ -791,7 +796,9 @@ def ivfpq_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                n_lists: int = 16, n_probe: int = 4, m: int = 8,
                ks: int = 64, n_candidates: int = 200, seed: int = 42,
                features_col: str = "embedding",
-               id_col: str = "vec_id") -> DataFrame:
+               id_col: str = "vec_id",
+               index: "tuple[DataFrame, np.ndarray] | None" = None
+               ) -> DataFrame:
     """IVFADC (the full system of Jégou et al. 2011 §IV): IVF coarse
     quantization prunes to the n_probe nearest lists, PQ/ADC ranks the
     survivors in compressed domain, exact cosine reranks the final
@@ -805,9 +812,14 @@ def ivfpq_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     query batch. Both component paths keep their measured recall
     behavior (RECALL.md); the composition's recall is the product of
     the two candidate stages', tested on planted neighbors.
+
+    ``index``: prebuilt (assigned, centroids) as in ``ivf_topk`` —
+    the coarse quantizer is shared; the PQ codebooks still train on
+    THIS call's pruned lists (they depend on the query's probes).
     """
-    assigned, C = ivf_assign(embeddings, n_lists, seed,
-                             features_col=features_col, id_col=id_col)
+    assigned, C = index if index is not None else \
+        ivf_assign(embeddings, n_lists, seed,
+                   features_col=features_col, id_col=id_col)
     q = np.asarray(query_vec, dtype=np.float64)
     d = ((C - q[None, :]) ** 2).sum(1)
     probes = [int(i) for i in np.argsort(d)[:n_probe]]
