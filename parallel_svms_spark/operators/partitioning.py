@@ -347,19 +347,31 @@ def grouped_exact_percentiles(df: DataFrame, group_col: str,
     def pick(it):
         import pandas as pd
         offs, need = bc.value
+        # within-group rank consumed so far IN THIS PARTITION: one
+        # partition arrives as SEVERAL Arrow batches once it exceeds
+        # arrow.maxRecordsPerBatch, and a per-batch enumerate would
+        # restart every group's rank at its partition offset each
+        # batch — correct on 32-way-split fixtures (every partition
+        # fit one batch) and silently wrong/crashing at lower core
+        # counts (found by the r10 low-core A/B; the same carried-
+        # running-state contract global_ntile/pack-pass-2 already use)
+        seen: dict = {}
+        pid = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["__pid"].iloc[0])
+            if pid is None:
+                pid = int(pdf["__pid"].iloc[0])
             pdf = pdf.sort_values(["grp", "val"], kind="mergesort")
             rows = []
             for g, sub in pdf.groupby("grp", sort=False):
-                base = offs.get((pid, g), 0)
+                base = seen.setdefault(g, offs.get((pid, g), 0))
                 want = need.get(g, ())
                 for i, v in enumerate(sub["val"].to_numpy()):
                     rk = base + i + 1
                     if rk in want:
                         rows.append((g, rk, float(v)))
+                seen[g] = base + len(sub)
             if rows:
                 yield pd.DataFrame(rows, columns=["grp", "rank", "val"])
 

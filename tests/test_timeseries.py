@@ -313,3 +313,44 @@ def test_percentiles_plan_has_no_pergroup_window(spark, events):
     assert out.count() == 5
     p = phys(out)
     assert "windowspecdefinition" not in p.lower()
+
+
+def test_percentiles_partition_spanning_many_arrow_batches(spark):
+    """r10 regression: a partition arrives in the rank-picking Arrow
+    pass as SEVERAL batches once it exceeds
+    arrow.maxRecordsPerBatch; the per-group rank must carry across
+    batches (a per-batch restart computed wrong ranks / crashed —
+    seen first at low core counts, where partitions are larger).
+    Forces the multi-batch shape by shrinking the batch size, and
+    checks against the exact percentile aggregate."""
+    import pyspark.sql.functions as F
+
+    from parallel_svms_spark.operators.partitioning import (
+        grouped_exact_percentiles)
+    n = 5000
+    df = (spark.range(n)
+          .select((F.col("id") % 3).alias("user_id"),
+                  # distinct, deterministic, group-interleaved values
+                  (F.pmod(F.xxhash64("id"), F.lit(1000000)) / 7.0)
+                  .alias("value")))
+    want = {r["user_id"]: r for r in
+            df.groupBy("user_id").agg(
+                F.count("*").alias("n"),
+                F.percentile("value", F.lit(0.5)).alias("p50"),
+                F.percentile("value", F.lit(0.9)).alias("p90"),
+                F.percentile("value", F.lit(0.99)).alias("p99"))
+            .collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+    try:
+        got = {r["user_id"]: r for r in grouped_exact_percentiles(
+            df, "user_id", "value").collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old)
+    assert set(got) == set(want)
+    for g, w in want.items():
+        r = got[g]
+        assert r["n"] == w["n"]
+        for c in ("p50", "p90", "p99"):
+            assert r[c] == pytest.approx(w[c], rel=1e-12), (g, c)
