@@ -825,6 +825,27 @@ def _shared_ivf_index(s: SparkSession, d: str):
     return _suite_scoped(("ivf_index_16", d), build)
 
 
+def _shared_event_percentiles(s: SparkSession, d: str) -> DataFrame:
+    """grouped_exact_percentiles(events, event_type, value) at the
+    UNION ps (0.01, 0.5, 0.9, 0.99): winsorize_events' threshold pass
+    (ps 0.01/0.99) and the value_percentiles member (0.5/0.9/0.99)
+    each ran the identical range-partition + rank-bracket machinery
+    over the same (event_type, value) pairs (event_suite). Each
+    requested percentile's bracket ranks and interpolation are
+    independent of the other ps, so the superset call's values are
+    bit-identical to each member's own (pinned in
+    tests/test_events.py). The result is |event types| driver-local
+    rows — no persist needed; the expensive collects run once at
+    build under the _suite_scoped key."""
+    from parallel_svms_spark.operators.partitioning import (
+        grouped_exact_percentiles)
+    return _suite_scoped(("event_pcts_type_value", d), lambda:
+                         grouped_exact_percentiles(
+                             load_table(s, d, "events"),
+                             "event_type", "value",
+                             ps=(0.01, 0.5, 0.9, 0.99)))
+
+
 def _shared_quality_artifact(s: SparkSession, d: str) -> dict:
     """train_quality_classifier(documents) — a deterministic driver-
     side dict: the quality_classifier member AND
@@ -1067,8 +1088,13 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                D.dedup_clusters(
                                    load_table(s, d, "documents"),
                                    k=3, threshold=0.5))),
+        # log_dropped=False: the docstring's documented latency lever —
+        # skips one build-time count() job whose only effect is a
+        # warning log line (results unchanged; dedup_clusters already
+        # passes False for the same reason)
         "simjoin_candidates": lambda s, d: D.ngram_jaccard_pairs(
-            load_table(s, d, "documents"), k=3, threshold=0.5),
+            load_table(s, d, "documents"), k=3, threshold=0.5,
+            log_dropped=False),
         "dedup_minhash": _shared_minhash_pairs,
         # incremental twin: batch = doc_id % 7 == 0, corpus = rest;
         # index built from the corpus (at scale: read persisted)
@@ -1351,8 +1377,12 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev.filter("event_type = 'purchase'"),
             ev.filter("event_type = 'view'")))(
             load_table(s, d, "events")),
+        # threshold pass = the suite-shared union-ps percentile table
+        # (bit-identical per-p values; outside a suite build the
+        # helper just computes — see _shared_event_percentiles)
         "winsorize_events": lambda s, d: E.winsorize_events(
-            load_table(s, d, "events")),
+            load_table(s, d, "events"),
+            thr=_shared_event_percentiles(s, d)),
         # burst debounce family (r6): retry-storm collapse — rollup
         # and the deduplicated (first-of-burst) stream itself
         "event_bursts": lambda s, d: E.collapse_bursts(
@@ -1394,8 +1424,11 @@ def queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "events")),
         "rolling_features_bucketed": lambda s, d:
             TS.rolling_features_bucketed(load_table(s, d, "events")),
-        "value_percentiles": lambda s, d: X.grouped_exact_percentiles(
-            load_table(s, d, "events"), "event_type", "value"),
+        # the suite-shared union-ps pass, projected to this qkey's
+        # declared (event_type, n, p50, p90, p99) columns — values
+        # bit-identical to a standalone ps=(0.5, 0.9, 0.99) call
+        "value_percentiles": lambda s, d: _shared_event_percentiles(
+            s, d).select("event_type", "n", "p50", "p90", "p99"),
         # re-identification screen on the (user, event_type) quasi-id
         "kanonymity_risk": lambda s, d: __import__(
             "parallel_svms_spark.operators.privacy",

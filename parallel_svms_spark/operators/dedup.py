@@ -959,8 +959,11 @@ def dedup_clusters(documents: DataFrame, k: int = 3,
     ``filter(doc_id == cluster_rep)`` keeps exactly one doc per
     near-dup cluster (and every singleton keeps itself).
 
-    Spark shape: min-label propagation. Labels start as doc_id; each
-    round every node takes the min of its own and its neighbors'
+    Spark shape: min-label propagation over the EDGE-ENDPOINT set
+    (docs in no pair keep ``cluster_rep = doc_id`` by construction and
+    never enter the loop — the corpus is touched once, by the final
+    label attach). Labels start as doc_id; each round every endpoint
+    takes the min of its own and its neighbors'
     labels (one shuffle-hash join + groupBy over the edge list, which
     persists once); converges when the label sum stops changing —
     labels only ever decrease, so the sum is a strictly-decreasing
@@ -982,9 +985,28 @@ def dedup_clusters(documents: DataFrame, k: int = 3,
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"),
                             F.col("doc_a").alias("d"))))
-    lab = documents.select("doc_id", F.col("doc_id").alias("lab")) \
-                   .localCheckpoint()
-    prev_sum = lab.agg(F.sum("lab")).first()[0]
+    # r10 (guide §2.3 — iterate on the small set): only docs that
+    # APPEAR IN AN EDGE can ever change label (a singleton's min over
+    # {itself} is itself, every round), so the propagation loop runs
+    # over the edge-endpoint set — |endpoints| ≤ 2·|pairs| rows, ≪
+    # corpus — and the full corpus is touched exactly once, by the
+    # final label attach below. Labels/sums are value-identical to the
+    # old all-docs loop: non-endpoint docs contributed a constant
+    # lab = doc_id to every round and a constant term to the
+    # convergence sum (comparisons of successive sums are unchanged).
+    # edges is symmetric (both directions unioned), so the distinct
+    # source column alone covers every endpoint.
+    # the initial convergence-sum job is skipped (prev_sum seeds as
+    # None): round 1 strictly decreases the sum whenever any edge
+    # exists, and on an edgeless corpus both sums are None and the
+    # loop exits on its first check exactly as before. (A persist+
+    # one-agg-job-per-round variant was tried and measured SLOWER
+    # than localCheckpoint rounds — per-round broadcast planning over
+    # the growing cached lineage cost more than the saved sum job.)
+    lab = (edges.select(F.col("s").alias("doc_id")).distinct()
+           .select("doc_id", F.col("doc_id").alias("lab"))
+           .localCheckpoint())
+    prev_sum: int | None = None
     for _ in range(max_iter):
         nbr = (edges.join(lab.select(F.col("doc_id").alias("d"),
                                      F.col("lab").alias("nbr_lab")), "d")
@@ -1008,7 +1030,15 @@ def dedup_clusters(documents: DataFrame, k: int = 3,
             f"exists and its labels are still split; raise max_iter or "
             f"switch the loop body to large-star/small-star",
             RuntimeWarning, stacklevel=2)
-    return lab.select("doc_id", F.col("lab").alias("cluster_rep"))
+    # attach the converged endpoint labels back to the corpus: ONE
+    # narrow left join (labels are checkpointed and endpoint-sized, so
+    # Catalyst's size stats make it a broadcast join in practice);
+    # every non-endpoint doc is its own representative
+    return (documents.select("doc_id")
+            .join(lab, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lab", F.col("doc_id"))
+                    .alias("cluster_rep")))
 
 
 def cluster_size_stats(documents: DataFrame, k: int = 3,

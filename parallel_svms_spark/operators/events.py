@@ -585,7 +585,8 @@ def temporal_join(facts: DataFrame, versions: DataFrame,
 
 
 def winsorize_events(events: DataFrame, lo: float = 0.01,
-                     hi: float = 0.99) -> DataFrame:
+                     hi: float = 0.99,
+                     thr: DataFrame | None = None) -> DataFrame:
     """Winsorization audit: per event type, clip ``value`` at the
     EXACT lo/hi percentiles and report what clipping does — row
     counts clipped at each tail and the mean before/after — the
@@ -600,13 +601,22 @@ def winsorize_events(events: DataFrame, lo: float = 0.01,
     attach back as a broadcast |types|-row table; the clip pass is
     one narrow projection + one hash aggregation. Means are rounded
     to 6 dp on both sides (the suite's standard float contract).
+
+    ``thr``: optional precomputed threshold table carrying at least
+    (event_type, p<lo·100>, p<hi·100>) — the sharing hook for callers
+    that already ran ``grouped_exact_percentiles`` over the same
+    (event_type, value) pairs with a ps superset (each percentile's
+    bracket/interpolation is independent of the other requested ps,
+    so the superset's values are bit-identical).
     """
     from parallel_svms_spark.operators.partitioning import (
         grouped_exact_percentiles)
     lo_c = f"p{int(round(lo * 100))}"
     hi_c = f"p{int(round(hi * 100))}"
-    thr = grouped_exact_percentiles(events, "event_type", "value",
-                                    ps=(lo, hi))
+    if thr is None:
+        thr = grouped_exact_percentiles(events, "event_type", "value",
+                                        ps=(lo, hi))
+    thr = thr.select("event_type", lo_c, hi_c)
     src = (events.filter(F.col("value").isNotNull())
            .select("event_type", F.col("value").cast("double")
                    .alias("v"))

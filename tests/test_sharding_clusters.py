@@ -86,6 +86,25 @@ def test_dedup_clusters_transitive_closure(spark):
     assert keep == [0, 10]
 
 
+def test_dedup_clusters_long_chain_and_singletons(spark):
+    """r10 endpoint-only propagation: a 5-link chain whose edges are
+    adjacent-only (label 0 needs 4 propagation rounds to reach the
+    last node) plus out-of-pair singletons that must come back as
+    their own reps through the final attach join, not the loop."""
+    vocab = [f"w{i:02d}" for i in range(16)]
+    # windows of 8 tokens at offsets 0,2,4,6,8: adjacent windows share
+    # 4 of their 6 3-gram shingles (jaccard 0.5 ≥ t) while offset-4
+    # windows share 2 of 6 (jaccard 0.2 < t) — a pure chain
+    rows = [(i, " ".join(vocab[off:off + 8]))
+            for i, off in enumerate((0, 2, 4, 6, 8))]
+    rows += [(100, "aa bb cc dd ee ff gg hh"),
+             (101, "ii jj kk ll mm nn oo pp")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster_rep
+           for r in D.dedup_clusters(df, k=3, threshold=0.5).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 100: 100, 101: 101}
+
+
 def test_dedup_clusters_on_fixture_matches_pairs(spark, docs):
     """Every pair's two docs share a rep; reps are component minima."""
     pairs = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5,

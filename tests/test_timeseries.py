@@ -354,3 +354,40 @@ def test_percentiles_partition_spanning_many_arrow_batches(spark):
         assert r["n"] == w["n"]
         for c in ("p50", "p90", "p99"):
             assert r[c] == pytest.approx(w[c], rel=1e-12), (g, c)
+
+
+def test_percentiles_superset_ps_bitwise_equal(spark, events):
+    """r10 sharing hook: each requested percentile's bracket ranks and
+    interpolation are independent of the OTHER requested ps, so a
+    union-ps call must reproduce every subset call's doubles bitwise
+    (what lets winsorize_events and value_percentiles share one pass
+    inside event_suite)."""
+    from parallel_svms_spark.operators.partitioning import (
+        grouped_exact_percentiles)
+    union = {r["event_type"]: r for r in grouped_exact_percentiles(
+        events, "event_type", "value",
+        ps=(0.01, 0.5, 0.9, 0.99)).collect()}
+    solo_vp = {r["event_type"]: r for r in grouped_exact_percentiles(
+        events, "event_type", "value", ps=(0.5, 0.9, 0.99)).collect()}
+    solo_w = {r["event_type"]: r for r in grouped_exact_percentiles(
+        events, "event_type", "value", ps=(0.01, 0.99)).collect()}
+    assert set(union) == set(solo_vp) == set(solo_w)
+    for g in union:
+        assert union[g]["n"] == solo_vp[g]["n"] == solo_w[g]["n"]
+        for c in ("p50", "p90", "p99"):
+            assert union[g][c] == solo_vp[g][c], (g, c)  # exact, no eps
+        for c in ("p1", "p99"):
+            assert union[g][c] == solo_w[g][c], (g, c)
+
+
+def test_winsorize_with_shared_thr_bitwise_equal(spark, events):
+    """winsorize_events(thr=<union-ps table>) must equal the
+    self-computed path row-for-row exactly (the event_suite wiring)."""
+    from parallel_svms_spark.operators import events as E
+    from parallel_svms_spark.operators.partitioning import (
+        grouped_exact_percentiles)
+    thr = grouped_exact_percentiles(events, "event_type", "value",
+                                    ps=(0.01, 0.5, 0.9, 0.99))
+    a = sorted(E.winsorize_events(events).collect())
+    b = sorted(E.winsorize_events(events, thr=thr).collect())
+    assert a == b
