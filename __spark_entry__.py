@@ -228,8 +228,15 @@ def _pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = TX.quality_filter(docs, keep_frac=0.5).select("doc_id")
     curated = docs.join(kept, "doc_id", "left_semi")
     deduped = D.exact_dedup(curated)
-    mixed = SH.mixture_sample_hash(deduped, default_rate=0.5)
-    final = deduped.join(mixed.select("doc_id"), "doc_id", "left_semi")
+    # r10 (guide §1.2 step 1): the mixture stage is a pure per-row
+    # hash coin on (doc_id, source) — apply the predicate directly.
+    # The old `deduped ⋉ mixture_sample_hash(deduped)` self-semi-join
+    # re-derived the ENTIRE quality-carve + exact-dedup subtree on the
+    # join's right side (doc_ids are unique in deduped, so semi-join
+    # against a filtered projection of itself ≡ the filter; row set
+    # pinned identical in tests/test_pipeline_rewrites.py and by the
+    # unchanged DuckDB oracle)
+    final = deduped.filter(SH.mixture_keep_col(default_rate=0.5))
     return SH.pack_shards(final, budget_tokens=2048)
 
 
@@ -330,10 +337,15 @@ def _pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = CN.decontaminate_splits(docs, k=4)
     keys = D.exact_dedup_keys_normalized(clean)
     deduped = clean.join(keys, "doc_id", "left_semi")
-    sampled = SH.weighted_sample(
-        deduped.select("doc_id", "source", "n_chars"),
-        weight=F.col("n_chars") / F.lit(2000.0))
-    final = deduped.join(sampled.select("doc_id"), "doc_id", "left_semi")
+    # r10 (guide §1.2 step 1): the importance-sampling stage is a pure
+    # per-row hash coin on (doc_id, n_chars) — apply the predicate
+    # directly. The old `deduped ⋉ weighted_sample(π(deduped))`
+    # self-semi-join re-derived the ENTIRE decontaminate +
+    # normalized-dedup subtree on the join's right side (doc_ids are
+    # unique in deduped, so the rewrite is row-identical; pinned in
+    # tests/test_pipeline_rewrites.py and by the unchanged oracle)
+    final = deduped.filter(SH.weighted_keep_col(
+        F.col("n_chars") / F.lit(2000.0)))
     return SH.pack_shards(final, budget_tokens=2048, order="hash")
 
 

@@ -253,13 +253,30 @@ def mixture_sample_hash(df: DataFrame, rates: dict[str, float] | None = None,
     membership depends only on (id, rate), so re-runs, engines, and
     incremental extensions of OTHER sources never change a row's fate.
     """
+    return (df.filter(mixture_keep_col(rates, default_rate,
+                                       id_col, group_col))
+            .select(id_col, group_col))
+
+
+def mixture_keep_col(rates: dict[str, float] | None = None,
+                     default_rate: float = 0.1,
+                     id_col: str = "doc_id",
+                     group_col: str = "source") -> Column:
+    """``mixture_sample_hash``'s keep predicate as a reusable Column
+    (r10, guide §1.2 step 1): membership is a pure per-row function of
+    (id, group), so a pipeline that already HOLDS the frame being
+    sampled can apply the predicate directly instead of semi-joining
+    against ``mixture_sample_hash``'s output — a self-semi-join whose
+    right side re-derives the entire upstream subtree. Row set
+    identical by construction (same expression, unique ids);
+    ``mixture_sample_hash`` itself delegates here."""
     rates = rates or {}
     thr = F.lit(_rate_threshold_hex(default_rate))
     for g, r in sorted(rates.items()):
         thr = F.when(F.col(group_col) == g,
                      F.lit(_rate_threshold_hex(r))).otherwise(thr)
     h8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
-    return (df.filter(h8 < thr).select(id_col, group_col))
+    return h8 < thr
 
 
 def mixture_sample_temperature(documents: DataFrame,
@@ -403,6 +420,16 @@ def weighted_sample(df: DataFrame, weight: Column,
     w=1 the threshold renders ``'ffffffff'`` and a row drops only if
     its md5 prefix is exactly that (P = 2⁻³²). NULL/NaN/negative
     weights clamp to 0 (drop)."""
+    return df.filter(weighted_keep_col(weight, id_col))
+
+
+def weighted_keep_col(weight: Column, id_col: str = "doc_id") -> Column:
+    """``weighted_sample``'s keep predicate as a reusable Column (r10,
+    guide §1.2 step 1 — the ``mixture_keep_col`` rationale applied to
+    the per-row weight coin): a pipeline holding the frame being
+    sampled can filter directly instead of semi-joining against the
+    sampler's output. ``weighted_sample`` delegates here, so the
+    clamp/threshold semantics (and their tests) stay single-sourced."""
     u32 = float(16 ** 8 - 1)
     # clamp to [0, 1] BEFORE hex: a negative weight would hex to a
     # 16-char two's-complement string that lpad TRUNCATES to
@@ -417,7 +444,7 @@ def weighted_sample(df: DataFrame, weight: Column,
     thr = F.lower(F.lpad(F.hex(
         F.floor(w01 * F.lit(u32)).cast("bigint")), 8, "0"))
     h8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
-    return df.filter(h8 < thr)
+    return h8 < thr
 
 
 def pack_sequences(documents: DataFrame, budget_tokens: int = 4096,
