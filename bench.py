@@ -139,14 +139,17 @@ def run_stress() -> dict:
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tools"))
     import stress as stress_mod
-    from pyspark.sql import SparkSession
     mult_docs, mult_emb = 10, 25
-    spark = (SparkSession.builder.master("local[32]")
-             .config("spark.sql.shuffle.partitions", "64")
-             .config("spark.driver.memory", "48g")
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.ui.enabled", "false")
-             .getOrCreate())
+    # r11 (VERDICT r10 #1): the stress session honors $SPARK_GRAFT_CPUS
+    # like every other leg — the hardcoded local[32]/64-partition
+    # builder both broke the scaling contract for this leg and polluted
+    # the stdout tail the driver inspects on its low-core run (32-slot
+    # stage bars under "cpus": 8 tripped suspect_cpus_ignored).
+    # shuffle.partitions = 2× cores, the same ratio the old constants
+    # encoded, now derived instead of pinned.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from parallel_svms_spark.session import get_spark
+    spark = get_spark("bench_stress", shuffle_partitions=2 * cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
         docs_path, emb_path = stress_mod.build(spark, mult_docs, mult_emb)
