@@ -25,6 +25,20 @@ def test_linear_ovr_trains_and_scores_all_rows(emb):
     assert pred.filter("pred < 0 OR pred > 9").count() == 0
 
 
+def test_expression_scorer_equals_ovr_transform(emb):
+    """r11: the argmax-expression scorer must reproduce
+    OneVsRestModel.transform's predictions row-for-row (same margins —
+    dot + add over the same doubles — and the same first-max tie
+    rule)."""
+    from parallel_svms_spark.ml.mllib_path import (
+        predict_linear_ovr_transform)
+    model = train_linear_ovr(emb, max_iter=5)
+    fast = predict_linear_ovr(model, emb)
+    ref = predict_linear_ovr_transform(model, emb)
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+
+
 def test_linear_ovr_separable_sanity(spark):
     # two clearly separable classes -> near-perfect linear fit
     rows = [(i, [float(i % 7), 1.0 if i < 50 else -1.0], 0 if i < 50 else 1)
