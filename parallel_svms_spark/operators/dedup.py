@@ -254,9 +254,14 @@ def ngram_jaccard_pairs(documents: DataFrame, k: int = 3,
                             - F.ceil(F.col("n_sh") * F.lit(float(threshold)))
                             + 1).cast("int")))
     per_doc = scoped_persist(per_doc)
-    # persist: per_doc feeds the prefix index AND both verify sides —
-    # unpersisted, Catalyst re-derives the whole scan→explode→join→
-    # group pipeline three times (no cross-join CSE)
+    per_doc.count()
+    # persist + eager warm: per_doc feeds the prefix index AND both
+    # verify sides — unpersisted, Catalyst re-derives the whole
+    # scan→explode→join→group pipeline three times (no cross-join
+    # CSE); lazily persisted, the three consumer stages RACE to build
+    # the same cache partitions (the r10 thundering-herd lesson, see
+    # _verify_pairs_exact — one warm count() job makes every consumer
+    # a cache read)
     # candidate expansion with PPJoin's POSITIONAL filter (Xiao, Wang,
     # Lin & Yu, "Efficient Similarity Joins for Near Duplicate
     # Detection", WWW'08): a prefix occurrence at 0-based position p in
@@ -432,6 +437,18 @@ def _verify_pairs_exact(documents: DataFrame, cands: DataFrame,
     ``cands`` must already be persisted by the caller (it is consumed
     three times: both arms of the id union + the final join).
 
+    r11 (guide §5, the r10 thundering-herd lesson applied WITHIN one
+    action): ``cands`` and ``sh`` are materialized EAGERLY here (one
+    count() job each at build time). Lazy, they are consumed by 3 and
+    4 independent exchange stages respectively, and AQE materializes
+    those stages concurrently — every stage computed the missing cache
+    partitions itself (the "Block already exists" storm; measured
+    ~1.4 s of duplicate work on winnow_near_dups_incremental at
+    sf0.1). Warm, every consumer reads the built cache. At scale the
+    count() is one extra cache-read job; the duplicate partition
+    computes it prevents are full recomputes of the shingling/semijoin
+    pipeline.
+
     r10: a SIZE prefilter runs before the array join — J(A,B) ≥ τ
     implies min(|A|,|B|) ≥ τ·max(|A|,|B|) (the standard length bound:
     the intersection is at most the smaller set, the union at least
@@ -442,6 +459,7 @@ def _verify_pairs_exact(documents: DataFrame, cands: DataFrame,
     emits ~100× more candidates than survive global-Jaccard verify
     on a boilerplate-heavy corpus — 34M at the 10× stress corpus)."""
     from parallel_svms_spark.caching import scoped_persist
+    cands.count()  # warm the caller's persist before its 3 consumers
     cand_ids = (cands.select(F.col("doc_a").alias("doc_id"))
                 .union(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct())
@@ -451,6 +469,7 @@ def _verify_pairs_exact(documents: DataFrame, cands: DataFrame,
         documents.join(cand_ids, "doc_id", "left_semi").select(
             "doc_id", F.transform(F.array_distinct(shingles_col("text", k)),
                                   lambda s: F.xxhash64(s)).alias("sh")))
+    sh.count()  # warm before the 4 consumer stages (docstring note)
     sizes = sh.select("doc_id", F.size("sh").alias("n"))
     na = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("n").alias("n_a"))
@@ -720,32 +739,48 @@ def winnow_near_dups_incremental(corpus: DataFrame,
     ``corpus`` and ``new_docs`` must be disjoint (the documents
     contract)."""
     from parallel_svms_spark.caching import scoped_persist
-    batch_fps = scoped_persist(winnow_index(new_docs, k, w))
+    batch_fps = winnow_index(new_docs, k, w)
     if index is None:
-        # the fixture path re-fingerprints the corpus; persist it —
-        # TWO branches consume it (the frequency rollup and the cross
-        # join) and an unpersisted plan runs the whole linear
-        # fingerprint chain over the corpus twice (guide §2.4: the
-        # production path reads a parquet index, where a double scan
-        # is cheap; a double recompute is not)
-        index = scoped_persist(winnow_index(corpus, k, w))
-    # union frequency per batch fp: appends are per-batch distinct
-    # (one row per (fp, doc)), so count(*) counts docs
-    old_freq = index.groupBy("fp").agg(F.count("*").alias("n_old"))
-    batch_freq = batch_fps.groupBy("fp").agg(
-        F.count("*").alias("n_new"))
-    ok = batch_freq.join(old_freq, "fp", "left").select(
-        "fp", (F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0)))
-        .alias("n_tot"))
+        # fixture path: re-fingerprint the corpus (production reads
+        # the winnow_index_append parquet). No persist needed anymore
+        # — the fused candidate plan below consumes each side exactly
+        # once (r11), where the r10 shape consumed the index twice
+        # (frequency rollup + cross join).
+        index = winnow_index(corpus, k, w)
+    # r11 (guide §2.4 — remove exchanges outright): ONE groupBy per
+    # side + ONE left join replaces the r10 chain of
+    # frequency-rollup join → semi-join → fp-keyed cross join →
+    # separate within-batch bucket expansion (~8 exchanges → ~4, and
+    # each input is consumed once so nothing needs persisting).
+    # (fp, doc_id) rows are distinct per doc (winnow_fingerprints
+    # array_distincts before exploding), so size(ids) IS the doc
+    # count the union-frequency cap is defined over — the cap still
+    # equals the full run's, keeping restriction equivalence EXACT
+    # (test-pinned). Pair semantics are unchanged: cross = new × old
+    # per surviving fp; within = the bucket-local expansion over
+    # DISTINCT sorted batch id-sets (the _winnow_bucket_pairs
+    # dedup-identical-sets trick, applied to the same arrays).
+    bg = batch_fps.groupBy("fp").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("new_ids"))
+    og = index.groupBy("fp").agg(F.collect_set("doc_id").alias("old_ids"))
+    j = bg.join(og, "fp", "left")
     if max_fp_freq is not None:
-        ok = ok.filter(F.col("n_tot") <= int(max_fp_freq))
-    ok_fps = ok.select("fp")
-    live = batch_fps.join(ok_fps, "fp", "left_semi")
-    cross = (live
-             .join(index.withColumnRenamed("doc_id", "old_id"), "fp")
+        j = j.filter(
+            F.size("new_ids")
+            + F.coalesce(F.size("old_ids"), F.lit(0))
+            <= int(max_fp_freq))
+    j = scoped_persist(j)  # two consumers: the cross and within arms
+    cross = (j.filter(F.coalesce(F.size("old_ids"), F.lit(0)) >= 1)
+             .select(F.explode("new_ids").alias("doc_id"), "old_ids")
+             .select("doc_id", F.explode("old_ids").alias("old_id"))
              .select(F.least("doc_id", "old_id").alias("doc_a"),
                      F.greatest("doc_id", "old_id").alias("doc_b")))
-    within = _winnow_bucket_pairs(live, None)  # cap already applied
+    within = (j.filter(F.size("new_ids") >= 2)
+              .select("new_ids").distinct()
+              .select(F.explode(
+                  _pairs_from_ids(F.col("new_ids"))).alias("p"))
+              .select(F.col("p.doc_a").alias("doc_a"),
+                      F.col("p.doc_b").alias("doc_b")))
     cands = scoped_persist(cross.union(within).distinct())
     all_docs = (corpus.select("doc_id", "text")
                 .unionByName(new_docs.select("doc_id", "text")))
