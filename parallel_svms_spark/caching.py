@@ -42,6 +42,22 @@ def scoped_persist(df: DataFrame,
     return out
 
 
+def warm_persist(df: DataFrame,
+                 level: StorageLevel | None = None) -> DataFrame:
+    """``scoped_persist`` + eager materialization (one count() job at
+    build time). Use when MULTIPLE independent stages of the same
+    downstream action consume the frame: left lazy, AQE materializes
+    those stages concurrently and each computes the missing cache
+    partitions itself (the "Block already exists" storm — duplicate
+    upstream work per consumer, measured ~1.4 s on
+    winnow_near_dups_incremental at sf0.1). Warmed, every consumer is
+    a cache read; at scale the count() is one extra cache-read job vs
+    N-1 avoided recomputes of the upstream pipeline."""
+    out = scoped_persist(df, level)
+    out.count()
+    return out
+
+
 @contextmanager
 def cache_scope():
     """Unpersist every ``scoped_persist`` entry made inside the block

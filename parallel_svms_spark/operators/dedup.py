@@ -589,8 +589,11 @@ def minhash_near_dups_incremental(corpus: DataFrame, new_docs: DataFrame,
     ``corpus`` and ``new_docs`` must be disjoint (the documents
     contract).
     """
-    from parallel_svms_spark.caching import scoped_persist
-    new_sigs = scoped_persist(
+    from parallel_svms_spark.caching import scoped_persist, warm_persist
+    # warm: the cross-join band rows AND the within-batch banding both
+    # consume the signatures — the two stages race on a lazy cache
+    # (warm_persist docstring; the Arrow sign pass would run twice)
+    new_sigs = warm_persist(
         minhash_signatures(new_docs, n_hashes, k, seed))
     if index is None:
         index = minhash_band_index(corpus, n_hashes, k, n_bands,
@@ -738,7 +741,7 @@ def winnow_near_dups_incremental(corpus: DataFrame,
     corpus text only via the candidate-id semi-join. Ids of
     ``corpus`` and ``new_docs`` must be disjoint (the documents
     contract)."""
-    from parallel_svms_spark.caching import scoped_persist
+    from parallel_svms_spark.caching import scoped_persist, warm_persist
     batch_fps = winnow_index(new_docs, k, w)
     if index is None:
         # fixture path: re-fingerprint the corpus (production reads
@@ -769,7 +772,7 @@ def winnow_near_dups_incremental(corpus: DataFrame,
             F.size("new_ids")
             + F.coalesce(F.size("old_ids"), F.lit(0))
             <= int(max_fp_freq))
-    j = scoped_persist(j)  # two consumers: the cross and within arms
+    j = warm_persist(j)  # two consumers: the cross and within arms
     cross = (j.filter(F.coalesce(F.size("old_ids"), F.lit(0)) >= 1)
              .select(F.explode("new_ids").alias("doc_id"), "old_ids")
              .select("doc_id", F.explode("old_ids").alias("old_id"))
@@ -946,7 +949,7 @@ def simhash_near_dups_incremental(corpus: DataFrame,
     equi-join on (blk, val) against the index's derived block rows,
     codegen'd xor-popcount verify — no stage ever touches archive
     text."""
-    from parallel_svms_spark.caching import scoped_persist
+    from parallel_svms_spark.caching import scoped_persist, warm_persist
     sigs_old = (index if index is not None
                 else simhash_index(corpus, hasher=hasher))
     # persist the batch signatures: the cross join and the
@@ -954,6 +957,10 @@ def simhash_near_dups_incremental(corpus: DataFrame,
     # branch re-runs the family's one Python hop (the Arrow tally
     # UDF) plus the batch scan (guide §2.4); 8 B/doc, trivially
     # cacheable at any batch size
+    # measured (r11): warm-persisting the batch signatures is a LOSS
+    # (1.56 -> 1.74 s same-session A/B) — the one Arrow pass over the
+    # 1/7 batch is cheaper than the extra materialization job; the
+    # lazy duplicate compute is bounded by the batch size
     sigs_new = scoped_persist(simhash(new_docs, hasher=hasher))
     bn = _simhash_blocks(sigs_new, n_blocks)
     bo = _simhash_blocks(sigs_old, n_blocks)
@@ -2295,9 +2302,13 @@ def repeated_spans_incremental(corpus: DataFrame, new_docs: DataFrame,
     docs is test-pinned; ids of ``corpus`` and ``new_docs`` must be
     disjoint (the documents contract).
     """
-    from parallel_svms_spark.caching import scoped_persist
+    from parallel_svms_spark.caching import scoped_persist, warm_persist
     k = int(k)
     assert k >= 2 and int(min_count) >= 2
+    # measured (r11): warm-persist is a LOSS here (spans_inc
+    # 1.91 -> 2.03 s, scrub_inc 2.23 -> 2.61 s) — batch grams are one
+    # narrow projection + explode, cheaper recomputed per branch than
+    # eagerly materialized
     batch_grams = scoped_persist(
         _gram_positions(new_docs, k, id_col, text_col))
     if index is None:
@@ -2342,9 +2353,13 @@ def scrub_repeated_spans_incremental(corpus: DataFrame,
     Full-run-restriction equivalence and the two-day append cycle
     are test-pinned (``tests/test_dedup.py``).
     """
-    from parallel_svms_spark.caching import scoped_persist
+    from parallel_svms_spark.caching import scoped_persist, warm_persist
     k = int(k)
     assert k >= 2
+    # measured (r11): warm-persist is a LOSS here (spans_inc
+    # 1.91 -> 2.03 s, scrub_inc 2.23 -> 2.61 s) — batch grams are one
+    # narrow projection + explode, cheaper recomputed per branch than
+    # eagerly materialized
     batch_grams = scoped_persist(
         _gram_positions(new_docs, k, id_col, text_col))
     if index is None:
