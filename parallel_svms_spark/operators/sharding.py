@@ -267,7 +267,15 @@ def mixture_keep_col(rates: dict[str, float] | None = None,
     (id, group), so a pipeline that already HOLDS the frame being
     sampled can apply the predicate directly instead of semi-joining
     against ``mixture_sample_hash``'s output — a self-semi-join whose
-    right side re-derives the entire upstream subtree. Row set
+    right side re-derives the entire upstream subtree.
+
+    REQUIREMENT (not just rationale — ADVICE r10): the filter ≡
+    semi-join identity holds only when ``id_col`` is UNIQUE in the
+    filtered frame. With duplicate ids the semi-join keeps EVERY row
+    sharing a passing id while the filter decides per row; callers
+    replacing a semi-join must filter a deduplicated frame (both
+    committed pipelines do — precondition asserted in
+    tests/test_pipeline_rewrites.py). Row set
     identical by construction (same expression, unique ids);
     ``mixture_sample_hash`` itself delegates here."""
     rates = rates or {}
@@ -429,7 +437,11 @@ def weighted_keep_col(weight: Column, id_col: str = "doc_id") -> Column:
     the per-row weight coin): a pipeline holding the frame being
     sampled can filter directly instead of semi-joining against the
     sampler's output. ``weighted_sample`` delegates here, so the
-    clamp/threshold semantics (and their tests) stay single-sourced."""
+    clamp/threshold semantics (and their tests) stay single-sourced.
+    Same REQUIREMENT as ``mixture_keep_col``: replacing a semi-join
+    with this filter is row-identical only over a unique-``id_col``
+    frame (see that docstring; asserted for the committed pipelines
+    in tests/test_pipeline_rewrites.py)."""
     u32 = float(16 ** 8 - 1)
     # clamp to [0, 1] BEFORE hex: a negative weight would hex to a
     # 16-char two's-complement string that lpad TRUNCATES to

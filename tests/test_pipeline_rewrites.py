@@ -26,6 +26,35 @@ def _same_rows(a, b):
     assert b.exceptAll(a).count() == 0
 
 
+def test_rate_threshold_hex_literals():
+    """ADVICE r10: anchor the shared threshold helper against
+    hard-coded hex literals so the sampler-equivalence tests are not
+    tautological (both sides otherwise share _rate_threshold_hex)."""
+    assert SH._rate_threshold_hex(0.5) == "80000000"
+    assert SH._rate_threshold_hex(0.25) == "40000000"
+    assert SH._rate_threshold_hex(0.0) == "00000000"
+    assert SH._rate_threshold_hex(1.0) == "ffffffff"  # clamped to max
+    assert SH._rate_threshold_hex(0.9) == "e6666666"
+
+
+def test_pipeline_keep_col_rewrite_id_uniqueness_precondition(docs):
+    """ADVICE r10: the semi-join → keep-predicate rewrite in
+    pipeline_curate/pipeline_pretrain is row-identical ONLY when
+    doc_id is unique in the filtered frame (with duplicate ids the old
+    semi-join would keep every row sharing a passing id). Assert the
+    precondition holds where the rewrite applies: both pipelines
+    filter a deduped frame."""
+    kept = TX.quality_filter(docs, keep_frac=0.5).select("doc_id")
+    deduped_curate = D.exact_dedup(docs.join(kept, "doc_id", "left_semi"))
+    assert (deduped_curate.groupBy("doc_id").count()
+            .agg(F.max("count")).first()[0] or 0) <= 1
+    clean = CN.decontaminate_splits(docs, k=4)
+    deduped_pretrain = clean.join(
+        D.exact_dedup_keys_normalized(clean), "doc_id", "left_semi")
+    assert (deduped_pretrain.groupBy("doc_id").count()
+            .agg(F.max("count")).first()[0] or 0) <= 1
+
+
 def test_mixture_keep_col_is_the_sampler(docs):
     rates = {"src0": 0.9, "src2": 0.2}
     old = docs.filter(
